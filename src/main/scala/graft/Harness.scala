@@ -1,0 +1,101 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import killa.Conf
+import killa.build.IndexWriter
+import killa.query.IndexReader
+
+/** Glue between the driver contract (SparkEntry/Verify/Bench) and the killa
+  * engine. The fulltext corpus for oracle-checked queries is a transcripts
+  * table (BASELINE.json input_hint shape) derived *deterministically* from
+  * the driver's `documents` parquet — every 5 documents form one 5-turn
+  * conversation — so each registered query has a DuckDB-expressible oracle
+  * over the same inputs (FIXTURES.md §4).
+  */
+object Harness {
+  val conf: Conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 8, blockSize = 64)
+
+  /** DuckDB CTE mirror of [[transcripts]] — prepended to every fulltext
+    * oracle query. Must stay semantically identical to the Spark derivation.
+    */
+  val TurnsCte: String =
+    "WITH turns AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, " +
+      "CAST(doc_id % 5 AS INT) AS turn_idx, text FROM documents)"
+
+  /** Token + tf + dl + corpus-stats CTEs shared by the fulltext oracles
+    * (reference tokenization semantics: split on single space, drop empties —
+    * WhitespaceTokenizer.cs:8-10).
+    */
+  val TfCtes: String =
+    ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM turns)" +
+      ", tok2 AS (SELECT conv_id, term FROM toks WHERE term <> '')" +
+      ", tf AS (SELECT conv_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2)" +
+      ", dl AS (SELECT conv_id, sum(tf) AS dl FROM tf GROUP BY 1)" +
+      ", stats AS (SELECT (SELECT count(DISTINCT conv_id) FROM turns) AS n, " +
+      "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl) / (SELECT count(DISTINCT conv_id) FROM turns) AS avgdl)"
+
+  /** BM25 oracle SQL over the shared CTEs for a fixed term list. Mirrors
+    * killa.query.Bm25 exactly (same formula shape, same constants).
+    */
+  def bm25OracleSql(terms: Seq[String], k: Int, conjunctive: Boolean): String = {
+    val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    val having = if (conjunctive) s" HAVING count(*) = ${terms.length}" else ""
+    TurnsCte + TfCtes +
+      s", q(term, tidx) AS (VALUES $vals)" +
+      ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
+      ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
+      "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
+      "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+      "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      s", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id$having)" +
+      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
+  /** Transcripts view over the driver's documents table (Spark side). */
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet").select(
+      format_string("c%05d", expr("doc_id div 5")).as("conv_id"),
+      (col("doc_id") % 5).cast("int").as("turn_idx"),
+      when(col("doc_id") % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+      col("text"),
+      col("source").as("tool"),
+      expr("timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)").as("ts"))
+
+  // one built index per (sfDir) per JVM — queries share it
+  private val cache = TrieMap.empty[String, String]
+
+  def indexRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(sfDir, {
+      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"target/idxcache/$safe"
+      // fresh build each JVM: stale caches from older code versions must not
+      // leak into verification
+      val dir = new java.io.File(root)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+      new IndexWriter(spark, root, conf).fullBuild(transcripts(spark, sfDir), "b0")
+      root
+    })
+
+  def reader(spark: SparkSession, sfDir: String): IndexReader =
+    new IndexReader(spark, indexRoot(spark, sfDir), conf)
+
+  /** Final presentation ordering shared with the oracles: selection happens
+    * on exact scores inside the engine; display rounds to 4dp and re-sorts on
+    * (rounded score desc, conv_id asc) so both sides order identically even
+    * when rounding collapses near-ties.
+    */
+  def present(hits: DataFrame): DataFrame =
+    hits.withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("conv_id").asc)
+}

@@ -1,0 +1,31 @@
+package killa
+
+/** Engine configuration.
+  *
+  * BM25 constants are the standard Okapi/Lucene defaults pinned by SURVEY.md §4.2
+  * (the reference, elastic-killa, has no scoring at all — Searcher.cs:16-23 returns
+  * unscored sets — so the oracle pins the constants).
+  *
+  * @param k1          BM25 term-frequency saturation
+  * @param b           BM25 length normalization
+  * @param blockSize   postings per block (delta+varint coded, block-max stats per block)
+  * @param nBuckets    term-hash buckets — unit of segment layout, pruning and
+  *                    incremental rewrite. 16 locally; thousands on a real cluster.
+  * @param nSalts      phase-1 salting fan-out for hot-term skew (SURVEY.md §4.2):
+  *                    partial posting runs are built per (term, docId % nSalts) so no
+  *                    single task materializes a stopword's full posting list.
+  * @param waveBuckets buckets per build wave — the checkpoint/resume grain. Each wave
+  *                    commits its segment data + ledger rows + a manifest version
+  *                    atomically, so a killed build resumes at the next wave.
+  */
+final case class Conf(
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    blockSize: Int = 128,
+    nBuckets: Int = 16,
+    nSalts: Int = 8,
+    waveBuckets: Int = 8)
+
+object Conf {
+  val default: Conf = Conf()
+}

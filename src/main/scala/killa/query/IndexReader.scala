@@ -1,0 +1,161 @@
+package killa.query
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import killa.Conf
+import killa.codec.Delta
+import killa.model.PostingBlock
+import killa.store.{Manifest, SegmentStore}
+import killa.util.Hashing
+
+/** Queries against one committed index snapshot — the analog of the
+  * reference's Searcher over a defensive-copy Get (Searcher.cs:16-23,
+  * StringIndex.cs:19-24): a reader pins one manifest version, so concurrent
+  * maintenance never changes its results. Re-instantiating on the latest
+  * version after draining pending batches gives the reference's
+  * DelayedSearch semantics (FileAnalyzer.cs:51-60).
+  */
+final class IndexReader(
+    spark: SparkSession,
+    root: String,
+    conf: Conf = Conf.default,
+    pinVersion: Option[Int] = None) {
+  import spark.implicits._
+
+  val manifest: Option[Manifest] =
+    pinVersion.map(SegmentStore.read(spark, root, _)).orElse(SegmentStore.latest(spark, root))
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def emptyHits: DataFrame =
+    Seq.empty[(String, Double)].toDF("conv_id", "score")
+
+  private def emptyMembers: DataFrame =
+    Seq.empty[String].toDF("conv_id")
+
+  /** Merged docId dictionary: last-wins per docId across the docs log
+    * (rename/delete batches append new entries), alive only.
+    */
+  def docs: DataFrame = manifest match {
+    case None => Seq.empty[(Long, String, Long, String)].toDF("docId", "convId", "dl", "source")
+    case Some(m) =>
+      val raw = spark.read.parquet(m.docsDirs: _*)
+      val w = Window.partitionBy("docId").orderBy(col("batchSeq").desc)
+      raw.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("alive"))
+        .select("docId", "convId", "dl", "source")
+  }
+
+  /** Posting blocks of one term: partition-pruned to the term's bucket dir,
+    * then parquet row-group stats prune on the sorted `term` column — the
+    * columnar equivalent of the reference's O(1) dictionary lookup.
+    */
+  def postingBlocks(term: String): Dataset[PostingBlock] = {
+    val pathOpt = manifest.flatMap { m =>
+      m.bucketPath(Hashing.termBucket(term, m.nBuckets)).filter(p => fs(p).exists(new Path(p)))
+    }
+    pathOpt match {
+      case None => spark.emptyDataset[PostingBlock]
+      case Some(p) =>
+        spark.read.parquet(p).where(col("term") === term).as[PostingBlock]
+    }
+  }
+
+  /** All posting blocks of the snapshot (maintenance/stats path). */
+  def allBlocks: Dataset[PostingBlock] = manifest match {
+    case None => spark.emptyDataset[PostingBlock]
+    case Some(m) =>
+      val paths = m.buckets.keys.toSeq.sorted
+        .flatMap(m.bucketPath)
+        .filter(p => fs(p).exists(new Path(p)))
+      if (paths.isEmpty) spark.emptyDataset[PostingBlock]
+      else spark.read.parquet(paths: _*).as[PostingBlock]
+  }
+
+  /** Reference-parity membership query (Searcher.cs:16-23): the unscored set
+    * of conversations containing `term`. Null/empty query → empty without
+    * touching the store (SearcherTests.cs:13-25).
+    */
+  def membership(term: String): DataFrame = {
+    if (term == null || term.isEmpty || manifest.isEmpty) return emptyMembers
+    val docIds = postingBlocks(term).flatMap(b => Delta.decode(b.docsBin, b.n)).toDF("docId")
+    docIds.join(docs, "docId").select(col("convId").as("conv_id"))
+  }
+
+  /** Contains (StringIndex.cs:17): any posting for this term? */
+  def contains(term: String): Boolean =
+    term != null && term.nonEmpty && !postingBlocks(term).isEmpty
+
+  /** Document frequency per term (0 when absent). */
+  def termDf(terms: Seq[String]): Map[String, Long] =
+    terms.map { t =>
+      val row = postingBlocks(t).limit(1).collect()
+      t -> (if (row.isEmpty) 0L else row(0).df)
+    }.toMap
+
+  /** Distributed top-k BM25 (north_star: posting-list intersection +
+    * block-max pruning).
+    *
+    * Plan: per-term pruned block scans → blocks replicated to docId ranges →
+    * per-range DAAT with block-max pruning and a local k-heap (Daat) → global
+    * exact top-k via orderBy(score desc, docId asc).limit(k) → broadcast-size
+    * join back to the dictionary for conv_ids. The only full shuffle is over
+    * surviving candidates (≤ k per range), never over postings.
+    *
+    * @param termsIn query terms; duplicates collapse set-style (reference
+    *                token-set semantics); null/empty terms dropped; empty
+    *                query → empty result without store access.
+    */
+  def bm25TopK(termsIn: Seq[String], k: Int, conjunctive: Boolean = false): DataFrame = {
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
+    val m = manifest.get
+    if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
+
+    val blocksByTerm: Seq[(Int, Dataset[PostingBlock])] =
+      terms.zipWithIndex.map { case (t, i) => (i, postingBlocks(t)) }
+    val allBlocks: Dataset[(Int, PostingBlock)] = blocksByTerm
+      .map { case (i, ds) => ds.map(b => (i, b)) }
+      .reduce(_ union _)
+
+    val dfs = allBlocks.groupByKey(_._1).mapValues(_._2.df).reduceGroups((a, _) => a)
+      .collect().toMap
+    if (conjunctive && terms.indices.exists(i => !dfs.contains(i))) return emptyHits
+    if (terms.indices.forall(i => !dfs.contains(i))) return emptyHits
+
+    val k1 = conf.k1; val b = conf.b
+    val avgdl = m.avgdl; val n = m.numDocs
+    val weights = terms.indices.map(i => Bm25.weight(n, dfs.getOrElse(i, 0L), k1)).toArray
+
+    // docId ranges: fixed stride over the dense id domain. Each block goes to
+    // every range it overlaps; each doc is scored only in its owning range.
+    val nRanges = math.max(1, math.min(spark.sparkContext.defaultParallelism, 64))
+    val stride = math.max(1L, (m.maxDocId + 2) / nRanges + 1)
+    val nTerms = terms.length
+    val scored = allBlocks
+      .flatMap { case (ti, blk) =>
+        val r0 = blk.firstDoc / stride
+        val r1 = blk.lastDoc / stride
+        (r0 to r1).iterator.map(r => (r, ti, blk))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (rangeId, it) =>
+        val perTerm = Array.fill(nTerms)(List.newBuilder[PostingBlock])
+        it.foreach { case (_, ti, blk) => perTerm(ti) += blk }
+        val termBlocks = perTerm.map(_.result().sortBy(_.firstDoc).toArray)
+        val lo = rangeId * stride - 1 // (lo, hi] convention
+        val hi = rangeId * stride + stride - 1
+        Daat.scoreRange(termBlocks, weights, lo, hi, k, conjunctive, k1, b, avgdl)
+      }
+      .toDF("docId", "score")
+
+    val top = scored.orderBy(col("score").desc, col("docId").asc).limit(k)
+    top.join(docs, "docId")
+      .select(col("convId").as("conv_id"), col("score"))
+      .orderBy(col("score").desc, col("conv_id").asc)
+  }
+}

@@ -1,0 +1,119 @@
+package killa.store
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** One committed snapshot of the index (Iceberg-style: an immutable manifest
+  * naming the live data directories; see SURVEY.md §7.3 — the Iceberg runtime
+  * jar is unavailable offline, so this thin seam implements the same
+  * snapshot/atomic-commit semantics over plain Parquet + a JSON manifest, and
+  * keeps `spark.read.format("iceberg")` a one-line swap later).
+  *
+  * Queries read one manifest version ⇒ consistent snapshot (the analog of the
+  * reference's copy-out `Get`, StringIndex.cs:19-24). Maintenance rewrites
+  * only affected term buckets and commits a new version ⇒ O(Δ-buckets)
+  * incremental updates at scale.
+  *
+  * @param buckets     term-bucket → parquet commit dir holding `bkt_p=<b>`
+  * @param docsDirs    ordered docId-dictionary log dirs (last-wins per docId)
+  * @param forwardDirs ordered forward-index log dirs (doc → term/tf rows;
+  *                    last-wins per docId by batchSeq)
+  */
+final case class Manifest(
+    version: Int,
+    nBuckets: Int,
+    buckets: Map[Int, String],
+    docsDirs: Seq[String],
+    forwardDirs: Seq[String],
+    numDocs: Long,
+    totalTokens: Long,
+    avgdl: Double,
+    maxDocId: Long,
+    batchSeq: Long) {
+  def bucketPath(b: Int): Option[String] = buckets.get(b).map(dir => s"$dir/bkt_p=$b")
+}
+
+object SegmentStore {
+  private val mapper = new ObjectMapper()
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def snapshotsDir(root: String): String = s"$root/snapshots"
+
+  def latestVersion(spark: SparkSession, root: String): Option[Int] = {
+    val dir = new Path(snapshotsDir(root))
+    val f = fs(spark, root)
+    if (!f.exists(dir)) None
+    else {
+      val vs = f.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toInt
+        }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  def read(spark: SparkSession, root: String, version: Int): Manifest = {
+    val p = new Path(f"${snapshotsDir(root)}/v$version%06d.json")
+    val in = fs(spark, root).open(p)
+    val node = try mapper.readTree(in) finally in.close()
+    val buckets = {
+      val bnode = node.get("buckets")
+      val it = bnode.fieldNames()
+      val b = Map.newBuilder[Int, String]
+      while (it.hasNext) { val k = it.next(); b += (k.toInt -> bnode.get(k).asText()) }
+      b.result()
+    }
+    def strs(field: String): Seq[String] = {
+      val arr = node.get(field)
+      (0 until arr.size()).map(arr.get(_).asText())
+    }
+    Manifest(
+      version = node.get("version").asInt(),
+      nBuckets = node.get("nBuckets").asInt(),
+      buckets = buckets,
+      docsDirs = strs("docsDirs"),
+      forwardDirs = strs("forwardDirs"),
+      numDocs = node.get("numDocs").asLong(),
+      totalTokens = node.get("totalTokens").asLong(),
+      avgdl = node.get("avgdl").asDouble(),
+      maxDocId = node.get("maxDocId").asLong(),
+      batchSeq = node.get("batchSeq").asLong())
+  }
+
+  def latest(spark: SparkSession, root: String): Option[Manifest] =
+    latestVersion(spark, root).map(read(spark, root, _))
+
+  /** Atomic commit: write v{N+1} to a temp file, then rename into place. */
+  def commit(spark: SparkSession, root: String, m: Manifest): Manifest = {
+    val v = latestVersion(spark, root).getOrElse(0) + 1
+    val toWrite = m.copy(version = v)
+    val node: ObjectNode = mapper.createObjectNode()
+    node.put("version", toWrite.version)
+    node.put("nBuckets", toWrite.nBuckets)
+    val bnode = node.putObject("buckets")
+    toWrite.buckets.toSeq.sortBy(_._1).foreach { case (k, p) => bnode.put(k.toString, p) }
+    val dnode = node.putArray("docsDirs")
+    toWrite.docsDirs.foreach(dnode.add)
+    val fnode = node.putArray("forwardDirs")
+    toWrite.forwardDirs.foreach(fnode.add)
+    node.put("numDocs", toWrite.numDocs)
+    node.put("totalTokens", toWrite.totalTokens)
+    node.put("avgdl", toWrite.avgdl)
+    node.put("maxDocId", toWrite.maxDocId)
+    node.put("batchSeq", toWrite.batchSeq)
+    val f = fs(spark, root)
+    f.mkdirs(new Path(snapshotsDir(root)))
+    val tmp = new Path(f"${snapshotsDir(root)}/.tmp-v$v%06d.json")
+    val dst = new Path(f"${snapshotsDir(root)}/v$v%06d.json")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    if (!f.rename(tmp, dst))
+      throw new IllegalStateException(s"manifest commit race: $dst already exists")
+    toWrite
+  }
+}

@@ -1,0 +1,33 @@
+package killa.util
+
+/** Stable, dependency-free hashes used for term bucketing and synthetic data.
+  * Own implementations (FNV-1a, splitmix64 — both public-domain algorithms) so
+  * driver-side bucket computation and executor-side column values can never
+  * diverge across Spark versions.
+  */
+object Hashing {
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Term → segment bucket in [0, nb). */
+  def termBucket(term: String, nb: Int): Int =
+    java.lang.Math.floorMod(fnv1a64(term), nb.toLong).toInt
+
+  /** splitmix64 — deterministic PRNG step for synthetic fixtures. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}

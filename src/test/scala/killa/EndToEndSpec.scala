@@ -1,0 +1,158 @@
+package killa
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import killa.build.{IndexWriter, Ledger}
+import killa.query.{BruteForce, IndexReader}
+import killa.store.SegmentStore
+import killa.synth.Synth
+
+/** End-to-end fixture tests mirroring the reference's FileAnalyzerTests
+  * (subscribe/backfill counts, membership parity, quiescent visibility) plus
+  * the baseline additions (BM25 rank identity, salted-build byte identity,
+  * kill/resume equivalence) — FIXTURES.md §2.
+  */
+class EndToEndSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val turns = Synth.transcripts(spark, nConvs = 60, turnsPerConv = 6, seed = 7L)
+    .toDF().persist()
+
+  private lazy val root: String = {
+    val r = TestSpark.freshDir("e2e")
+    new IndexWriter(spark, r, Conf(nBuckets = 8, nSalts = 4, waveBuckets = 3, blockSize = 16))
+      .fullBuild(turns, "b0")
+    r
+  }
+
+  private def reader = new IndexReader(spark, root, Conf(nBuckets = 8, blockSize = 16))
+
+  private def collectMembers(df: DataFrame): Set[String] =
+    df.collect().map(_.getString(0)).toSet
+
+  test("membership parity: unique token returns exactly its owner (FileAnalyzerTests.cs:292-317)") {
+    val r = reader
+    // every conversation owns its uniq<conv>_<i> tokens
+    Seq(0, 7, 59).foreach { conv =>
+      val term = s"uniq${conv}_0"
+      val oracle = collectMembers(BruteForce.membership(turns, term))
+      val got = collectMembers(r.membership(term))
+      assert(got == oracle, s"term=$term")
+      if (oracle.nonEmpty) assert(got == Set(f"conv$conv%06d"))
+    }
+  }
+
+  test("membership parity: shared + hot terms return all owners") {
+    val r = reader
+    Seq("shared_0", "shared_3", "the", "query").foreach { term =>
+      assert(collectMembers(r.membership(term)) ==
+        collectMembers(BruteForce.membership(turns, term)), s"term=$term")
+    }
+    // hot term reaches (nearly) the whole corpus — the skew fixture is real
+    assert(collectMembers(r.membership("the")).size > 50)
+  }
+
+  test("membership: miss → empty; null/empty query → empty without store access (SearcherTests.cs:13-25)") {
+    val r = reader
+    assert(r.membership("absent_token_xyz").isEmpty)
+    assert(r.membership(null).isEmpty)
+    assert(r.membership("").isEmpty)
+    assert(!r.contains("absent_token_xyz"))
+    assert(r.contains("the"))
+  }
+
+  test("BM25 rank identity: WAND path ≡ relational oracle, ids AND scores (FIXTURES.md §3)") {
+    val r = reader
+    val queries = Seq(
+      (Seq("the"), 10, false),
+      (Seq("query"), 5, false),
+      (Seq("shared_1"), 100, false),
+      (Seq("uniq3_1"), 3, false),
+      (Seq("query", "filter"), 10, false),
+      (Seq("the", "query", "join"), 7, false),
+      (Seq("query", "filter"), 10, true),
+      (Seq("the", "shared_0"), 15, true),
+      (Seq("query", "absent_zz"), 5, false), // missing term contributes nothing
+      (Seq("query", "absent_zz"), 5, true)   // conjunctive with missing term → empty
+    )
+    queries.foreach { case (terms, k, conj) =>
+      val got = r.bm25TopK(terms, k, conj).collect().map(x => (x.getString(0), x.getDouble(1)))
+      val exp = BruteForce.bm25(turns, terms, k, conj).collect()
+        .map(x => (x.getString(0), x.getDouble(1)))
+      assert(got.length == exp.length, s"q=$terms k=$k conj=$conj")
+      got.zip(exp).zipWithIndex.foreach { case (((gc, gs), (ec, es)), i) =>
+        assert(gc == ec, s"q=$terms k=$k conj=$conj rank=$i ids differ: $gc vs $ec")
+        assert(gs == es, s"q=$terms k=$k conj=$conj rank=$i scores differ: $gs vs $es")
+      }
+    }
+  }
+
+  test("BM25 top-k ⊇ reference exact-match set for k ≥ |result| (SURVEY.md intro contract)") {
+    val r = reader
+    val term = "uniq5_0"
+    val refSet = collectMembers(BruteForce.membership(turns, term))
+    val topk = collectMembers(r.bm25TopK(Seq(term), 1000).drop("score"))
+    assert(topk == refSet)
+  }
+
+  test("BM25: null/empty/duplicate query terms collapse; empty query → empty") {
+    val r = reader
+    assert(r.bm25TopK(Seq.empty, 10).isEmpty)
+    assert(r.bm25TopK(Seq(null, ""), 10).isEmpty)
+    val a = r.bm25TopK(Seq("query", "query"), 5).collect().map(_.toSeq)
+    val b = r.bm25TopK(Seq("query"), 5).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("salted build is byte-identical to unsalted (FIXTURES.md §2.5 skew property)") {
+    val dirs = Seq(1, 4).map { salts =>
+      val d = TestSpark.freshDir(s"salt$salts")
+      new IndexWriter(spark, d, Conf(nBuckets = 8, nSalts = salts, blockSize = 16))
+        .fullBuild(turns, "b0")
+      d
+    }
+    val contents = dirs.map(blocksFingerprint)
+    assert(contents(0) == contents(1))
+  }
+
+  test("kill/resume: interrupted build + resume ≡ uninterrupted build (FIXTURES.md §2.6)") {
+    val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 3, blockSize = 16)
+    val d1 = TestSpark.freshDir("resume")
+    val w1 = new IndexWriter(spark, d1, conf)
+    w1.fullBuild(turns, "b0", maxWaves = 1) // "killed" after wave 1 of 3
+    val partial = SegmentStore.latest(spark, d1).get
+    assert(partial.buckets.size == 3, "partial index visible mid-build (FileAnalyzerTests.cs:289-317)")
+    w1.fullBuild(turns, "b0") // resume
+    assert(blocksFingerprint(d1) == blocksFingerprint(root))
+    // lineage: a ledger row per bucket
+    val ledger = Ledger.read(spark, d1)
+    assert(ledger.where("step = 'segments' and status = 'done'").count() == 8)
+  }
+
+  test("partial snapshot only answers from built buckets (mid-indexing visibility, FileAnalyzerTests.cs:289-317)") {
+    val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 3, blockSize = 16)
+    val d = TestSpark.freshDir("partial")
+    new IndexWriter(spark, d, conf).fullBuild(turns, "b0", maxWaves = 1)
+    val r = new IndexReader(spark, d, conf)
+    val full = collectMembers(BruteForce.membership(turns, "the"))
+    val part = collectMembers(r.membership("the"))
+    assert(part.subsetOf(full))
+    assert(part.isEmpty || part == full || part.size < full.size)
+  }
+
+  /** Logical content fingerprint of all segment blocks in a store. */
+  private def blocksFingerprint(dir: String): Seq[String] = {
+    val m = SegmentStore.latest(spark, dir).get
+    import spark.implicits._
+    val paths = m.buckets.keys.toSeq.sorted.flatMap(m.bucketPath)
+      .filter(p => new java.io.File(p.stripPrefix("file:")).exists)
+    if (paths.isEmpty) return Seq.empty
+    spark.read.parquet(paths: _*).as[killa.model.PostingBlock]
+      .collect()
+      .map(b => s"${b.term}|${b.blockId}|${b.df}|${b.n}|${b.firstDoc}|${b.lastDoc}|" +
+        s"${b.maxTf}|${b.minDl}|${b.docsBin.mkString(",")}|${b.tfsBin.mkString(",")}|" +
+        s"${b.dlsBin.mkString(",")}|${b.bkt}")
+      .sorted.toSeq
+  }
+}
