@@ -90,6 +90,56 @@ object Harness {
   def reader(spark: SparkSession, sfDir: String): IndexReader =
     new IndexReader(spark, indexRoot(spark, sfDir), conf)
 
+  private def freshRoot(sfDir: String, variant: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = s"target/idxcache/$safe-$variant"
+    val dir = new java.io.File(root)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    root
+  }
+
+  /** Index built on a 3-of-5-turns subset, then brought to the full corpus
+    * via one incremental update batch (Indexer.Update diff path) — queries
+    * against it must match full-corpus oracles exactly.
+    */
+  def incrUpdateRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#upd", {
+      val root = freshRoot(sfDir, "upd")
+      val all = transcripts(spark, sfDir)
+      new IndexWriter(spark, root, conf)
+        .fullBuild(all.where(col("turn_idx") < 3), "b0")
+      new killa.maintain.IndexMaintainer(spark, root, conf)
+        .applyChanges(all, batchId = "d1")
+      root
+    })
+
+  /** Full index, then delete every 10th conversation incrementally. */
+  def incrDeleteRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#del", {
+      val root = freshRoot(sfDir, "del")
+      new IndexWriter(spark, root, conf).fullBuild(transcripts(spark, sfDir), "b0")
+      val victims = transcripts(spark, sfDir).select("conv_id").distinct()
+        .where(expr("CAST(substring(conv_id, 2) AS INT) % 10 = 0"))
+        .collect().map(_.getString(0)).toSeq
+      new killa.maintain.IndexMaintainer(spark, root, conf).remove(victims, "d1")
+      root
+    })
+
+  /** Full index, then rename c00001 → z99999 (Indexer.Switch rename path). */
+  def incrRenameRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#ren", {
+      val root = freshRoot(sfDir, "ren")
+      new IndexWriter(spark, root, conf).fullBuild(transcripts(spark, sfDir), "b0")
+      new killa.maintain.IndexMaintainer(spark, root, conf).rename("c00001", "z99999", "d1")
+      root
+    })
+
   /** Final presentation ordering shared with the oracles: selection happens
     * on exact scores inside the engine; display rounds to 4dp and re-sorts on
     * (rounded score desc, conv_id asc) so both sides order identically even

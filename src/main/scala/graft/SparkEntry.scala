@@ -59,6 +59,24 @@ object SparkEntry {
     // BM25 top-k, conjunctive (posting-list intersection)
     "q_bm25_conj" -> ((s, dir) =>
       present(reader(s, dir).bm25TopK(Seq("query", "filter"), 10, conjunctive = true))),
+    // op 8 Indexer.Update end-to-end: index built on 3/5 of the turns, then
+    // one incremental diff batch brings it to the full corpus — df readback
+    // and BM25 must match full-corpus oracles exactly
+    "q_incr_update_df" -> ((s, dir) => {
+      new killa.query.IndexReader(s, incrUpdateRoot(s, dir), conf).allBlocks
+        .groupBy("term").agg(max(col("df")).as("df")).orderBy("term")
+    }),
+    "q_incr_update_bm25" -> ((s, dir) =>
+      present(new killa.query.IndexReader(s, incrUpdateRoot(s, dir), conf)
+        .bm25TopK(Seq("query", "scan"), 10))),
+    // op 6 Indexer.Remove end-to-end: every 10th conversation deleted
+    "q_incr_delete_membership" -> ((s, dir) =>
+      new killa.query.IndexReader(s, incrDeleteRoot(s, dir), conf)
+        .membership("spark").orderBy("conv_id")),
+    // op 9 Indexer.Switch end-to-end: conversation renamed
+    "q_incr_rename_membership" -> ((s, dir) =>
+      new killa.query.IndexReader(s, incrRenameRoot(s, dir), conf)
+        .membership("spark").orderBy("conv_id")),
     // corpus stats from the committed manifest
     "q_corpus_stats" -> ((s, dir) => {
       import s.implicits._
@@ -87,6 +105,15 @@ object SparkEntry {
     "q_bm25_single" -> bm25OracleSql(Seq("spark"), 10, conjunctive = false),
     "q_bm25_multi" -> bm25OracleSql(Seq("query", "filter", "join"), 10, conjunctive = false),
     "q_bm25_conj" -> bm25OracleSql(Seq("query", "filter"), 10, conjunctive = true),
+    "q_incr_update_df" -> (TurnsCte + TfCtes +
+      " SELECT term, count(*) AS df FROM tf GROUP BY term ORDER BY term"),
+    "q_incr_update_bm25" -> bm25OracleSql(Seq("query", "scan"), 10, conjunctive = false),
+    "q_incr_delete_membership" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark'" +
+      " AND CAST(substr(conv_id, 2) AS INT) % 10 <> 0 ORDER BY conv_id"),
+    "q_incr_rename_membership" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT CASE WHEN conv_id = 'c00001' THEN 'z99999' ELSE conv_id END AS conv_id" +
+      " FROM tok2 WHERE term = 'spark' ORDER BY conv_id"),
     "q_corpus_stats" -> (TurnsCte + TfCtes +
       " SELECT (SELECT n FROM stats) AS n_docs," +
       " (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens," +

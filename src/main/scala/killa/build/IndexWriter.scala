@@ -224,6 +224,9 @@ object IndexWriter {
     val p = new Path(commitDir)
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fsys.exists(p)) return Map.empty
+    // a delta that removed a bucket's every posting writes an empty dir
+    // (_SUCCESS only) — no schema to infer, no metrics to report
+    if (!fsys.listStatus(p).exists(_.getPath.getName.startsWith("bkt_p="))) return Map.empty
     spark.read.parquet(commitDir)
       .groupBy(col("bkt_p").cast("int").as("b"))
       .agg(

@@ -1,0 +1,261 @@
+package killa.maintain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import killa.Conf
+import killa.build.{Dict, IndexWriter, Ledger}
+import killa.codec.{Delta, Varint}
+import killa.model.{LedgerRow, PostingBlock}
+import killa.store.{Logs, Manifest, SegmentStore}
+import killa.tokenize.Tokenize
+
+/** Incremental index maintenance — the Spark re-architecture of the
+  * reference's watcher event handlers (FileAnalyzer.cs:235-328) and Indexer
+  * mutation ops (Indexer.cs:19-115):
+  *
+  *  - Created/Changed → [[applyChanges]] upserts with minimal term-level
+  *    diff (Indexer.Update semantics, Indexer.cs:74-91: only `new∖old`,
+  *    `old∖new`, and tf-changed terms touch postings — pinned by
+  *    IndexerTests.cs:219-262);
+  *  - Deleted → whole-doc removal; terms whose posting empties vanish
+  *    (StringIndex.cs:59-74 RemoveFlush);
+  *  - Renamed → [[rename]]: docId-dictionary remap, postings untouched
+  *    (Indexer.Switch, Indexer.cs:37-54 — content swap when both names are
+  *    live, plain remap otherwise);
+  *  - Unsubscribe → [[removeSource]] de-indexes every doc of a source
+  *    (FileAnalyzer.cs:199-220, verified FileAnalyzerTests.cs:741-768).
+  *
+  * One batch = one new manifest version (atomic, snapshot-isolated); only
+  * term buckets containing affected terms are rewritten (O(Δ-buckets), not
+  * O(corpus)); empty deltas are suppressed without a version bump
+  * (BaseIndex.cs:36-40 empty-batch suppression). Within a batch, deletes win
+  * over changes for the same conv (last-write-wins, matching FIFO replay of
+  * the reference queue, BackgroundTaskQueue.cs:43-49).
+  */
+final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf.default) {
+  import spark.implicits._
+
+  /** Apply one maintenance batch. `changedTurns` carries the FULL new
+    * content of every created-or-changed conversation (input_hint schema).
+    * Returns the committed manifest (unchanged manifest on an empty delta).
+    */
+  def applyChanges(
+      changedTurns: DataFrame,
+      deletes: Seq[String] = Nil,
+      renames: Map[String, String] = Map.empty,
+      source: String = "default",
+      batchId: String = "delta"): Manifest = {
+    val m0 = SegmentStore.latest(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no index at $root — run a full build first"))
+    val seq = m0.batchSeq + 1
+
+    val docsAll = Logs.docsAll(spark, m0)
+      .select("docId", "convId", "dl", "source", "alive").persist()
+    try {
+      // ---- 1. renames (dictionary remap; O(1) per rename, rank-preserving
+      //         for *content*: scores attach to docIds, labels move)
+      val renameRows: Seq[(Long, String, Long, String, Boolean)] = if (renames.isEmpty) Nil else {
+        val byConv = docsAll.where(col("alive") && col("convId").isin(
+          (renames.keys ++ renames.values).toSeq: _*))
+          .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2), r.getString(3))))
+          .toMap
+        renames.toSeq.flatMap { case (from, to) =>
+          (byConv.get(from), byConv.get(to)) match {
+            case (Some((idA, dlA, srcA)), Some((idB, dlB, srcB))) =>
+              // both live → Switch content swap (Indexer.cs:37-54): labels exchange
+              Seq((idA, to, dlA, srcA, true), (idB, from, dlB, srcB, true))
+            case (Some((idA, dlA, srcA)), None) =>
+              Seq((idA, to, dlA, srcA, true)) // plain rename
+            case _ => Nil // renaming a non-indexed doc is a no-op (null discipline)
+          }
+        }
+      }
+      val renamedView = { // dictionary state after renames, for delete/change resolution
+        val rn = renameRows.map { case (id, conv, dl, src, al) => (id, conv, dl, src, al) }
+          .toDF("docId", "convId", "dl", "source", "alive")
+        if (renameRows.isEmpty) docsAll
+        else docsAll.join(rn.select(col("docId").as("rid")), col("docId") === col("rid"), "left_anti")
+          .unionByName(rn)
+      }
+
+      // ---- 2. deletes (win over changes for the same conv in this batch)
+      val deleteIds: Map[String, Long] =
+        if (deletes.isEmpty) Map.empty
+        else renamedView.where(col("alive") && col("convId").isin(deletes: _*))
+          .select("convId", "docId").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // ---- 3. changes: tokenize new content, diff against merged forward
+      val changed0 =
+        if (deletes.isEmpty) changedTurns
+        else changedTurns.where(!col("conv_id").isin(deletes: _*))
+      val newTf = changed0
+        .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+        .groupBy("conv_id", "term").agg(count(lit(1)).as("tf"))
+      val newDl = newTf.groupBy("conv_id").agg(sum(col("tf")).as("dl"))
+      val changedConvs = changed0.select("conv_id").distinct()
+
+      // resolve docIds: existing convs keep theirs; brand-new convs extend
+      // the dictionary from maxDocId+1 in conv_id rank order (deterministic)
+      val existing = changedConvs.join(
+        renamedView.where(col("alive")).select(col("convId").as("conv_id"), col("docId")),
+        Seq("conv_id"), "inner")
+      val fresh = changedConvs.join(existing.select("conv_id"), Seq("conv_id"), "left_anti")
+      val (freshDict, freshCleanup) = Dict.assign(fresh, m0.maxDocId + 1)
+      val dict = existing.unionByName(freshDict)
+
+      // full new forward rows for every changed conv (the batch's complete
+      // replacement — last-wins merge needs per-doc completeness)
+      val nb = conf.nBuckets
+      val newFwd = newTf.join(newDl, "conv_id").join(dict, "conv_id")
+        .select(col("term"), col("docId"), col("tf"), col("dl"),
+          IndexWriter.bucketUdf(nb)(col("term")).as("bkt"), lit(seq).as("batchSeq"))
+        .persist()
+
+      // old forward rows of (changed ∪ deleted) docs
+      val touchedIds = dict.select("docId")
+        .unionByName(deleteIds.values.toSeq.toDF("docId")).distinct()
+      val oldFwd = Logs.forward(spark, m0).join(touchedIds, "docId").persist()
+
+      // ---- 4. minimal term-level posting delta (Indexer.cs:74-91)
+      val oldK = oldFwd.select(col("term"), col("docId"),
+        col("tf").as("tfOld"), col("dl").as("dlOld"))
+      val newK = newFwd.select(col("term"), col("docId"),
+        col("tf").as("tfNew"), col("dl").as("dlNew"))
+      val joined = oldK.join(newK, Seq("term", "docId"), "full_outer")
+      // a posting must be rewritten when: removed, added, tf changed, or the
+      // doc's dl changed (dl is stored inline in every posting of the doc)
+      val delta = joined.where(
+        col("tfNew").isNull || col("tfOld").isNull ||
+          col("tfNew") =!= col("tfOld") || col("dlNew") =!= col("dlOld"))
+      val deletedDf = deleteIds.values.toSeq.toDF("docId")
+      val removedPostings = oldFwd.join(deletedDf, Seq("docId"), "inner")
+        .select("term", "docId")
+        .unionByName(delta.select("term", "docId"))
+        .distinct()
+      val upserts = delta.where(col("tfNew").isNotNull)
+        .join(deletedDf, Seq("docId"), "left_anti")
+        .select(col("term"), col("docId"), col("tfNew").as("tf"), col("dlNew").as("dl"),
+          IndexWriter.bucketUdf(nb)(col("term")).as("bkt"))
+
+      val affectedTerms = removedPostings.select("term").distinct().collect().map(_.getString(0))
+      // observable change = some posting differs, or the dictionary moves
+      // (rename/delete/new doc). Re-adding identical content is a no-op —
+      // the reference's minimal-diff Update touches nothing then
+      // (Indexer.cs:74-91, IndexerTests.cs:219-262).
+      val dictChanged = renameRows.nonEmpty || deleteIds.nonEmpty || !fresh.isEmpty
+
+      if (affectedTerms.isEmpty && !dictChanged) {
+        // empty-batch suppression: no event, no version (BaseIndex.cs:36-40)
+        newFwd.unpersist(); oldFwd.unpersist(); freshCleanup()
+        return m0
+      }
+      val affectedBuckets = affectedTerms
+        .map(killa.util.Hashing.termBucket(_, nb)).distinct.sorted
+
+      // ---- 5. rewrite affected buckets: decode old blocks → retract → add →
+      //         re-encode through the same deterministic block builder
+      var newBuckets = Map.empty[Int, String]
+      if (affectedBuckets.nonEmpty) {
+        val oldPaths = affectedBuckets.toSeq
+          .flatMap(b => m0.bucketPath(b))
+          .filter(p => fsExists(p))
+        val decoded: DataFrame =
+          if (oldPaths.isEmpty)
+            Seq.empty[(String, Long, Long, Long, Int)].toDF("term", "docId", "tf", "dl", "bkt")
+          else spark.read.parquet(oldPaths: _*).as[PostingBlock].flatMap { blk =>
+            val ds = Delta.decode(blk.docsBin, blk.n)
+            val ts = Varint.decode(blk.tfsBin, blk.n)
+            val ls = Varint.decode(blk.dlsBin, blk.n)
+            (0 until blk.n).iterator.map(i => (blk.term, ds(i), ts(i), ls(i), blk.bkt))
+          }.toDF("term", "docId", "tf", "dl", "bkt")
+        val retained = decoded.join(removedPostings, Seq("term", "docId"), "left_anti")
+        val rebuiltFwd = retained.unionByName(upserts)
+        val commitDir = s"$root/data/$batchId-s$seq"
+        val t0 = System.nanoTime()
+        IndexWriter.writeBlocks(IndexWriter.buildBlocks(spark, rebuiltFwd, conf), commitDir)
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        val metrics = IndexWriter.bucketMetrics(spark, commitDir, affectedBuckets.toSeq)
+        Ledger.append(spark, root, affectedBuckets.toSeq.map { b =>
+          val (tc, pc, bc, by) = metrics.getOrElse(b, (0L, 0L, 0L, 0L))
+          LedgerRow(batchId, "delta", b, "done", tc, pc, bc, by, wallMs, s"seq=$seq")
+        })
+        newBuckets = affectedBuckets.map(_ -> commitDir).toMap
+      }
+
+      // ---- 6. docs + forward log deltas
+      val docsDelta = {
+        val renameD = renameRows
+          .toDF("docId", "convId", "dl", "source", "alive")
+        val deleteD = docsAll.join(deletedDf, Seq("docId"), "inner")
+          .select(col("docId"), col("convId"), col("dl"), col("source"), lit(false).as("alive"))
+        val changedD = newFwd.select("docId", "dl").distinct()
+          .join(dict.withColumnRenamed("conv_id", "convId"), "docId")
+          .select(col("docId"), col("convId"), col("dl"), lit(source).as("source"),
+            lit(true).as("alive"))
+        // a changed conv that was also renamed this batch: change wins (it
+        // carries the final convId via the post-rename dictionary view)
+        renameD.join(changedD.select(col("docId").as("cd")), col("docId") === col("cd"), "left_anti")
+          .unionByName(deleteD).unionByName(changedD)
+          .withColumn("batchSeq", lit(seq))
+      }
+      val docsDeltaDir = s"$root/docs/$batchId-s$seq"
+      val fwdDeltaDir = s"$root/forward/$batchId-s$seq"
+      val wroteDocs = !docsDelta.isEmpty
+      if (wroteDocs) docsDelta.coalesce(1).write.mode("overwrite").parquet(docsDeltaDir)
+      val wroteFwd = !newFwd.isEmpty
+      if (wroteFwd) newFwd.withColumn("bkt_p", col("bkt"))
+        .repartition(col("bkt_p")).sortWithinPartitions("term", "docId")
+        .write.partitionBy("bkt_p").mode("overwrite").parquet(fwdDeltaDir)
+
+      newFwd.unpersist(); oldFwd.unpersist(); freshCleanup()
+
+      // ---- 7. refresh corpus stats from the merged dictionary and commit
+      val mDraft = m0.copy(
+        buckets = m0.buckets ++ newBuckets,
+        docsDirs = if (wroteDocs) m0.docsDirs :+ docsDeltaDir else m0.docsDirs,
+        forwardDirs = if (wroteFwd) m0.forwardDirs :+ fwdDeltaDir else m0.forwardDirs,
+        batchSeq = seq)
+      val alive = Logs.docsAlive(spark, mDraft)
+      val st = alive.agg(count(lit(1)), sum(col("dl")), max(col("docId"))).collect()(0)
+      val numDocs = st.getLong(0)
+      val totalTokens = if (st.isNullAt(1)) 0L else st.getLong(1)
+      val maxAlive = if (st.isNullAt(2)) -1L else st.getLong(2)
+      SegmentStore.commit(spark, root, mDraft.copy(
+        numDocs = numDocs,
+        totalTokens = totalTokens,
+        avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
+        maxDocId = math.max(m0.maxDocId, maxAlive)))
+    } finally docsAll.unpersist()
+  }
+
+  /** Indexer.Switch / rename handler (FileAnalyzer.cs:298-328). */
+  def rename(from: String, to: String, batchId: String = "rename"): Manifest =
+    applyChanges(emptyTurns, renames = Map(from -> to), batchId = batchId)
+
+  /** Whole-doc removal (Indexer.cs:56-63; Deleted handler). */
+  def remove(convIds: Seq[String], batchId: String = "remove"): Manifest =
+    applyChanges(emptyTurns, deletes = convIds, batchId = batchId)
+
+  /** Unsubscribe de-index (FileAnalyzer.cs:199-220): remove every live doc
+    * of `source`; post-unsubscribe searches return empty for its docs
+    * (FileAnalyzerTests.cs:1026-1049).
+    */
+  def removeSource(source: String, batchId: String = "unsub"): Manifest = {
+    val m0 = SegmentStore.latest(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no index at $root"))
+    val convs = Logs.docsAlive(spark, m0).where(col("source") === source)
+      .select("convId").collect().map(_.getString(0)).toSeq
+    applyChanges(emptyTurns, deletes = convs, batchId = batchId)
+  }
+
+  private def emptyTurns: DataFrame =
+    Seq.empty[(String, Int, String, String, String, java.sql.Timestamp)]
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  private def fsExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+}

@@ -87,31 +87,29 @@ object Daat {
     }
   }
 
-  /** Bounded top-k heap ordered worst-first by (score asc, docId desc): the
-    * root is the entry that exits first, so (score desc, docId asc) survivors
-    * are exact including ties.
+  /** Local top-k candidate set with score-tie retention: keeps every doc
+    * whose score ties the running k-th-best, so the *global* tie-break
+    * (score desc, conv_id asc — applied after the dictionary join) is exact
+    * even though postings only carry docIds and docId order stops matching
+    * conv_id order once maintenance has appended documents. A doc pruned
+    * here scores strictly below ≥ k docs of its own range, so it can never
+    * reach the global top-k under any tie-break.
     */
   private final class TopK(k: Int) {
-    private val ord = new Ordering[(Double, Long)] {
-      // max-heap pops the "largest" — define largest = worst hit
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1) // lower score = worse
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher docId = worse
-      }
-    }
-    private val pq = mutable.PriorityQueue.empty[(Double, Long)](ord)
-    def threshold: Double = if (pq.size < k) Double.NegativeInfinity else pq.head._1
+    private val minHeap = mutable.PriorityQueue.empty[Double](Ordering[Double].reverse)
+    private val buf = mutable.ArrayBuffer.empty[(Long, Double)]
+    def threshold: Double = if (minHeap.size < k) Double.NegativeInfinity else minHeap.head
     def offer(score: Double, doc: Long): Unit = {
-      if (pq.size < k) pq.enqueue((score, doc))
-      else {
-        val worst = pq.head
-        if (score > worst._1 || (score == worst._1 && doc < worst._2)) {
-          pq.dequeue(); pq.enqueue((score, doc))
-        }
+      if (score >= threshold) { // ≥ admits ties (SURVEY.md §7.5.1)
+        buf += ((doc, score))
+        if (minHeap.size < k) minHeap.enqueue(score)
+        else if (score > minHeap.head) { minHeap.dequeue(); minHeap.enqueue(score) }
       }
     }
-    def drain(): Iterator[(Long, Double)] =
-      pq.dequeueAll.iterator.map((t: (Double, Long)) => (t._2, t._1))
+    def drain(): Iterator[(Long, Double)] = {
+      val t = threshold
+      buf.iterator.filter(_._2 >= t)
+    }
   }
 
   /** Score all qualifying docs with docId ∈ (lo, hi]; emit the local top-k.

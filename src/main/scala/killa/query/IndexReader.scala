@@ -2,7 +2,6 @@ package killa.query
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import killa.Conf
@@ -43,11 +42,7 @@ final class IndexReader(
   def docs: DataFrame = manifest match {
     case None => Seq.empty[(Long, String, Long, String)].toDF("docId", "convId", "dl", "source")
     case Some(m) =>
-      val raw = spark.read.parquet(m.docsDirs: _*)
-      val w = Window.partitionBy("docId").orderBy(col("batchSeq").desc)
-      raw.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1 && col("alive"))
-        .select("docId", "convId", "dl", "source")
+      killa.store.Logs.docsAlive(spark, m).select("docId", "convId", "dl", "source")
   }
 
   /** Posting blocks of one term: partition-pruned to the term's bucket dir,
@@ -153,8 +148,12 @@ final class IndexReader(
       }
       .toDF("docId", "score")
 
-    val top = scored.orderBy(col("score").desc, col("docId").asc).limit(k)
-    top.join(docs, "docId")
+    // global exact top-k: candidates (≤ ~k per range, score-ties retained)
+    // join the dictionary first so the tie-break is (score desc, conv_id asc)
+    // — the total order the oracles use — independent of docId assignment age
+    scored.join(docs.select(col("docId"), col("convId")), "docId")
+      .orderBy(col("score").desc, col("convId").asc)
+      .limit(k)
       .select(col("convId").as("conv_id"), col("score"))
       .orderBy(col("score").desc, col("conv_id").asc)
   }

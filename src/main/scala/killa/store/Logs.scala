@@ -1,0 +1,46 @@
+package killa.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merged views over the log-structured docs dictionary and forward index.
+  *
+  * Both are append-only logs of per-batch deltas (full replacement rows per
+  * touched doc, batchSeq-stamped): a read merges them last-wins. This is the
+  * scale answer to the reference's in-place ConcurrentDictionary mutation
+  * (StringIndex.cs:38-49): maintenance batches append O(Δ) rows instead of
+  * rewriting O(corpus); compaction folds the log back into a single dir.
+  */
+object Logs {
+
+  /** Latest dictionary entry per docId (including dead docs — docIds are
+    * never reused, like the reference's normalized-path identity).
+    */
+  def docsAll(spark: SparkSession, m: Manifest): DataFrame = {
+    val raw = spark.read.parquet(m.docsDirs: _*)
+    val w = Window.partitionBy("docId").orderBy(col("batchSeq").desc)
+    raw.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** Live dictionary entries only. */
+  def docsAlive(spark: SparkSession, m: Manifest): DataFrame =
+    docsAll(spark, m).where(col("alive"))
+
+  /** Merged forward index: each doc's rows from the latest batch that wrote
+    * it, restricted to live docs. Columns (term, docId, tf, dl, bkt).
+    */
+  def forward(spark: SparkSession, m: Manifest): DataFrame = {
+    // each forward dir is its own hive-partitioned root (bkt_p=*) — read them
+    // separately (per-dir basePath) and union, or Spark rejects the mix as
+    // conflicting directory structures
+    val raw = m.forwardDirs
+      .map(d => spark.read.option("basePath", d).parquet(d)
+        .select("term", "docId", "tf", "dl", "bkt", "batchSeq"))
+      .reduce(_ unionByName _)
+    val latest = raw.groupBy("docId").agg(max(col("batchSeq")).as("mb"))
+    raw.join(latest, "docId").where(col("batchSeq") === col("mb"))
+      .join(docsAlive(spark, m).select("docId"), "docId")
+      .select("term", "docId", "tf", "dl", "bkt")
+  }
+}

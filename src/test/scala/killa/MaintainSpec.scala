@@ -1,0 +1,175 @@
+package killa
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace}
+import org.scalatest.funsuite.AnyFunSuite
+
+import killa.build.IndexWriter
+import killa.maintain.IndexMaintainer
+import killa.model.Turn
+import killa.query.{BruteForce, IndexReader}
+import killa.store.SegmentStore
+import killa.synth.Synth
+
+/** Delta scenarios (FIXTURES.md §2.4): update / delete / rename / swap /
+  * unsubscribe, pinned against the reference semantics (Indexer.cs:37-115,
+  * FileAnalyzer.cs:199-328) and the relational oracle over the FINAL corpus
+  * state — incremental maintenance must land exactly where a fresh build
+  * over the final corpus would (modulo docId assignment, which queries never
+  * expose).
+  */
+class MaintainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 8, blockSize = 16)
+  private val epoch = 1704067200000L
+
+  private def mkTurns(rows: (String, Int, String)*): DataFrame =
+    rows.map { case (c, i, txt) =>
+      Turn(c, i, "user", txt, "", new Timestamp(epoch + i * 1000L))
+    }.toDS().toDF()
+
+  /** fresh index over `corpus` in a new root; returns root. */
+  private def build(corpus: DataFrame): String = {
+    val root = TestSpark.freshDir("maint")
+    new IndexWriter(spark, root, conf).fullBuild(corpus, "b0")
+    root
+  }
+
+  private def reader(root: String) = new IndexReader(spark, root, conf)
+
+  private def members(df: DataFrame): Set[String] = df.collect().map(_.getString(0)).toSet
+
+  /** assert the live index answers exactly like the oracle over finalCorpus. */
+  private def assertParity(root: String, finalCorpus: DataFrame, terms: Seq[String]): Unit = {
+    val r = reader(root)
+    terms.foreach { t =>
+      assert(members(r.membership(t)) == members(BruteForce.membership(finalCorpus, t)), s"membership($t)")
+    }
+    val got = r.bm25TopK(terms, 20).collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    val exp = BruteForce.bm25(finalCorpus, terms, 20).collect()
+      .map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(got == exp, s"bm25($terms): $got vs $exp")
+  }
+
+  test("update: minimal diff re-index (Indexer.cs:74-91; IndexerTests.cs:219-262)") {
+    val v1 = mkTurns(("a", 0, "x y z"), ("a", 1, "x common"), ("b", 0, "w common"))
+    val root = build(v1)
+    // change conv a: drop z, add q, keep x/y; dl changes
+    val aNew = mkTurns(("a", 0, "x y q"), ("a", 1, "x common"))
+    new IndexMaintainer(spark, root, conf).applyChanges(aNew, batchId = "d1")
+    val finalCorpus = mkTurns(("a", 0, "x y q"), ("a", 1, "x common"), ("b", 0, "w common"))
+    assertParity(root, finalCorpus, Seq("x", "common"))
+    val r = reader(root)
+    assert(members(r.membership("z")).isEmpty, "removed term evicted")
+    assert(members(r.membership("q")) == Set("a"))
+    assert(members(r.membership("w")) == Set("b"), "untouched doc intact")
+  }
+
+  test("create: new conversations get fresh docIds and are searchable") {
+    val root = build(mkTurns(("a", 0, "alpha shared"), ("b", 0, "beta shared")))
+    val add = mkTurns(("c", 0, "gamma shared"), ("d", 0, "delta shared gamma"))
+    new IndexMaintainer(spark, root, conf).applyChanges(add, batchId = "d1")
+    val fin = mkTurns(("a", 0, "alpha shared"), ("b", 0, "beta shared"),
+      ("c", 0, "gamma shared"), ("d", 0, "delta shared gamma"))
+    assertParity(root, fin, Seq("shared", "gamma"))
+    assert(members(reader(root).membership("shared")) == Set("a", "b", "c", "d"))
+  }
+
+  test("delete: doc leaves every posting; emptied terms vanish (StringIndex.cs:59-74)") {
+    val root = build(mkTurns(("a", 0, "only_a shared"), ("b", 0, "only_b shared")))
+    new IndexMaintainer(spark, root, conf).remove(Seq("a"))
+    val fin = mkTurns(("b", 0, "only_b shared"))
+    assertParity(root, fin, Seq("shared", "only_b"))
+    val r = reader(root)
+    assert(!r.contains("only_a"), "emptied term evicted from segments")
+    assert(members(r.membership("shared")) == Set("b"))
+    // stats shrink with the corpus
+    assert(SegmentStore.latest(spark, root).get.numDocs == 1)
+  }
+
+  test("rename: identical results modulo id (Indexer.Switch rename case)") {
+    val root = build(mkTurns(("a", 0, "ra rb"), ("b", 0, "rb")))
+    new IndexMaintainer(spark, root, conf).rename("a", "zz")
+    val r = reader(root)
+    assert(members(r.membership("ra")) == Set("zz"))
+    assert(members(r.membership("rb")) == Set("b", "zz"))
+    val fin = mkTurns(("zz", 0, "ra rb"), ("b", 0, "rb"))
+    assertParity(root, fin, Seq("ra", "rb"))
+  }
+
+  test("switch: two live docs swap contents (Indexer.cs:37-54; IndexerTests.cs:108-185)") {
+    val root = build(mkTurns(("a", 0, "tok_a"), ("b", 0, "tok_b")))
+    new IndexMaintainer(spark, root, conf).applyChanges(
+      mkTurns().limit(0), renames = Map("a" -> "b"), batchId = "swap")
+    val r = reader(root)
+    assert(members(r.membership("tok_a")) == Set("b"), "b now owns a's old content")
+    assert(members(r.membership("tok_b")) == Set("a"))
+  }
+
+  test("unsubscribe: all docs of a source de-indexed (FileAnalyzerTests.cs:1026-1049)") {
+    val root = TestSpark.freshDir("unsub")
+    val w = new IndexWriter(spark, root, conf)
+    w.fullBuild(mkTurns(("s1a", 0, "common uniq1"), ("s1b", 0, "common uniq2")), "b0", source = "src1")
+    val maint = new IndexMaintainer(spark, root, conf)
+    maint.applyChanges(mkTurns(("s2a", 0, "common uniq3")), source = "src2", batchId = "add2")
+    assert(members(reader(root).membership("common")) == Set("s1a", "s1b", "s2a"))
+    maint.removeSource("src1")
+    val r = reader(root)
+    assert(members(r.membership("common")) == Set("s2a"))
+    assert(!r.contains("uniq1") && !r.contains("uniq2"))
+    assert(r.contains("uniq3"))
+  }
+
+  test("empty delta is suppressed: no new manifest version (BaseIndex.cs:36-40)") {
+    val root = build(mkTurns(("a", 0, "x")))
+    val v0 = SegmentStore.latest(spark, root).get.version
+    new IndexMaintainer(spark, root, conf).applyChanges(mkTurns().limit(0), batchId = "noop")
+    assert(SegmentStore.latest(spark, root).get.version == v0)
+    // idempotent no-op re-apply of identical content is also suppressed
+    new IndexMaintainer(spark, root, conf).applyChanges(mkTurns(("a", 0, "x")), batchId = "same")
+    val vAfter = SegmentStore.latest(spark, root).get.version
+    assert(vAfter == v0, "re-adding identical content must not touch postings")
+  }
+
+  test("delete wins over change for the same conv within a batch (FIFO last-write-wins)") {
+    val root = build(mkTurns(("a", 0, "x"), ("b", 0, "y")))
+    new IndexMaintainer(spark, root, conf).applyChanges(
+      mkTurns(("a", 0, "x2")), deletes = Seq("a"), batchId = "d1")
+    val r = reader(root)
+    assert(!r.contains("x2") && !r.contains("x"))
+    assert(members(r.membership("y")) == Set("b"))
+  }
+
+  test("snapshot isolation: a pinned reader never sees later batches (defensive-copy Get, StringIndex.cs:19-24)") {
+    val root = build(mkTurns(("a", 0, "iso")))
+    val pinned = reader(root) // pins the current latest version
+    new IndexMaintainer(spark, root, conf).remove(Seq("a"))
+    assert(members(pinned.membership("iso")) == Set("a"), "pinned snapshot unchanged")
+    assert(members(reader(root).membership("iso")).isEmpty, "fresh reader sees the delete")
+  }
+
+  test("incremental sequence converges to oracle on synthetic corpus (stress)") {
+    val base = Synth.transcripts(spark, 30, 4, seed = 11L).toDF()
+    val root = build(base)
+    val maint = new IndexMaintainer(spark, root, conf)
+    // update 5 convs with new content, add 3 convs, delete 2, rename 1
+    val updates = Synth.transcripts(spark, 8, 4, seed = 99L).toDF()
+      .where(col("conv_id") < "conv000005")
+    val adds = Synth.transcripts(spark, 3, 4, seed = 55L).toDF()
+      .withColumn("conv_id", concat(lit("newc"), col("conv_id")))
+    maint.applyChanges(updates.unionByName(adds), deletes = Seq("conv000010", "conv000029"),
+      renames = Map("conv000020" -> "renamed020"), batchId = "d1")
+    // oracle: final corpus assembled relationally
+    val fin = base
+      .where(!col("conv_id").isin("conv000010", "conv000029"))
+      .where(col("conv_id") >= "conv000005" || col("conv_id").startsWith("newc"))
+      .withColumn("conv_id", regexp_replace(col("conv_id"), "^conv000020$", "renamed020"))
+      .unionByName(updates).unionByName(adds)
+    assertParity(root, fin, Seq("the", "query"))
+    assertParity(root, fin, Seq("shared_0", "filter"))
+  }
+}
