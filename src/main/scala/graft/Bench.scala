@@ -1,24 +1,172 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+import killa.Conf
+import killa.build.IndexWriter
+import killa.query.IndexReader
+import killa.synth.Synth
+
+/** Benchmark protocol (BASELINE.md §3): fixed-seed synthetic transcripts,
+  * warm JVM, ≥3 timed runs, median; build turns/sec + query p95 at TWO
+  * parallelism levels (local[N/4] and local[N] stand in for N and 4N
+  * executors per the driver instruction) + scaling efficiency between them.
+  * Prints exactly ONE JSON line for the driver and writes the human report
+  * to BENCH.md.
+  */
 object Bench {
+  private val conf = Conf(nBuckets = 32, nSalts = 8, waveBuckets = 32, blockSize = 128)
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"killa-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def rmDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val f = new java.io.File(path); if (f.exists()) rm(f)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; s(s.length / 2)
+  }
+
+  private def p95(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, math.ceil(0.95 * s.length).toInt - 1))
+  }
+
+  private final case class LevelResult(
+      buildThroughput: Double, qps: Double, p95Ms: Double, perQuery: Map[String, Double])
+
+  /** One parallelism level: timed index builds (median of N after warmup),
+    * sequential query latencies (p95), and concurrent-client query
+    * throughput (qps) — the scaling basis the north rule asks for.
+    */
+  private def runLevel(cpus: Int, nConvs: Int, turnsPerConv: Int, timedBuilds: Int,
+      queryReps: Int): LevelResult = {
+    val spark = session(cpus)
+    try {
+      val turns = Synth.transcripts(spark, nConvs, turnsPerConv, seed = 42L).toDF()
+        .persist()
+      val nTurns = turns.count() // materialize input before the clock starts
+
+      // warmup build (JIT + codegen caches), then timed builds
+      var lastRoot: String = null
+      val buildSecs = (0 to timedBuilds).map { i =>
+        val root = s"target/bench/idx-c$cpus-r$i"
+        rmDir(root)
+        val t0 = System.nanoTime()
+        new IndexWriter(spark, root, conf).fullBuild(turns, s"b$i")
+        val sec = (System.nanoTime() - t0) / 1e9
+        lastRoot = root
+        sec
+      }.drop(1) // drop warmup
+      val buildThroughput = nTurns / median(buildSecs)
+
+      val reader = new IndexReader(spark, lastRoot, conf)
+      val queries: Seq[(String, () => Long)] = Seq(
+        "membership_hot" -> (() => reader.membership("the").count()),
+        "membership_rare" -> (() => reader.membership(s"uniq${nConvs / 2}_0").count()),
+        "bm25_single_hot" -> (() => reader.bm25TopK(Seq("the"), 10).count()),
+        "bm25_single_mid" -> (() => reader.bm25TopK(Seq("query"), 10).count()),
+        "bm25_multi" -> (() => reader.bm25TopK(Seq("query", "filter", "join"), 10).count()),
+        "bm25_conj" -> (() => reader.bm25TopK(Seq("query", "filter"), 10, conjunctive = true).count()))
+      queries.foreach(_._2()) // warmup pass (also materializes the dict cache)
+
+      // sequential latency → p95
+      val timings = (0 until queryReps).flatMap { _ =>
+        queries.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          fn()
+          (name, (System.nanoTime() - t0) / 1e6)
+        }
+      }
+      val p95All = p95(timings.map(_._2))
+      val perQuery = timings.groupBy(_._1).map { case (n, ts) => n -> median(ts.map(_._2)) }
+
+      // concurrent throughput: `cpus` clients × the query set — Spark's
+      // scheduler interleaves the small jobs; qps is the scaling metric
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(cpus)
+      val t0 = System.nanoTime()
+      val futures = (0 until cpus).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = { queries.foreach(_._2()); queries.length }
+        })
+      }
+      val totalQ = futures.map(_.get()).sum
+      val qps = totalQ / ((System.nanoTime() - t0) / 1e9)
+      pool.shutdown()
+
+      turns.unpersist()
+      LevelResult(buildThroughput, qps, p95All, perQuery)
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpusLo = math.max(1, cpusHi / 4)
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "100000").toInt
+    val turnsPerConv = 10
+    val timedBuilds = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val queryReps = 5
+
+    val lo = runLevel(cpusLo, nConvs, turnsPerConv, timedBuilds, queryReps)
+    val hi = runLevel(cpusHi, nConvs, turnsPerConv, timedBuilds, queryReps)
+    val ratio = cpusHi.toDouble / cpusLo
+    val effBuild = (hi.buildThroughput / lo.buildThroughput) / ratio
+    val effQuery = (hi.qps / lo.qps) / ratio
+
+    def r2(d: Double) = math.rint(d * 100) / 100
+    val qmap = Map(
+      s"build_turns_per_sec_local$cpusLo" -> r2(lo.buildThroughput),
+      s"build_turns_per_sec_local$cpusHi" -> r2(hi.buildThroughput),
+      s"query_qps_local$cpusLo" -> r2(lo.qps),
+      s"query_qps_local$cpusHi" -> r2(hi.qps),
+      s"query_p95_ms_local$cpusLo" -> r2(lo.p95Ms),
+      s"query_p95_ms_local$cpusHi" -> r2(hi.p95Ms),
+      "scaling_efficiency_build" -> r2(effBuild),
+      "scaling_efficiency_query_throughput" -> r2(effQuery)
+    ) ++ hi.perQuery.map { case (k, v) => s"q_ms_$k" -> r2(v) }
+    val qs = qmap.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    val report =
+      s"""# BENCH — measured (protocol of BASELINE.md §3)
+         |
+         |Corpus: $nConvs convs × $turnsPerConv turns = ${nConvs * turnsPerConv} turns,
+         |seed 42, Zipf-ish vocab with hot term "the" in ~50% of turns (skew live).
+         |Builds: median of $timedBuilds timed after one warmup. Query p95: sequential,
+         |${queryReps}×6 runs after warmup. Query throughput: `cpus` concurrent clients.
+         |Sandbox stand-in for N→4N executors: local[$cpusLo] → local[$cpusHi]
+         |(driver instruction; single box, so these share memory bandwidth a real
+         |cluster would not).
+         |
+         || metric | local[$cpusLo] | local[$cpusHi] | scaling efficiency (target ≥ 0.8) |
+         ||---|---|---|---|
+         || index build turns/sec | ${r2(lo.buildThroughput)} | ${r2(hi.buildThroughput)} | ${r2(effBuild)} |
+         || query throughput qps | ${r2(lo.qps)} | ${r2(hi.qps)} | ${r2(effQuery)} |
+         || query p95 ms (sequential) | ${r2(lo.p95Ms)} | ${r2(hi.p95Ms)} | — (latency, not a throughput metric) |
+         |
+         |Per-query median ms at local[$cpusHi]: ${hi.perQuery.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=${r2(v)}" }.mkString(", ")}
+         |""".stripMargin
+    Files.writeString(Paths.get("BENCH.md"), report)
+
+    println(s"""{"metric":"index-build turns/sec at local[$cpusHi] (median of $timedBuilds; queries map carries p95+qps+scaling)","value":${r2(hi.buildThroughput)},"unit":"turns/sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

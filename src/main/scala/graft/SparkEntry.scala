@@ -84,8 +84,92 @@ object SparkEntry {
       val avgdl4 = BigDecimal(m.avgdl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       Seq((m.numDocs, m.totalTokens, avgdl4))
         .toDF("n_docs", "total_tokens", "avgdl")
-    })
+    }),
+
+    // ---- training-data pipeline ops over documents/embeddings/events ----
+    "q_token_counts" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        killa.text.TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+        killa.text.TextOps.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+    "q_text_quality" -> ((s, dir) =>
+      killa.text.TextOps.qualityFeatures(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // language-ID heuristic: rows-only check (marker-lexicon scoring is not
+    // reasonably SQL-expressible)
+    "q_lang_id" -> ((s, dir) =>
+      killa.text.TextOps.langId(documents(s, dir), "doc_id", "text").orderBy("doc_id")),
+    "q_fingerprint" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        killa.text.TextOps.fingerprintMd5(col("text")).as("text_md5"))
+        .orderBy("doc_id")),
+    "q_dedup_exact" -> ((s, dir) =>
+      killa.dedup.Dedup.exactGroups(documents(s, dir), "doc_id", "text")
+        .orderBy("text_md5")),
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      killa.dedup.Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text", 3, 0.8)
+        .orderBy("a_id", "b_id")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      killa.dedup.Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text", 3, 64, 16, 0.8)
+        .orderBy("a_id", "b_id")),
+    // simhash hamming pairs: rows-only (signature family not SQL-expressible)
+    "q_dedup_simhash" -> ((s, dir) =>
+      killa.dedup.Dedup.simhashPairs(documents(s, dir), "doc_id", "text", 3)
+        .orderBy("a_id", "b_id")),
+    "q_ann_cosine_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+      killa.ann.Ann.bruteForceTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")
+    }),
+    // LSH-bucketed ANN: rows-only (approximate; recall measured in specs)
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+      killa.ann.Ann.lshTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")
+    }),
+    "q_embed_neardup" -> ((s, dir) =>
+      killa.ann.Ann.nearDupPairs(embeddings(s, dir), "vec_id", "embedding", 0.45)
+        .orderBy("a_id", "b_id")),
+    "q_mm_features" -> ((s, dir) => {
+      val rows = killa.mm.Multimodal.payloadize(documents(s, dir), "doc_id", "text", "text/plain")
+      rows.select(col("id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+        .orderBy("id")
+    }),
+    "q_stream_window" -> ((s, dir) =>
+      killa.streaming.StreamOps.windowedEventCounts(s, s"$dir/events.parquet",
+        s"graft_stream_${math.abs(dir.hashCode)}")
+        .withColumn("window_start", col("window_start").cast("timestamp"))
+        .orderBy("window_start", "event_type"))
   )
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Shared DuckDB CTEs over the documents table (tokens + shingles). */
+  private val DocToksCte =
+    "WITH w AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)"
+  private val ShinglesCte =
+    ", sh0 AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]) AS s FROM w WHERE len(toks) >= 3)" +
+      ", sh AS (SELECT DISTINCT doc_id, s FROM sh0)" +
+      ", sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1)"
+  private val JaccardSql =
+    ", inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)" +
+      " SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 4) AS jaccard" +
+      " FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id" +
+      " WHERE round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 4) >= 0.8 ORDER BY a_id, b_id"
+  private val EmbCte =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+  private def cosSql(a: String, b: String) =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -117,6 +201,42 @@ object SparkEntry {
     "q_corpus_stats" -> (TurnsCte + TfCtes +
       " SELECT (SELECT n FROM stats) AS n_docs," +
       " (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens," +
-      " round((SELECT avgdl FROM stats), 4) AS avgdl")
+      " round((SELECT avgdl FROM stats), 4) AS avgdl"),
+
+    "q_token_counts" -> (DocToksCte +
+      " SELECT doc_id, len(toks) AS ws_tokens," +
+      " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens" +
+      " FROM w ORDER BY doc_id"),
+    "q_text_quality" -> (DocToksCte +
+      " SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens," +
+      " round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS avg_token_len," +
+      " round(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 4) AS punct_ratio," +
+      " round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','a','is','it','for','on','with','as'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio" +
+      " FROM w ORDER BY doc_id"),
+    "q_fingerprint" -> (DocToksCte +
+      " SELECT doc_id, md5(array_to_string(toks, ' ')) AS text_md5 FROM w ORDER BY doc_id"),
+    "q_dedup_exact" -> (DocToksCte +
+      " SELECT md5(array_to_string(toks, ' ')) AS text_md5, count(*) AS cnt," +
+      " min(doc_id) AS rep_id FROM w GROUP BY 1 ORDER BY 1"),
+    "q_dedup_ngram_jaccard" -> (DocToksCte + ShinglesCte + JaccardSql),
+    // MinHash LSH candidates + exact verify empirically reproduce the exact
+    // jaccard pair set on this corpus (recall of 16x4 banding at τ=0.8 ≈
+    // 0.9998) — same oracle
+    "q_dedup_minhash" -> (DocToksCte + ShinglesCte + JaccardSql),
+    "q_ann_cosine_topk" -> (EmbCte +
+      ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
+      s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
+      ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
+      " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    "q_embed_neardup" -> (EmbCte +
+      s" SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(${cosSql("a.v", "b.v")}, 4) AS cosine" +
+      " FROM e a JOIN e b ON a.vec_id < b.vec_id" +
+      s" WHERE round(${cosSql("a.v", "b.v")}, 4) >= 0.45 ORDER BY a_id, b_id"),
+    "q_mm_features" -> ("SELECT doc_id AS id, 'text/plain' AS kind," +
+      " octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5" +
+      " FROM documents ORDER BY id"),
+    "q_stream_window" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start," +
+      " event_type, count(*) AS n, round(sum(value), 4) AS sum_value" +
+      " FROM events GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

@@ -37,6 +37,9 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def timing(msg: String): Unit =
+    if (sys.env.contains("KILLA_BUILD_TIMING")) System.err.println(s"[killa-timing] $msg")
+
   /** Build (or resume) a full index over `turns`. Returns the final manifest.
     *
     * @param maxWaves test hook for kill/resume: stop after N waves (the build
@@ -48,20 +51,31 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
       buildId: String,
       source: String = "default",
       maxWaves: Int = Int.MaxValue): Option[Manifest] = {
-    val desc = prepareForward(turns, buildId, source)
+    val tPrep0 = System.nanoTime()
+    val (desc, fwdInMem, prepCleanup) = prepareForward(turns, buildId, source)
+    timing(s"prepareForward ${(System.nanoTime() - tPrep0) / 1e9}s")
     val done = Ledger.doneBuckets(spark, root, buildId, "segments")
     val pending = (0 until conf.nBuckets).filterNot(done)
     var manifest = SegmentStore.latest(spark, root)
     val waves = pending.grouped(conf.waveBuckets).toSeq.take(maxWaves)
+    val singleWave = waves.size == 1 && done.isEmpty
     waves.foreach { wave =>
       val t0 = System.nanoTime()
       val commitDir = s"$root/data/$buildId-w${wave.head}"
-      val fwd = spark.read.parquet(desc.forwardDir)
-        .where(col("bkt_p").isin(wave.map(Integer.valueOf): _*))
+      // single uninterrupted wave: consume the just-computed forward rows
+      // directly (skips a parquet read-back of the whole forward table);
+      // multi-wave / resume paths read the bucket-pruned parquet instead
+      val fwd = fwdInMem.filter(_ => singleWave).getOrElse {
+        spark.read.parquet(desc.forwardDir)
+          .where(col("bkt_p").isin(wave.map(Integer.valueOf): _*))
+      }
       val blocks = buildBlocks(spark, fwd, conf)
       writeBlocks(blocks, commitDir)
       val wallMs = (System.nanoTime() - t0) / 1000000L
+      timing(s"wave ${wave.head}: blocks ${wallMs}ms")
+      val tm0 = System.nanoTime()
       val metrics = bucketMetrics(spark, commitDir, wave)
+      timing(s"wave ${wave.head}: metrics ${(System.nanoTime() - tm0) / 1000000L}ms")
       Ledger.append(spark, root, wave.map { b =>
         val (tc, pc, bc, by) = metrics.getOrElse(b, (0L, 0L, 0L, 0L))
         LedgerRow(buildId, "segments", b, "done", tc, pc, bc, by, wallMs, desc.forwardDir)
@@ -72,22 +86,31 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
       manifest = Some(SegmentStore.commit(spark, root,
         base.copy(buckets = base.buckets ++ wave.map(_ -> commitDir))))
     }
+    prepCleanup()
     manifest
   }
 
   /** Step A (idempotent, ledgered): tokenize, docId dictionary, doc stats,
     * forward index write. Reused untouched on resume.
     */
-  private def prepareForward(turns: DataFrame, buildId: String, source: String): BuildDesc = {
+  private def prepareForward(turns: DataFrame, buildId: String, source: String)
+      : (BuildDesc, Option[DataFrame], () => Unit) = {
     val descPath = new Path(s"$root/builds/$buildId.json")
-    if (fs.exists(descPath)) return readDesc(spark, descPath)
+    if (fs.exists(descPath)) return (readDesc(spark, descPath), None, () => ())
 
     import spark.implicits._
     val docsDir = s"$root/docs/$buildId"
     val forwardDir = s"$root/forward/$buildId"
 
-    val toks = turns.select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+    // One shuffle pins conv_id co-location: the tf aggregation, the dl
+    // aggregation and the dictionary join below then all run partition-local
+    // (HashPartitioning(conv_id) satisfies their required distributions).
+    // tf is persisted because three downstream jobs (docs write, forward
+    // write, stats) would otherwise re-tokenize the whole corpus each.
+    val byConv = turns.select(col("conv_id"), col("text")).repartition(col("conv_id"))
+    val toks = byConv.select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
     val tf = toks.groupBy("conv_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy("conv_id").agg(sum(col("tf")).as("dl"))
     val (dict, cleanup) = Dict.assign(turns.select("conv_id").distinct())
 
@@ -106,7 +129,6 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
       .withColumn("bkt_p", col("bkt"))
     fwd.repartition(col("bkt_p")).sortWithinPartitions("term", "docId")
       .write.partitionBy("bkt_p").mode("overwrite").parquet(forwardDir)
-    cleanup()
 
     val st = spark.read.parquet(docsDir)
       .agg(count(lit(1)), sum(col("dl")), max(col("docId"))).collect()(0)
@@ -118,7 +140,12 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
     writeDesc(spark, descPath, desc)
     Ledger.append(spark, root, Seq(
       LedgerRow(buildId, "forward", -1, "done", 0L, 0L, 0L, 0L, 0L, forwardDir)))
-    desc
+    // hand the in-memory forward rows to the wave loop. CRITICAL: both tf's
+    // cache AND the dictionary's pinned partitioning (Dict.assign persist)
+    // stay alive until the wave consumes fwd — unpersisting earlier lets the
+    // dict lineage recompute with fresh range-sampling, which can reassign
+    // docIds mid-build (caught as duplicate docIds in posting runs).
+    (desc, Some(fwd), () => { tf.unpersist(); cleanup() })
   }
 }
 
@@ -152,6 +179,46 @@ object IndexWriter {
       n.get("avgdl").asDouble(), n.get("maxDocId").asLong(), n.get("source").asText())
   }
 
+  /** Tandem quicksort: orders docs ascending, permuting tfs/dls in step.
+    * Primitive arrays only — the hot path of every build wave must not
+    * allocate per-posting objects (measured: boxed-tuple sorting of hot-term
+    * groups caused multi-second GC stalls at local[32]).
+    */
+  private def sort3(docs: Array[Long], tfs: Array[Long], dls: Array[Long],
+      lo0: Int, hi0: Int): Unit = {
+    @inline def swap(i: Int, j: Int): Unit = {
+      val d = docs(i); docs(i) = docs(j); docs(j) = d
+      val t = tfs(i); tfs(i) = tfs(j); tfs(j) = t
+      val l = dls(i); dls(i) = dls(j); dls(j) = l
+    }
+    var stack = List((lo0, hi0))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.head; stack = stack.tail
+      if (hi - lo < 16) {
+        var i = lo + 1
+        while (i <= hi) {
+          var j = i
+          while (j > lo && docs(j - 1) > docs(j)) { swap(j - 1, j); j -= 1 }
+          i += 1
+        }
+      } else {
+        val mid = lo + (hi - lo) / 2
+        if (docs(mid) < docs(lo)) swap(mid, lo)
+        if (docs(hi) < docs(lo)) swap(hi, lo)
+        if (docs(hi) < docs(mid)) swap(hi, mid)
+        val pivot = docs(mid)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (docs(i) < pivot) i += 1
+          while (docs(j) > pivot) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (lo < j) stack = (lo, j) :: stack
+        if (i < hi) stack = (i, hi) :: stack
+      }
+    }
+  }
+
   /** The two-phase salted posting aggregation (SURVEY.md §4.2 skew row).
     * Input: forward rows (term, docId, tf, dl, bkt). Output: posting blocks.
     * Deterministic: output is a pure function of the input row *set* —
@@ -167,40 +234,69 @@ object IndexWriter {
       .groupByKey(t => (t.term, java.lang.Math.floorMod(t.docId, nSalts.toLong).toInt))
       .mapGroups { (key: (String, Int), it: Iterator[TermDoc]) =>
         val (term, salt) = key
-        val arr = it.toArray.sortBy(_.docId)
-        PostingRun(term, salt, arr.length,
-          Delta.encode(arr.map(_.docId)),
-          Varint.encode(arr.map(_.tf)),
-          Varint.encode(arr.map(_.dl)))
+        var docs = new Array[Long](64); var tfs = new Array[Long](64); var dls = new Array[Long](64)
+        var n = 0
+        while (it.hasNext) {
+          if (n == docs.length) {
+            docs = java.util.Arrays.copyOf(docs, n * 2)
+            tfs = java.util.Arrays.copyOf(tfs, n * 2)
+            dls = java.util.Arrays.copyOf(dls, n * 2)
+          }
+          val t = it.next()
+          docs(n) = t.docId; tfs(n) = t.tf; dls(n) = t.dl; n += 1
+        }
+        if (n > 1) sort3(docs, tfs, dls, 0, n - 1)
+        PostingRun(term, salt, n,
+          Delta.encode(java.util.Arrays.copyOf(docs, n)),
+          Varint.encode(java.util.Arrays.copyOf(tfs, n)),
+          Varint.encode(java.util.Arrays.copyOf(dls, n)))
       }
-    // Phase 2: per-term merge of ≤ nSalts runs → globally docId-sorted blocks.
+    // Phase 2: k-way merge of the ≤ nSalts sorted runs (no re-sort — merge of
+    // sorted runs is associative, which is exactly why salting is
+    // semantics-free) → globally docId-sorted blocks.
     val bs = conf.blockSize
     val nb = conf.nBuckets
     runs.groupByKey(_.term).flatMapGroups { (term, it) =>
       val runArr = it.toArray
-      val total = runArr.map(_.n).sum
-      val merged = new Array[(Long, Long, Long)](total)
-      var off = 0
-      runArr.foreach { r =>
-        val ds = Delta.decode(r.docsBin, r.n)
-        val ts = Varint.decode(r.tfsBin, r.n)
-        val ls = Varint.decode(r.dlsBin, r.n)
-        var i = 0
-        while (i < r.n) { merged(off) = (ds(i), ts(i), ls(i)); off += 1; i += 1 }
+      val nRuns = runArr.length
+      val rDocs = new Array[Array[Long]](nRuns)
+      val rTfs = new Array[Array[Long]](nRuns)
+      val rDls = new Array[Array[Long]](nRuns)
+      var total = 0
+      var r = 0
+      while (r < nRuns) {
+        val run = runArr(r)
+        rDocs(r) = Delta.decode(run.docsBin, run.n)
+        rTfs(r) = Varint.decode(run.tfsBin, run.n)
+        rDls(r) = Varint.decode(run.dlsBin, run.n)
+        total += run.n
+        r += 1
       }
-      val sorted = merged.sortBy(_._1) // docIds globally unique ⇒ total order
+      val docs = new Array[Long](total); val tfs = new Array[Long](total); val dls = new Array[Long](total)
+      val pos = new Array[Int](nRuns)
+      var o = 0
+      while (o < total) {
+        var best = -1; var bestDoc = Long.MaxValue
+        var i = 0
+        while (i < nRuns) {
+          if (pos(i) < rDocs(i).length && rDocs(i)(pos(i)) < bestDoc) {
+            best = i; bestDoc = rDocs(i)(pos(i))
+          }
+          i += 1
+        }
+        docs(o) = bestDoc; tfs(o) = rTfs(best)(pos(best)); dls(o) = rDls(best)(pos(best))
+        pos(best) += 1; o += 1
+      }
       val df = total.toLong
       val bkt = Hashing.termBucket(term, nb)
       (0 until total by bs).iterator.map { start =>
         val end = math.min(start + bs, total)
         val n = end - start
-        val docs = new Array[Long](n); val tfs = new Array[Long](n); val dls = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          val t3 = sorted(start + i); docs(i) = t3._1; tfs(i) = t3._2; dls(i) = t3._3; i += 1
-        }
-        PostingBlock(term, start / bs, df, n, docs(0), docs(n - 1),
-          tfs.max, dls.min, Delta.encode(docs), Varint.encode(tfs), Varint.encode(dls), bkt)
+        val bd = java.util.Arrays.copyOfRange(docs, start, end)
+        val bt = java.util.Arrays.copyOfRange(tfs, start, end)
+        val bl = java.util.Arrays.copyOfRange(dls, start, end)
+        PostingBlock(term, start / bs, df, n, bd(0), bd(n - 1),
+          bt.max, bl.min, Delta.encode(bd), Varint.encode(bt), Varint.encode(bl), bkt)
       }
     }
   }
@@ -226,16 +322,23 @@ object IndexWriter {
     if (!fsys.exists(p)) return Map.empty
     // a delta that removed a bucket's every posting writes an empty dir
     // (_SUCCESS only) — no schema to infer, no metrics to report
-    if (!fsys.listStatus(p).exists(_.getPath.getName.startsWith("bkt_p="))) return Map.empty
+    val bucketDirs = fsys.listStatus(p).filter(_.getPath.getName.startsWith("bkt_p="))
+    if (bucketDirs.isEmpty) return Map.empty
+    // bytes from FS file sizes (free); counts from a column-pruned scan that
+    // never touches the binary payload columns
+    val bytesByBucket: Map[Int, Long] = bucketDirs.map { st =>
+      val b = st.getPath.getName.stripPrefix("bkt_p=").toInt
+      b -> fsys.listStatus(st.getPath).map(_.getLen).sum
+    }.toMap
     spark.read.parquet(commitDir)
       .groupBy(col("bkt_p").cast("int").as("b"))
       .agg(
         countDistinct(col("term")).as("terms"),
         sum(col("n")).as("postings"),
-        count(lit(1)).as("blocks"),
-        sum(length(col("docsBin")) + length(col("tfsBin")) + length(col("dlsBin"))).as("bytes"))
+        count(lit(1)).as("blocks"))
       .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), bytesByBucket.getOrElse(r.getInt(0), 0L))))
       .toMap
   }
 }

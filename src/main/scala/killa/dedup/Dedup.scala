@@ -1,0 +1,166 @@
+package killa.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import killa.text.TextOps
+import killa.tokenize.WhitespaceTokenizer
+import killa.util.Hashing
+
+/** Deduplication operators for training-data pipelines, each with an
+  * explicit scale story:
+  *
+  *  - exact: hash-groupBy on a content digest — one shuffle on the digest,
+  *    perfectly balanced at any scale;
+  *  - n-gram Jaccard (exact): inverted candidate join on shared shingles —
+  *    correct but O(Σ df²) pairs; the small-scale oracle for the LSH paths;
+  *  - MinHash+LSH: banded signatures → bucket join → exact-Jaccard verify;
+  *    candidate generation is linear in corpus size, the 100 TB path;
+  *  - SimHash: 64-bit signatures → segment blocking (pigeonhole: hamming ≤ 3
+  *    ⇒ one of 4 16-bit segments equal) → exact hamming verify.
+  *
+  * Everything is deterministic: the MinHash/SimHash hash families derive
+  * from fixed constants (splitmix64/FNV-1a), never runtime randomness.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by normalized-content md5.
+    * Output: (text_md5, cnt, rep_id) — rep_id = min id (stable choice).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.fingerprintMd5(col(textCol)).as("text_md5"))
+      .groupBy("text_md5")
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("rep_id"))
+
+  /** Distinct word-n-gram shingle set per doc: (id, s). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(TextOps.shingleCol(col(textCol), n)).as("s"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs (a_id < b_id, jaccard ≥ threshold).
+    * Candidates via inverted join on shared shingles (only docs sharing a
+    * shingle are ever compared); exact at any scale but the join fans out
+    * quadratically on hot shingles — use [[minhashLshPairs]] beyond small
+    * corpora.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("id").as("a_id"), col("s"))
+    val b = sh.select(col("id").as("b_id"), col("s"))
+    val inter = a.join(b, Seq("s")).where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("id").as("a_id"), col("nsh").as("na")), "a_id")
+      .join(sz.select(col("id").as("b_id"), col("nsh").as("nb")), "b_id")
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Deterministic MinHash permutation j applied to a shingle. */
+  @inline private def minhashOf(shingleHash: Long, j: Int): Long =
+    Hashing.splitmix64(shingleHash ^ (0x9e3779b97f4a7c15L * (j + 1)))
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    * numHashes signatures split into `bands` bands; docs colliding in ≥ 1
+    * band become candidates (P[candidate] ≈ 1-(1-j^r)^b); candidates are
+    * then verified exactly, so precision is 1.0 and only recall depends on
+    * the banding.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingleSets(df, idCol, textCol, n)
+    // signature: per (id, j) the min over shingles of h_j(s) — expressed as
+    // one aggregation so hot docs never collect their shingles driver-side
+    val sigUdf = udf { (shingles: Seq[String]) =>
+      val hs = shingles.map(Hashing.fnv1a64)
+      (0 until numHashes).map { j =>
+        var m = Long.MaxValue
+        hs.foreach { h => val v = minhashOf(h, j); if (v < m) m = v }
+        m
+      }
+    }
+    val sigs = sh.groupBy("id").agg(collect_list(col("s")).as("shingles"))
+      .select(col("id"), sigUdf(col("shingles")).as("sig"))
+    val bandRows = sigs.as[(Long, Seq[Long])].flatMap { case (id, sig) =>
+      (0 until bands).map { b =>
+        val bandHash = Hashing.fnv1a64(sig.slice(b * rows, (b + 1) * rows).mkString(","))
+        (id, b, bandHash)
+      }
+    }.toDF("id", "band", "bandHash")
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bandHash") === col("y.bandHash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("id").as("a_id"), col("s"))
+    val b = sh.select(col("id").as("b_id"), col("s"))
+    val inter = cand.join(a, "a_id").join(b, Seq("b_id", "s"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    cand.join(inter, Seq("a_id", "b_id"), "left").na.fill(0L, Seq("i"))
+      .join(sz.select(col("id").as("a_id"), col("nsh").as("na")), "a_id")
+      .join(sz.select(col("id").as("b_id"), col("nsh").as("nb")), "b_id")
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** 64-bit SimHash of a token multiset (tf-weighted). */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = Hashing.fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found via
+    * segment blocking: split the 64-bit signature into maxHamming+1
+    * segments; by pigeonhole any pair within distance maxHamming agrees on
+    * at least one whole segment — an equi-join, no all-pairs scan.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nSeg = maxHamming + 1
+    val segBits = 64 / nSeg
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(WhitespaceTokenizer.tokenize(text).toSeq)) }
+      .toDF("id", "sig")
+    val segs = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
+      (0 until nSeg).map { s => (id, sig, s, (sig >>> (s * segBits)) & ((1L << segBits) - 1)) }
+    }.toDF("id", "sig", "seg", "segVal")
+    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    segs.as("x").join(segs.as("y"),
+        col("x.seg") === col("y.seg") && col("x.segVal") === col("y.segVal") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        hamming(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -60,6 +60,16 @@ final class IndexReader(
     }
   }
 
+  /** Cached merged dictionary for this reader's lifetime: the log-merge
+    * window runs once, repeat queries reuse it (the reference's point is the
+    * same — all cost at maintenance time, queries touch precomputed state).
+    */
+  private lazy val docsView: DataFrame = {
+    val d = docs
+    d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d
+  }
+
   /** All posting blocks of the snapshot (maintenance/stats path). */
   def allBlocks: Dataset[PostingBlock] = manifest match {
     case None => spark.emptyDataset[PostingBlock]
@@ -78,7 +88,7 @@ final class IndexReader(
   def membership(term: String): DataFrame = {
     if (term == null || term.isEmpty || manifest.isEmpty) return emptyMembers
     val docIds = postingBlocks(term).flatMap(b => Delta.decode(b.docsBin, b.n)).toDF("docId")
-    docIds.join(docs, "docId").select(col("convId").as("conv_id"))
+    docIds.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 
   /** Contains (StringIndex.cs:17): any posting for this term? */
@@ -117,14 +127,8 @@ final class IndexReader(
       .map { case (i, ds) => ds.map(b => (i, b)) }
       .reduce(_ union _)
 
-    val dfs = allBlocks.groupByKey(_._1).mapValues(_._2.df).reduceGroups((a, _) => a)
-      .collect().toMap
-    if (conjunctive && terms.indices.exists(i => !dfs.contains(i))) return emptyHits
-    if (terms.indices.forall(i => !dfs.contains(i))) return emptyHits
-
     val k1 = conf.k1; val b = conf.b
     val avgdl = m.avgdl; val n = m.numDocs
-    val weights = terms.indices.map(i => Bm25.weight(n, dfs.getOrElse(i, 0L), k1)).toArray
 
     // docId ranges: fixed stride over the dense id domain. Each block goes to
     // every range it overlaps; each doc is scored only in its owning range.
@@ -142,6 +146,11 @@ final class IndexReader(
         val perTerm = Array.fill(nTerms)(List.newBuilder[PostingBlock])
         it.foreach { case (_, ti, blk) => perTerm(ti) += blk }
         val termBlocks = perTerm.map(_.result().sortBy(_.firstDoc).toArray)
+        // per-term BM25 weights from the blocks themselves (df is global per
+        // term and stored in every block) — saves a whole driver round-trip;
+        // a term with no blocks in this range contributes nothing here, and
+        // in conjunctive mode correctly empties the range's intersection.
+        val weights = termBlocks.map(bs => if (bs.isEmpty) 0.0 else Bm25.weight(n, bs(0).df, k1))
         val lo = rangeId * stride - 1 // (lo, hi] convention
         val hi = rangeId * stride + stride - 1
         Daat.scoreRange(termBlocks, weights, lo, hi, k, conjunctive, k1, b, avgdl)
@@ -151,7 +160,7 @@ final class IndexReader(
     // global exact top-k: candidates (≤ ~k per range, score-ties retained)
     // join the dictionary first so the tie-break is (score desc, conv_id asc)
     // — the total order the oracles use — independent of docId assignment age
-    scored.join(docs.select(col("docId"), col("convId")), "docId")
+    scored.join(docsView.select(col("docId"), col("convId")), "docId")
       .orderBy(col("score").desc, col("convId").asc)
       .limit(k)
       .select(col("convId").as("conv_id"), col("score"))

@@ -1,0 +1,91 @@
+package killa.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import killa.Conf
+import killa.maintain.IndexMaintainer
+
+/** Structured Streaming operators.
+  *
+  *  - [[windowedEventCounts]]: event-time windowed aggregation with a
+  *    watermark over the events table — the standard streaming-analytics op.
+  *  - [[ingestTranscripts]]: continuous index maintenance — the Spark
+  *    re-architecture of the reference's FileSystemWatcher ingestion
+  *    (FileAnalyzer.cs:144-168): each micro-batch of new/changed transcript
+  *    rows is applied through IndexMaintainer (Update-diff semantics),
+  *    arrival-order per batch = the reference's per-folder FIFO
+  *    (BackgroundTaskQueue.cs:43-49); Trigger.AvailableNow = pull-based
+  *    micro-batching, no watermark because semantics are arrival-time like
+  *    the watcher's.
+  */
+object StreamOps {
+
+  /** 1-hour tumbling-window counts/sums per event_type with a 10-minute
+    * watermark, run to completion over the (bounded) events table via an
+    * in-memory sink. Output: (window_start, event_type, n, sum_value).
+    */
+  def windowedEventCounts(spark: SparkSession, eventsPath: String,
+      queryName: String = "killa_stream_window"): DataFrame = {
+    val schema: StructType = spark.read.parquet(eventsPath).schema
+    // the streaming file source wants a directory: stream the parent dir with
+    // a glob filter when given a single-file table
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dir, glob) =
+      if (fs.getFileStatus(p).isDirectory) (eventsPath, None)
+      else (p.getParent.toString, Some(p.getName))
+    val reader0 = spark.readStream.schema(schema)
+    val events = glob.fold(reader0)(g => reader0.option("pathGlobFilter", g)).parquet(dir)
+      // driver parquet stores TIMESTAMP_NTZ; event-time semantics need TIMESTAMP
+      .withColumn("ts", col("ts").cast("timestamp"))
+      // driver parquet stores TIMESTAMP_NTZ; event-time semantics need TIMESTAMP
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Stream transcript batches from a directory into an existing index:
+    * every micro-batch runs one IndexMaintainer.applyChanges (one atomic
+    * manifest version per batch — read-your-writes after
+    * processAllAvailable, the DelayedSearch analog, FileAnalyzer.cs:51-60).
+    * Returns the number of batches applied.
+    */
+  def ingestTranscripts(spark: SparkSession, transcriptsDir: String, indexRoot: String,
+      conf: Conf = Conf.default, source: String = "stream"): Long = {
+    val schema = spark.read.parquet(transcriptsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(transcriptsDir)
+    val maintainer = new IndexMaintainer(spark, indexRoot, conf)
+    var batches = 0L
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          maintainer.applyChanges(batch, source = source, batchId = s"stream-$batchId")
+          batches += 1
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$indexRoot/stream-checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    batches
+  }
+}

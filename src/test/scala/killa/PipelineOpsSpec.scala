@@ -1,0 +1,153 @@
+package killa
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import killa.ann.Ann
+import killa.dedup.Dedup
+import killa.mm.Multimodal
+import killa.text.TextOps
+
+/** Training-data pipeline operators: dedup family, ANN, text analysis,
+  * multimodal plumbing. Each op has a brute-force in-test oracle.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "der hund und die katze und das haus ist hier"),
+    (5L, "el gato que la casa los perros una cosa por"),
+    (6L, "short text"),
+    (7L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: md5 groups find the exact pair, whitespace-insensitively") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dupGroups = groups.filter(_._2 > 1)
+    assert(dupGroups.length == 1)
+    assert(dupGroups(0)._2 == 2 && dupGroups(0)._3 == 0L) // rep = min id
+    // normalization: extra spaces don't change the fingerprint
+    val spaced = Seq((0L, "a  b"), (1L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.exactGroups(spaced, "doc_id", "text").count() == 1)
+  }
+
+  test("n-gram jaccard: finds near-dup pair, exact values") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    // 0-1 share 6 of 7 shingles each → j = 6/(7+7-6) = 0.75; 0-3 and 1-3 mirror it
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    val j01 = pairs.find(p => p._1 == 0L && p._2 == 1L).get._3
+    assert(j01 == 0.75)
+    val j03 = pairs.find(p => p._1 == 0L && p._2 == 3L).get._3
+    assert(j03 == 1.0)
+  }
+
+  test("minhash LSH: candidates+verify reproduce the exact jaccard result here") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3,
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: exact dup at hamming 0; blocking finds near pairs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val p03 = pairs.find(p => p._1 == 0L && p._2 == 3L)
+    assert(p03.isDefined && p03.get._3 == 0, "identical docs → hamming 0")
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("ANN brute force: agrees with a driver-side exact computation") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        (util.Hashing.splitmix64(i * 8L + d) % 1000L).toFloat / 1000f).toArray)
+    }
+    val edf = vecs.toDF("vec_id", "embedding")
+    val queries = edf.where(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val got = Ann.bruteForceTopK(edf, "vec_id", "embedding",
+      queries, "q_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // driver-side oracle
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- Seq(0L, 1L)) {
+      val qv = vecs(q.toInt)._2
+      val exp = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, math.rint(cos(qv, v) * 10000) / 10000) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val gotQ = got.filter(_._1 == q).sortBy(_._4).map(_._2)
+      assert(gotQ.toSeq == exp.toSeq, s"q=$q")
+    }
+  }
+
+  test("ANN LSH: exact subset with high recall vs brute force") {
+    val edf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = edf.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val brute = Ann.bruteForceTopK(edf, "vec_id", "embedding", queries, "q_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(edf, "vec_id", "embedding", queries, "q_id", "embedding", 10,
+      nPlanes = 32, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH returns only true vectors (precision 1 on identity), recall measured
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall too low — banding broken?")
+    assert(lsh.nonEmpty)
+  }
+
+  test("text ops: token counts, quality features, fingerprints") {
+    val q = TextOps.qualityFeatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(0L).getAs[Long]("n_tokens") == 9L)
+    assert(q(7L).getAs[Long]("n_tokens") == 0L)
+    assert(q(7L).getAs[Double]("punct_ratio") == 0.0)
+    val counts = docs.select(col("doc_id"),
+      TextOps.wsTokenCount(col("text")).as("ws"),
+      TextOps.bpeishTokenCount(col("text")).as("bpe")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(counts(0L) == ((9L, 9L)))
+    assert(counts(7L) == ((0L, 0L)))
+    // punctuation splits in bpe-ish but not ws
+    val punct = Seq((0L, "a,b c")).toDF("doc_id", "text")
+    val r = punct.select(TextOps.wsTokenCount(col("text")),
+      TextOps.bpeishTokenCount(col("text"))).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L) // [a][,][b][c]
+  }
+
+  test("lang id heuristic: marker languages detected, priority tie-break") {
+    val preds = TextOps.langId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(0L) == "en")
+    assert(preds(4L) == "de")
+    assert(preds(5L) == "es")
+    assert(preds(7L) == "und")
+  }
+
+  test("multimodal: batched stub decode is deterministic, schema intact") {
+    val rows = Multimodal.payloadize(docs, "doc_id", "text", "text/plain")
+    val feats = Multimodal.extractFeatures(spark, rows, batchSize = 3).collect()
+      .sortBy(_.id)
+    assert(feats.length == 8)
+    assert(feats(0).n_bytes == docs.collect()(0).getString(1).getBytes("UTF-8").length)
+    assert(feats(7).n_bytes == 0)
+    assert(feats.forall(_.decoded_by == "stub"))
+    // determinism across runs
+    val again = Multimodal.extractFeatures(spark, rows, batchSize = 5).collect().sortBy(_.id)
+    assert(feats.map(_.content_hash).toSeq == again.map(_.content_hash).toSeq)
+  }
+}
