@@ -17,7 +17,14 @@ object Logs {
   /** Latest dictionary entry per docId (including dead docs — docIds are
     * never reused, like the reference's normalized-path identity).
     */
+  private def emptyDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, Long, String, Boolean, Long)]
+      .toDF("docId", "convId", "dl", "source", "alive", "batchSeq")
+  }
+
   def docsAll(spark: SparkSession, m: Manifest): DataFrame = {
+    if (m.docsDirs.isEmpty) return emptyDocs(spark)
     val raw = spark.read.parquet(m.docsDirs: _*)
     val w = Window.partitionBy("docId").orderBy(col("batchSeq").desc)
     raw.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
@@ -31,6 +38,11 @@ object Logs {
     * it, restricted to live docs. Columns (term, docId, tf, dl, bkt).
     */
   def forward(spark: SparkSession, m: Manifest): DataFrame = {
+    if (m.forwardDirs.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Long, Int)]
+        .toDF("term", "docId", "tf", "dl", "bkt")
+    }
     // each forward dir is its own hive-partitioned root (bkt_p=*) — read them
     // separately (per-dir basePath) and union, or Spark rejects the mix as
     // conflicting directory structures
