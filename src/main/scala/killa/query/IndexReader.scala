@@ -87,7 +87,12 @@ final class IndexReader(
     */
   def membership(term: String): DataFrame = {
     if (term == null || term.isEmpty || manifest.isEmpty) return emptyMembers
-    val docIds = postingBlocks(term).flatMap(b => Delta.decode(b.docsBin, b.n)).toDF("docId")
+    // project only (n, docsBin) so the parquet scan never reads the tf/dl
+    // payload columns (ReadSchema pruning — asserted by PlanSpec)
+    val docIds = postingBlocks(term)
+      .select(col("n"), col("docsBin")).as[(Int, Array[Byte])]
+      .flatMap { case (n, bin) => Delta.decode(bin, n) }
+      .toDF("docId")
     docIds.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 

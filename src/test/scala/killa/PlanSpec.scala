@@ -1,0 +1,79 @@
+package killa
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import killa.build.IndexWriter
+import killa.query.IndexReader
+import killa.synth.Synth
+
+/** Physical-plan shape assertions: the plans must stay the plans we want at
+  * 100 TB — predicate pushdown into parquet, column pruning, broadcast of
+  * the small side — not just produce correct rows. Guards against silent
+  * plan regressions (a scan that stops pruning still "passes" row tests).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 8, blockSize = 16)
+
+  private lazy val root: String = {
+    val r = TestSpark.freshDir("plan")
+    new IndexWriter(spark, r, conf)
+      .fullBuild(Synth.transcripts(spark, 40, 4, seed = 3L).toDF(), "b0")
+    r
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("term lookup pushes the equality filter into the parquet scan") {
+    val r = new IndexReader(spark, root, conf)
+    val plan = planOf(r.postingBlocks("the").toDF())
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(term,the)"),
+      s"term filter not pushed:\n$plan")
+  }
+
+  test("membership prunes payload columns: scan reads only n + docsBin (+ term filter)") {
+    val r = new IndexReader(spark, root, conf)
+    val plan = planOf(r.membership("the"))
+    val scanLine = plan.linesIterator.find(l => l.contains("ReadSchema") && l.contains("docsBin"))
+      .getOrElse(fail(s"no segment scan found:\n$plan"))
+    assert(!scanLine.contains("tfsBin") && !scanLine.contains("dlsBin"),
+      s"payload columns not pruned: $scanLine")
+  }
+
+  test("membership joins the dictionary via broadcast (small side broadcast, no full shuffle)") {
+    val r = new IndexReader(spark, root, conf)
+    val plan = planOf(r.membership("the"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"dictionary join is not broadcast:\n$plan")
+  }
+
+  test("top-k BM25 plan: pruned per-term scans + broadcast dict join + global TakeOrdered") {
+    val r = new IndexReader(spark, root, conf)
+    val df = r.bm25TopK(Seq("the", "query"), 5)
+    val plan = planOf(df)
+    assert(plan.contains("EqualTo(term,the)") && plan.contains("EqualTo(term,query)"),
+      s"per-term pushdown missing:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be TakeOrderedAndProject (never a full sort):\n$plan")
+  }
+
+  test("forward/tf aggregation pipeline stays in whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.freshDir("plansrc")
+    Synth.transcripts(spark, 10, 2, seed = 1L).toDF().write.mode("overwrite").parquet(dir)
+    val tf = spark.read.parquet(dir)
+      .select(col("conv_id"), explode(killa.tokenize.Tokenize.termsCol(col("text"))).as("term"))
+      .groupBy("conv_id", "term").agg(count(lit(1)).as("tf"))
+    tf.collect() // finalize the adaptive plan
+    val plan = planOf(tf)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact plan form
+    assert(plan.contains("*(1)") && plan.contains("HashAggregate"),
+      s"tokenize+tf not codegen'd:\n$plan")
+    assert(plan.contains("ReadSchema: struct<conv_id:string,text:string>"),
+      s"turn scan must prune to (conv_id, text):\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "no UDFs allowed on the tokenize/tf hot path")
+  }
+}
