@@ -26,15 +26,21 @@ object Dict {
   def assign(convs: DataFrame, startId: Long = 0L): (DataFrame, () => Unit) = {
     val spark = convs.sparkSession
     val p = math.max(1, spark.sparkContext.defaultParallelism)
+    // pin the (usually distinct-aggregated) input: repartitionByRange reads
+    // it twice — once for boundary sampling, once for the shuffle
+    val pinned = convs.persist(StorageLevel.MEMORY_AND_DISK)
     // persist pins the sampled range boundaries so the counts job and the
     // rank job see identical partition assignment
-    val sorted = convs
+    val sorted = pinned
       .repartitionByRange(p, col("conv_id"))
       .sortWithinPartitions("conv_id")
       .withColumn("pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val tC0 = System.nanoTime()
     val counts = sorted.groupBy("pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (sys.env.contains("KILLA_BUILD_TIMING"))
+      System.err.println(s"[killa-timing] dict counts ${(System.nanoTime() - tC0) / 1e9}s")
     var acc = startId
     val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
     import spark.implicits._
@@ -44,6 +50,6 @@ object Dict {
       .join(broadcast(offDf), "pid")
       .withColumn("docId", row_number().over(w).cast("long") + col("off") - 1L)
       .select("conv_id", "docId")
-    (dict, () => { sorted.unpersist(); () })
+    (dict, () => { sorted.unpersist(); pinned.unpersist(); () })
   }
 }

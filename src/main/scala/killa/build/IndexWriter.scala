@@ -116,12 +116,15 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
 
     // docs table: every conv (even token-less ones, analog of an unreadable
     // file indexed to an empty set, FileAnalyzer.cs:80-83) gets an entry.
+    val tDocs0 = System.nanoTime()
     val docs = dict.join(dl, Seq("conv_id"), "left")
       .na.fill(0L, Seq("dl"))
       .select(col("docId"), col("conv_id").as("convId"), col("dl"),
         lit(source).as("source"), lit(true).as("alive"), lit(0L).as("batchSeq"))
     docs.write.mode("overwrite").parquet(docsDir)
+    timing(s"docs write ${(System.nanoTime() - tDocs0) / 1e9}s")
 
+    val tFwd0 = System.nanoTime()
     val nb = conf.nBuckets
     val fwd = tf.join(dl, "conv_id").join(dict, "conv_id")
       .select(col("term"), col("docId"), col("tf"), col("dl"),
@@ -129,9 +132,12 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
       .withColumn("bkt_p", col("bkt"))
     fwd.repartition(col("bkt_p")).sortWithinPartitions("term", "docId")
       .write.partitionBy("bkt_p").mode("overwrite").parquet(forwardDir)
+    timing(s"fwd write ${(System.nanoTime() - tFwd0) / 1e9}s")
 
+    val tSt0 = System.nanoTime()
     val st = spark.read.parquet(docsDir)
       .agg(count(lit(1)), sum(col("dl")), max(col("docId"))).collect()(0)
+    timing(s"stats ${(System.nanoTime() - tSt0) / 1e9}s")
     val numDocs = st.getLong(0)
     val totalTokens = if (st.isNullAt(1)) 0L else st.getLong(1)
     val maxDocId = if (st.isNullAt(2)) -1L else st.getLong(2)

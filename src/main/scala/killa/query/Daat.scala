@@ -5,86 +5,98 @@ import scala.collection.mutable
 import killa.codec.{Delta, Varint}
 import killa.model.PostingBlock
 
-/** Document-at-a-time scoring over decoded posting blocks within one docId
-  * range — the executor-side kernel of the distributed top-k
-  * (SURVEY.md §3.1 Spark analog). Blocks are decoded lazily and skipped via
-  * their (firstDoc, lastDoc, maxTf, minDl) metadata:
+/** Document-at-a-time scoring over posting blocks within one docId range —
+  * the executor-side kernel of the distributed top-k (SURVEY.md §3.1 Spark
+  * analog). Blocks decode lazily; skipping uses their (firstDoc, lastDoc,
+  * maxTf, minDl) metadata:
   *
-  *  - conjunctive mode (posting-list intersection): driven by the rarest
-  *    term; other terms seek forward block-by-block without decoding
-  *    non-overlapping blocks;
-  *  - disjunctive mode: all docs in the union are scored, but per-term
-  *    block-max upper bounds (admissible impact bound from maxTf/minDl) let
-  *    whole blocks be skipped once the local top-k heap's threshold exceeds
-  *    the best score any doc in the block could reach (block-max WAND-style
-  *    pruning; admission uses ≥ so score-equal boundary docs are never
-  *    dropped — SURVEY.md §7.5.1).
+  *  - conjunctive mode (posting-list intersection): driven by max-of-heads;
+  *    seek() skips and never decodes non-overlapping blocks;
+  *  - disjunctive mode: block-max WAND-style pruning — per-candidate upper
+  *    bounds skip scoring, and when the SUM of all current block maxima
+  *    can't reach the heap threshold, every cursor jumps to the next block
+  *    boundary without decoding (whole-block skip). Admission uses ≥ so
+  *    score-equal boundary docs are never dropped (SURVEY.md §7.5.1).
   *
   * Scores are summed in query-term order for every doc ⇒ bit-identical to
   * the relational oracle's ordered fold.
   */
 object Daat {
 
-  /** Cursor over one term's blocks restricted to docId ∈ (lo, hi]. */
+  /** Cursor over one term's blocks restricted to docId ∈ (lo, hi].
+    * Decode is lazy: candidate selection needs `doc`, which decodes the
+    * current block, but blocks skipped via seek() are never decoded.
+    */
   private final class TermCursor(blocks: Array[PostingBlock], lo: Long, hi: Long) {
     private var bi = 0
     private var i = 0
+    private var decoded = false
     private var docs: Array[Long] = _
     private var tfs: Array[Long] = _
     private var dls: Array[Long] = _
-    advanceToRange()
+    private var dead = false
+    skipBlocksBelowLo()
 
-    private def decodeCurrent(): Unit = {
-      val b = blocks(bi)
-      docs = Delta.decode(b.docsBin, b.n)
-      tfs = Varint.decode(b.tfsBin, b.n)
-      dls = Varint.decode(b.dlsBin, b.n)
-      i = 0
-      while (i < b.n && docs(i) <= lo) i += 1
-    }
-
-    private def advanceToRange(): Unit = {
+    private def skipBlocksBelowLo(): Unit = {
       while (bi < blocks.length && blocks(bi).lastDoc <= lo) bi += 1
-      if (bi < blocks.length && blocks(bi).firstDoc <= hi) decodeCurrent()
-      else docs = null
-      skipExhausted()
+      if (bi >= blocks.length || blocks(bi).firstDoc > hi) dead = true
     }
 
-    private def skipExhausted(): Unit = {
-      while (docs != null && i >= docs.length) {
-        bi += 1
-        if (bi < blocks.length && blocks(bi).firstDoc <= hi) decodeCurrent()
-        else docs = null
+    private def ensureDecoded(): Unit = {
+      if (!decoded) {
+        val b = blocks(bi)
+        docs = Delta.decode(b.docsBin, b.n)
+        tfs = Varint.decode(b.tfsBin, b.n)
+        dls = Varint.decode(b.dlsBin, b.n)
+        i = 0
+        while (i < b.n && docs(i) <= lo) i += 1
+        decoded = true
+        if (i >= docs.length) advanceBlock()
+        else if (docs(i) > hi) dead = true
       }
-      if (docs != null && docs(i) > hi) docs = null
     }
 
-    def exhausted: Boolean = docs == null
-    def doc: Long = docs(i)
+    private def advanceBlock(): Unit = {
+      bi += 1
+      decoded = false
+      if (bi >= blocks.length || blocks(bi).firstDoc > hi) dead = true
+      else ensureDecoded()
+    }
+
+    def exhausted: Boolean = { if (!dead && !decoded) ensureDecoded(); dead }
+    def doc: Long = { ensureDecoded(); docs(i) }
     def tf: Long = tfs(i)
     def dl: Long = dls(i)
 
-    def next(): Unit = { i += 1; skipExhausted() }
-
-    /** Seek to the first posting with docId ≥ target (block-skipping). */
-    def seek(target: Long): Unit = {
-      if (docs == null) return
-      if (docs(i) >= target) return
-      // skip whole blocks without decoding
-      if (blocks(bi).lastDoc < target) {
-        while (bi < blocks.length && blocks(bi).lastDoc < target) bi += 1
-        if (bi < blocks.length && blocks(bi).firstDoc <= hi) decodeCurrent()
-        else { docs = null; return }
-      }
-      while (i < docs.length && docs(i) < target) i += 1
-      skipExhausted()
+    def next(): Unit = {
+      i += 1
+      if (i >= docs.length) advanceBlock()
+      else if (docs(i) > hi) dead = true
     }
 
-    /** Admissible upper bound on this term's impact for its current block. */
+    /** Seek to the first posting with docId ≥ target; whole blocks with
+      * lastDoc < target are skipped WITHOUT decoding.
+      */
+    def seek(target: Long): Unit = {
+      if (dead) return
+      if (blocks(bi).lastDoc < target) {
+        decoded = false
+        while (bi < blocks.length && blocks(bi).lastDoc < target) bi += 1
+        if (bi >= blocks.length || blocks(bi).firstDoc > hi) { dead = true; return }
+      }
+      ensureDecoded()
+      if (dead) return
+      while (!dead && docs(i) < target) next()
+    }
+
+    /** Admissible impact bound of the CURRENT block (no decode needed). */
     def blockMaxImpact(k1: Double, b: Double, avgdl: Double): Double = {
       val blk = blocks(bi)
       Bm25.impact(blk.maxTf, blk.minDl, k1, b, avgdl)
     }
+
+    /** First docId after the current block (block-skip jump target). */
+    def blockEndExclusive: Long = blocks(bi).lastDoc + 1
   }
 
   /** Local top-k candidate set with score-tie retention: keeps every doc
@@ -112,7 +124,8 @@ object Daat {
     }
   }
 
-  /** Score all qualifying docs with docId ∈ (lo, hi]; emit the local top-k.
+  /** Score all qualifying docs with docId ∈ (lo, hi]; emit the local top-k
+    * (score-ties at the threshold retained).
     *
     * @param termBlocks per query term (in query order), that term's blocks
     *                   sorted by firstDoc; empty array = term absent.
@@ -130,7 +143,6 @@ object Daat {
     val heap = new TopK(k)
 
     if (conjunctive) {
-      // intersection driven by max-of-heads with block skipping
       while (cursors.forall(!_.exhausted)) {
         var target = Long.MinValue
         var t = 0
@@ -156,42 +168,56 @@ object Daat {
         }
       }
     } else {
-      // disjunctive union with block-max pruning: before scoring the current
-      // minimum doc, bound its best possible score by the sum of current
-      // block maxima of the terms whose cursor could contain it; if that
-      // bound < threshold, advance past without decoding contributions.
       var live = cursors.count(!_.exhausted)
       while (live > 0) {
-        var cand = Long.MaxValue
+        // block-max WAND jump: if even the sum of ALL live cursors' current
+        // block maxima can't reach the threshold, no doc before the nearest
+        // block boundary can qualify — jump every cursor there (skipped
+        // blocks are never decoded)
+        var sigma = 0.0
+        var minEnd = Long.MaxValue
         var t = 0
         while (t < nT) {
-          if (!cursors(t).exhausted && cursors(t).doc < cand) cand = cursors(t).doc
+          if (!cursors(t).exhausted) {
+            sigma += weights(t) * cursors(t).blockMaxImpact(k1, b, avgdl)
+            if (cursors(t).blockEndExclusive < minEnd) minEnd = cursors(t).blockEndExclusive
+          }
           t += 1
         }
-        // upper bound for cand using block maxima of cursors positioned at it
-        var bound = 0.0
-        t = 0
-        while (t < nT) {
-          if (!cursors(t).exhausted && cursors(t).doc == cand)
-            bound += weights(t) * cursors(t).blockMaxImpact(k1, b, avgdl)
-          t += 1
-        }
-        if (bound >= heap.threshold) {
-          var score = 0.0
+        if (sigma < heap.threshold) {
+          t = 0
+          while (t < nT) { if (!cursors(t).exhausted) cursors(t).seek(minEnd); t += 1 }
+        } else {
+          var cand = Long.MaxValue
           t = 0
           while (t < nT) {
-            if (!cursors(t).exhausted && cursors(t).doc == cand) {
-              score += Bm25.contrib(weights(t), cursors(t).tf, cursors(t).dl, k1, b, avgdl)
-            }
+            if (!cursors(t).exhausted && cursors(t).doc < cand) cand = cursors(t).doc
             t += 1
           }
-          heap.offer(score, cand)
-        }
-        // advance all cursors sitting on cand
-        t = 0
-        while (t < nT) {
-          if (!cursors(t).exhausted && cursors(t).doc == cand) cursors(t).next()
-          t += 1
+          // per-candidate bound from the blocks actually positioned at cand
+          var bound = 0.0
+          t = 0
+          while (t < nT) {
+            if (!cursors(t).exhausted && cursors(t).doc == cand)
+              bound += weights(t) * cursors(t).blockMaxImpact(k1, b, avgdl)
+            t += 1
+          }
+          if (bound >= heap.threshold) {
+            var score = 0.0
+            t = 0
+            while (t < nT) {
+              if (!cursors(t).exhausted && cursors(t).doc == cand) {
+                score += Bm25.contrib(weights(t), cursors(t).tf, cursors(t).dl, k1, b, avgdl)
+              }
+              t += 1
+            }
+            heap.offer(score, cand)
+          }
+          t = 0
+          while (t < nT) {
+            if (!cursors(t).exhausted && cursors(t).doc == cand) cursors(t).next()
+            t += 1
+          }
         }
         live = cursors.count(!_.exhausted)
       }

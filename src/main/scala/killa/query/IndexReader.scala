@@ -45,6 +45,13 @@ final class IndexReader(
       killa.store.Logs.docsAlive(spark, m).select("docId", "convId", "dl", "source")
   }
 
+  // per-bucket DataFrame cache: a reader is snapshot-pinned, so the file
+  // listing + footer schema read of a bucket dir happen once, not per query
+  // (driver-side listing was the dominant repeat cost under concurrent load)
+  private val bucketDfCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val blockSchema =
+    org.apache.spark.sql.Encoders.product[PostingBlock].schema
+
   /** Posting blocks of one term: partition-pruned to the term's bucket dir,
     * then parquet row-group stats prune on the sorted `term` column — the
     * columnar equivalent of the reference's O(1) dictionary lookup.
@@ -56,7 +63,9 @@ final class IndexReader(
     pathOpt match {
       case None => spark.emptyDataset[PostingBlock]
       case Some(p) =>
-        spark.read.parquet(p).where(col("term") === term).as[PostingBlock]
+        val df = bucketDfCache.computeIfAbsent(p,
+          path => spark.read.schema(blockSchema).parquet(path))
+        df.where(col("term") === term).as[PostingBlock]
     }
   }
 
