@@ -116,6 +116,23 @@ class EndToEndSpec extends AnyFunSuite {
     assert(contents(0) == contents(1))
   }
 
+  test("build is a pure function of the input row SET: any partitioning/order → identical segments (FIXTURES.md §2)") {
+    import org.apache.spark.sql.functions.{col, desc}
+    val conf = Conf(nBuckets = 8, nSalts = 4, blockSize = 16)
+    val variants = Seq(
+      turns.repartition(7),
+      turns.orderBy(desc("conv_id"), desc("turn_idx")),
+      turns.coalesce(1),
+      turns.repartition(col("turn_idx")))
+    val prints = variants.zipWithIndex.map { case (v, i) =>
+      val d = TestSpark.freshDir(s"perm$i")
+      new IndexWriter(spark, d, conf).fullBuild(v, "b0")
+      blocksFingerprint(d)
+    }
+    assert(prints.forall(_ == prints.head), "segment bytes differ across input partitionings")
+    assert(prints.head == blocksFingerprint(root), "differs from the baseline build")
+  }
+
   test("kill/resume: interrupted build + resume ≡ uninterrupted build (FIXTURES.md §2.6)") {
     val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 3, blockSize = 16)
     val d1 = TestSpark.freshDir("resume")
