@@ -128,7 +128,7 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
     val nb = conf.nBuckets
     val fwd = tf.join(dl, "conv_id").join(dict, "conv_id")
       .select(col("term"), col("docId"), col("tf"), col("dl"),
-        bucketUdf(nb)(col("term")).as("bkt"), lit(0L).as("batchSeq"))
+        bucketCol(col("term"), nb).as("bkt"), lit(0L).as("batchSeq"))
       .withColumn("bkt_p", col("bkt"))
     fwd.repartition(col("bkt_p")).sortWithinPartitions("term", "docId")
       .write.partitionBy("bkt_p").mode("overwrite").parquet(forwardDir)
@@ -163,7 +163,11 @@ object IndexWriter {
 
   private val mapper = new ObjectMapper()
 
-  def bucketUdf(nb: Int) = udf((t: String) => Hashing.termBucket(t, nb))
+  /** Codegen term-bucket column (native Catalyst expression — the build hot
+    * path must not carry UDF closure dispatch; see killa.expr.Fnv1a64).
+    */
+  def bucketCol(c: org.apache.spark.sql.Column, nb: Int): org.apache.spark.sql.Column =
+    killa.expr.Fnv1a64.termBucketCol(c, nb)
 
   def writeDesc(spark: SparkSession, p: Path, d: BuildDesc): Unit = {
     val node = mapper.createObjectNode()

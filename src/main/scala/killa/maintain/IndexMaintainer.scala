@@ -110,7 +110,7 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
       val nb = conf.nBuckets
       val newFwd = newTf.join(newDl, "conv_id").join(dict, "conv_id")
         .select(col("term"), col("docId"), col("tf"), col("dl"),
-          IndexWriter.bucketUdf(nb)(col("term")).as("bkt"), lit(seq).as("batchSeq"))
+          IndexWriter.bucketCol(col("term"), nb).as("bkt"), lit(seq).as("batchSeq"))
         .persist()
 
       // old forward rows of (changed ∪ deleted) docs
@@ -137,7 +137,7 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
       val upserts = delta.where(col("tfNew").isNotNull)
         .join(deletedDf, Seq("docId"), "left_anti")
         .select(col("term"), col("docId"), col("tfNew").as("tf"), col("dlNew").as("dl"),
-          IndexWriter.bucketUdf(nb)(col("term")).as("bkt"))
+          IndexWriter.bucketCol(col("term"), nb).as("bkt"))
 
       val affectedTerms = removedPostings.select("term").distinct().collect().map(_.getString(0))
       // observable change = some posting differs, or the dictionary moves
@@ -228,6 +228,33 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
         avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs,
         maxDocId = math.max(m0.maxDocId, maxAlive)))
     } finally docsAll.unpersist()
+  }
+
+  /** Indexer.Remove(doc, terms) — remove a term subset from a document
+    * (Indexer.cs:65-72; SURVEY.md §2 op 7): the doc's remaining content is
+    * its old forward entry minus the given terms, re-applied through the
+    * minimal-diff path (dl shrinks, so every remaining posting of the doc is
+    * rewritten with the new length — BM25 consistency).
+    */
+  def removeTerms(convId: String, terms: Seq[String], batchId: String = "rmterms"): Manifest = {
+    val m0 = SegmentStore.latest(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no index at $root"))
+    val docOpt = Logs.docsAlive(spark, m0).where(col("convId") === convId)
+      .select("docId").collect().headOption
+    docOpt match {
+      case None => m0 // removing terms of an unknown doc is a no-op (null discipline)
+      case Some(row) =>
+        val docId = row.getLong(0)
+        val remaining = Logs.forward(spark, m0)
+          .where(col("docId") === docId && !col("term").isin(terms: _*))
+          .select("term", "tf").collect()
+        // synthesize content with exact remaining tf (token order is
+        // irrelevant to the index — set/tf semantics)
+        val text = remaining.flatMap(r => Seq.fill(r.getLong(1).toInt)(r.getString(0))).mkString(" ")
+        val turn = Seq((convId, 0, "user", text, "", new java.sql.Timestamp(0L)))
+          .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        applyChanges(turn, batchId = batchId)
+    }
   }
 
   /** Indexer.Switch / rename handler (FileAnalyzer.cs:298-328). */

@@ -91,6 +91,22 @@ class MaintainSpec extends AnyFunSuite {
     assert(SegmentStore.latest(spark, root).get.numDocs == 1)
   }
 
+  test("removeTerms: term subset leaves the doc (Indexer.cs:65-72, op 7)") {
+    val root = build(mkTurns(("a", 0, "x y z x"), ("b", 0, "x q")))
+    new IndexMaintainer(spark, root, conf).removeTerms("a", Seq("x", "z"))
+    val r = reader(root)
+    assert(members(r.membership("x")) == Set("b"), "a removed from x")
+    assert(!r.contains("z"), "emptied term evicted")
+    assert(members(r.membership("y")) == Set("a"), "remaining terms intact")
+    // BM25 consistency with the final state (dl of a shrank to 1)
+    val fin = mkTurns(("a", 0, "y"), ("b", 0, "x q"))
+    assertParity(root, fin, Seq("x", "y", "q"))
+    // no-op discipline: unknown doc
+    val v = SegmentStore.latest(spark, root).get.version
+    new IndexMaintainer(spark, root, conf).removeTerms("nope", Seq("x"))
+    assert(SegmentStore.latest(spark, root).get.version == v)
+  }
+
   test("rename: identical results modulo id (Indexer.Switch rename case)") {
     val root = build(mkTurns(("a", 0, "ra rb"), ("b", 0, "rb")))
     new IndexMaintainer(spark, root, conf).rename("a", "zz")
