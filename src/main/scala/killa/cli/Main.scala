@@ -26,6 +26,7 @@ import killa.streaming.StreamOps
   *   build <parquet> [source]  full (resumable) index build
   *   ingest <dir> [source]     continuous ingestion (watcher analog)
   *   flush                     clear the index (StringIndex.cs:84-89)
+  *   compact                   fold the docs/forward logs (GC analog)
   *   status                    manifest + ledger summary
   * }}}
   */
@@ -122,6 +123,9 @@ object Main {
       case "flush" =>
         QuerySession.flush(spark, root)
         println("flushed")
+      case "compact" =>
+        val m = new IndexMaintainer(spark, root, conf).compact()
+        println(s"compacted to version ${m.version}")
       case "status" =>
         SegmentStore.latest(spark, root) match {
           case None => println("no index")

@@ -277,6 +277,35 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
     applyChanges(emptyTurns, deletes = convs, batchId = batchId)
   }
 
+  /** Compact the docs/forward logs: fold the last-wins merge back into one
+    * dir each (dead docs dropped), so read-side merge cost stops growing
+    * with batch count — the ledger-era analog of the reference's
+    * ClearCompletedTasks GC (BackgroundTaskQueue.cs:86-93). Posting buckets
+    * are untouched (already single-version per bucket). Commits a new
+    * manifest version; pinned readers keep their snapshots.
+    */
+  def compact(batchId: String = "compact"): Manifest = {
+    val m0 = SegmentStore.latest(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no index at $root"))
+    if (m0.docsDirs.size <= 1 && m0.forwardDirs.size <= 1) return m0
+    val seq = m0.batchSeq + 1
+    val docsDir = s"$root/docs/$batchId-s$seq"
+    val fwdDir = s"$root/forward/$batchId-s$seq"
+    Logs.docsAlive(spark, m0)
+      .select(col("docId"), col("convId"), col("dl"), col("source"),
+        lit(true).as("alive"), lit(seq).as("batchSeq"))
+      .write.mode("overwrite").parquet(docsDir)
+    Logs.forward(spark, m0)
+      .withColumn("batchSeq", lit(seq))
+      .withColumn("bkt_p", col("bkt"))
+      .repartition(col("bkt_p")).sortWithinPartitions("term", "docId")
+      .write.partitionBy("bkt_p").mode("overwrite").parquet(fwdDir)
+    Ledger.append(spark, root, Seq(
+      LedgerRow(batchId, "compact", -1, "done", 0L, 0L, 0L, 0L, 0L, s"seq=$seq")))
+    SegmentStore.commit(spark, root,
+      m0.copy(docsDirs = Seq(docsDir), forwardDirs = Seq(fwdDir), batchSeq = seq))
+  }
+
   private def emptyTurns: DataFrame =
     Seq.empty[(String, Int, String, String, String, java.sql.Timestamp)]
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")

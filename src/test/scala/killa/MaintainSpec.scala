@@ -160,6 +160,26 @@ class MaintainSpec extends AnyFunSuite {
     assert(members(r.membership("y")) == Set("b"))
   }
 
+  test("compaction folds the logs without changing any answer (BackgroundTaskQueue.cs:86-93 analog)") {
+    val root = build(mkTurns(("a", 0, "ca shared"), ("b", 0, "cb shared")))
+    val maint = new IndexMaintainer(spark, root, conf)
+    maint.applyChanges(mkTurns(("c", 0, "cc shared")), batchId = "d1")
+    maint.applyChanges(mkTurns(("a", 0, "ca2 shared")), deletes = Seq("b"), batchId = "d2")
+    val before = reader(root)
+    val beforeTop = before.bm25TopK(Seq("shared"), 10).collect().map(_.toSeq).toSeq
+    val m = maint.compact()
+    assert(m.docsDirs.size == 1 && m.forwardDirs.size == 1)
+    val after = reader(root)
+    assert(after.bm25TopK(Seq("shared"), 10).collect().map(_.toSeq).toSeq == beforeTop)
+    assert(members(after.membership("ca2")) == Set("a"))
+    assert(members(after.membership("cb")).isEmpty)
+    // further maintenance works on the compacted log
+    maint.applyChanges(mkTurns(("d", 0, "cd shared")), batchId = "d3")
+    assert(members(reader(root).membership("shared")) == Set("a", "c", "d"))
+    val fin = mkTurns(("a", 0, "ca2 shared"), ("c", 0, "cc shared"), ("d", 0, "cd shared"))
+    assertParity(root, fin, Seq("shared"))
+  }
+
   test("snapshot isolation: a pinned reader never sees later batches (defensive-copy Get, StringIndex.cs:19-24)") {
     val root = build(mkTurns(("a", 0, "iso")))
     val pinned = reader(root) // pins the current latest version
