@@ -134,7 +134,7 @@ object Bench {
     val cpusLo = levels(0); val cpusHi = levels(1)
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "500000").toInt
     val turnsPerConv = 10
-    val timedBuilds = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val timedBuilds = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val queryReps = 5
 
     val lo = runLevel(cpusLo, nConvs, turnsPerConv, timedBuilds, queryReps)

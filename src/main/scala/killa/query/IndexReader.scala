@@ -173,8 +173,11 @@ final class IndexReader(
 
     // global exact top-k: candidates (≤ ~k per range, score-ties retained)
     // join the dictionary first so the tie-break is (score desc, conv_id asc)
-    // — the total order the oracles use — independent of docId assignment age
-    scored.join(docsView.select(col("docId"), col("convId")), "docId")
+    // — the total order the oracles use — independent of docId assignment age.
+    // broadcast() the CANDIDATES: without the hint Catalyst can't size the
+    // post-shuffle side and falls back to shuffling the (huge) dictionary
+    // for every query; with it the dictionary streams from cache, unshuffled.
+    broadcast(scored).join(docsView.select(col("docId"), col("convId")), "docId")
       .orderBy(col("score").desc, col("convId").asc)
       .limit(k)
       .select(col("convId").as("conv_id"), col("score"))
