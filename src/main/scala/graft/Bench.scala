@@ -73,7 +73,7 @@ object Bench {
       // warmup build (JIT + codegen caches), then timed builds
       var lastRoot: String = null
       val buildSecs = (0 to timedBuilds).map { i =>
-        val root = s"target/bench/idx-c$cpus-r$i"
+        val root = s"/root/repo/target/bench/idx-c$cpus-r$i"
         rmDir(root)
         val t0 = System.nanoTime()
         new IndexWriter(spark, root, conf).fullBuild(turns, s"b$i")
@@ -198,7 +198,7 @@ object Bench {
          |aggregation keeps per-task posting work bounded regardless of term
          |frequency.
          |""".stripMargin
-    Files.writeString(Paths.get("BENCH.md"), report)
+    Files.writeString(Paths.get("/root/repo/BENCH.md"), report)
 
     println(s"""{"metric":"index-build turns/sec at local[$cpusHi] (median of $timedBuilds; queries map carries p95+qps+scaling)","value":${r2(hi.buildThroughput)},"unit":"turns/sec","queries":$qs,"sf":"$sfDir"}""")
   }

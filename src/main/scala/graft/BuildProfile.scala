@@ -42,13 +42,13 @@ object BuildProfile {
       val turns = Synth.transcripts(spark, nConvs, 10, seed = 42L).toDF().persist()
       turns.count()
       // warmup
-      val w0 = s"target/bench/prof-w-$cpus"
+      val w0 = s"/root/repo/target/bench/prof-w-$cpus"
       BenchUtil.rmDir(w0)
       new IndexWriter(spark, w0, conf).fullBuild(turns, "w")
       // profiled run
       val log = new StageLog
       spark.sparkContext.addSparkListener(log)
-      val root = s"target/bench/prof-$cpus"
+      val root = s"/root/repo/target/bench/prof-$cpus"
       BenchUtil.rmDir(root)
       val t0 = System.nanoTime()
       new IndexWriter(spark, root, conf).fullBuild(turns, "p")

@@ -72,7 +72,7 @@ object Harness {
   def indexRoot(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(sfDir, {
       val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val root = s"target/idxcache/$safe"
+      val root = s"/root/repo/target/idxcache/$safe"
       // fresh build each JVM: stale caches from older code versions must not
       // leak into verification
       val dir = new java.io.File(root)
@@ -92,7 +92,7 @@ object Harness {
 
   private def freshRoot(sfDir: String, variant: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val root = s"target/idxcache/$safe-$variant"
+    val root = s"/root/repo/target/idxcache/$safe-$variant"
     val dir = new java.io.File(root)
     if (dir.exists()) {
       def rm(f: java.io.File): Unit = {
