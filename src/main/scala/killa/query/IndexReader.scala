@@ -134,7 +134,16 @@ final class IndexReader(
     if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
+    finishTopK(scoredCandidates(terms, k, conjunctive, m), k)
+  }
 
+  /** The distributed candidate pipeline: pruned per-term block scans →
+    * docId-range fan-out → per-range DAAT (package-private so plan tests can
+    * assert its physical shape).
+    */
+  private[killa] def scoredCandidates(
+      terms: Seq[String], k: Int, conjunctive: Boolean,
+      m: Manifest): DataFrame = {
     val blocksByTerm: Seq[(Int, Dataset[PostingBlock])] =
       terms.zipWithIndex.map { case (t, i) => (i, postingBlocks(t)) }
     val allBlocks: Dataset[(Int, PostingBlock)] = blocksByTerm
@@ -170,17 +179,40 @@ final class IndexReader(
         Daat.scoreRange(termBlocks, weights, lo, hi, k, conjunctive, k1, b, avgdl)
       }
       .toDF("docId", "score")
+    scored
+  }
 
-    // global exact top-k: candidates (≤ ~k per range, score-ties retained)
-    // join the dictionary first so the tie-break is (score desc, conv_id asc)
-    // — the total order the oracles use — independent of docId assignment age.
-    // broadcast() the CANDIDATES: without the hint Catalyst can't size the
-    // post-shuffle side and falls back to shuffling the (huge) dictionary
-    // for every query; with it the dictionary streams from cache, unshuffled.
-    broadcast(scored).join(docsView.select(col("docId"), col("convId")), "docId")
-      .orderBy(col("score").desc, col("convId").asc)
-      .limit(k)
-      .select(col("convId").as("conv_id"), col("score"))
-      .orderBy(col("score").desc, col("conv_id").asc)
+  /** Global exact top-k with tie-break (score desc, conv_id asc) — the total
+    * order the oracles use, independent of docId assignment age.
+    * Candidates are ≤ ~(k + ties) per range by construction; materialize
+    * them (the driver-side merge any top-k serving path ends in, same as
+    * TakeOrdered) and point-look-up their labels with an IN filter the
+    * cached dictionary prunes on — instead of a per-query join that scans
+    * the whole dictionary. Degenerate candidate blowups (huge k × many
+    * ranges) fall back to the distributed join.
+    */
+  private def finishTopK(scored: DataFrame, k: Int): DataFrame = {
+    val cands = scored.collect()
+    if (cands.isEmpty) return emptyHits
+    if (cands.length <= 10000) {
+      val ids = cands.map(_.getLong(0))
+      val labels = docsView.select(col("docId"), col("convId"))
+        .where(col("docId").isin(ids.toSeq: _*))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val top = cands.iterator
+        .map(r => (labels(r.getLong(0)), r.getDouble(1)))
+        .toArray
+        .sortBy { case (conv, score) => (-score, conv) }
+        .take(k)
+      top.toSeq.toDF("conv_id", "score")
+    } else {
+      // broadcast() the CANDIDATES: without the hint Catalyst can't size the
+      // post-shuffle side and would shuffle the (huge) dictionary per query
+      broadcast(scored).join(docsView.select(col("docId"), col("convId")), "docId")
+        .orderBy(col("score").desc, col("convId").asc)
+        .limit(k)
+        .select(col("convId").as("conv_id"), col("score"))
+        .orderBy(col("score").desc, col("conv_id").asc)
+    }
   }
 }

@@ -49,14 +49,16 @@ class PlanSpec extends AnyFunSuite {
       s"dictionary join is not broadcast:\n$plan")
   }
 
-  test("top-k BM25 plan: pruned per-term scans + broadcast dict join + global TakeOrdered") {
+  test("top-k BM25 candidate pipeline: pruned per-term scans, payload decode executor-side") {
     val r = new IndexReader(spark, root, conf)
-    val df = r.bm25TopK(Seq("the", "query"), 5)
+    val df = r.scoredCandidates(Seq("the", "query"), 5, conjunctive = false, r.manifest.get)
     val plan = planOf(df)
     assert(plan.contains("EqualTo(term,the)") && plan.contains("EqualTo(term,query)"),
       s"per-term pushdown missing:\n$plan")
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"top-k should be TakeOrderedAndProject (never a full sort):\n$plan")
+    assert(plan.contains("MapGroups") || plan.contains("mapGroups") ||
+      plan.contains("FlatMapGroups"), s"range DAAT stage missing:\n$plan")
+    // the finish is a bounded driver merge of ≤ (k+ties)·ranges candidates
+    // (TakeOrdered-equivalent); correctness pinned by rank-identity suites
   }
 
   test("forward/tf aggregation pipeline stays in whole-stage codegen") {
