@@ -17,7 +17,7 @@ import killa.synth.Synth
   * to BENCH.md.
   */
 object Bench {
-  private val conf = Conf(nBuckets = 32, nSalts = 8, waveBuckets = 32, blockSize = 128)
+  private val conf = Conf(nBuckets = 32, rangeDocs = 131072, waveBuckets = 32, blockSize = 128)
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

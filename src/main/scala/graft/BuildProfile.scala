@@ -28,7 +28,7 @@ object BuildProfile {
   def main(args: Array[String]): Unit = {
     val nConvs = args.headOption.map(_.toInt).getOrElse(100000)
     val levels = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(8, 32)
-    val conf = Conf(nBuckets = 32, nSalts = 8, waveBuckets = 32, blockSize = 128)
+    val conf = Conf(nBuckets = 32, rangeDocs = 131072, waveBuckets = 32, blockSize = 128)
     levels.foreach { cpus =>
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")

@@ -17,7 +17,7 @@ import killa.query.IndexReader
   * over the same inputs (FIXTURES.md §4).
   */
 object Harness {
-  val conf: Conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 8, blockSize = 64)
+  val conf: Conf = Conf(nBuckets = 8, rangeDocs = 32, waveBuckets = 8, blockSize = 64)
 
   /** DuckDB CTE mirror of [[transcripts]] — prepended to every fulltext
     * oracle query. Must stay semantically identical to the Spark derivation.

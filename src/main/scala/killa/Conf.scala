@@ -11,9 +11,15 @@ package killa
   * @param blockSize   postings per block (delta+varint coded, block-max stats per block)
   * @param nBuckets    term-hash buckets — unit of segment layout, pruning and
   *                    incremental rewrite. 16 locally; thousands on a real cluster.
-  * @param nSalts      phase-1 salting fan-out for hot-term skew (SURVEY.md §4.2):
-  *                    partial posting runs are built per (term, docId % nSalts) so no
-  *                    single task materializes a stopword's full posting list.
+  * @param rangeDocs   docId-range width of the salted posting aggregation
+  *                    (SURVEY.md §4.2 skew row): posting runs AND their blocks
+  *                    are built per (term, docId / rangeDocs), so no task ever
+  *                    materializes more than rangeDocs postings of any term —
+  *                    a memory bound that holds end-to-end, block emission
+  *                    included (modulo salting bounded only the partial runs;
+  *                    the final per-term merge still held the full list).
+  *                    Ranges are contiguous in docId, so per-range blocks are
+  *                    globally docId-ordered without any cross-range merge.
   * @param waveBuckets buckets per build wave — the checkpoint/resume grain. Each wave
   *                    commits its segment data + ledger rows + a manifest version
   *                    atomically, so a killed build resumes at the next wave.
@@ -23,7 +29,7 @@ final case class Conf(
     b: Double = 0.75,
     blockSize: Int = 128,
     nBuckets: Int = 16,
-    nSalts: Int = 8,
+    rangeDocs: Long = 131072L,
     waveBuckets: Int = 8)
 
 object Conf {

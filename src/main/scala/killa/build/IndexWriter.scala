@@ -12,8 +12,8 @@ import killa.store.{Manifest, SegmentStore}
 import killa.tokenize.Tokenize
 import killa.util.Hashing
 
-/** Batch index build: transcripts → forward index (doc → term/tf) → salted
-  * two-phase posting aggregation → delta+varint posting blocks → bucketed
+/** Batch index build: transcripts → forward index (doc → term/tf) →
+  * range-salted posting aggregation → delta+varint posting blocks → bucketed
   * segment store with manifest snapshots.
   *
   * This is the Spark re-architecture of the reference's Subscribe backfill
@@ -22,15 +22,16 @@ import killa.util.Hashing
   * the forward index, Indexer.cs:117-123), enforced by construction as a
   * deterministic batch dataflow instead of mutation events.
   *
-  * Scale design (SURVEY.md §3.2): three shuffles — (1) groupBy(conv_id, term)
-  * tf with map-side partial aggregation, (2) salted phase-1 posting runs
-  * keyed (term, docId % nSalts) so a hot term ("the" in half of 10^12 turns)
-  * never lands on one task, (3) phase-2 per-term merge of the S sorted runs
-  * (associative: docIds are globally unique, so salted and unsalted builds
-  * are byte-identical — property-tested). Build work is wave-partitioned by
-  * term bucket: each wave commits segments + ledger rows + a new manifest
-  * version, giving kill/resume at bucket grain and reference-style partial
-  * visibility mid-build (FileAnalyzerTests.cs:289-317).
+  * Scale design (SURVEY.md §3.2): two posting-volume shuffles — (1)
+  * groupBy(conv_id, term) tf with map-side partial aggregation, (2) posting
+  * runs keyed (term, docId / rangeDocs) so a hot term ("the" in half of
+  * 10^12 turns) never puts more than rangeDocs postings on one task, at run
+  * build OR block emission (ranges are contiguous docId slices, so blocks
+  * build per range with no cross-range merge — see [[IndexWriter.buildBlocks]]).
+  * Build work is wave-partitioned by term bucket: each wave commits segments
+  * + ledger rows + a new manifest version, giving kill/resume at bucket
+  * grain and reference-style partial visibility mid-build
+  * (FileAnalyzerTests.cs:289-317).
   */
 final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.default) {
   import IndexWriter._
@@ -56,7 +57,16 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
     timing(s"prepareForward ${(System.nanoTime() - tPrep0) / 1e9}s")
     val done = Ledger.doneBuckets(spark, root, buildId, "segments")
     val pending = (0 until conf.nBuckets).filterNot(done)
-    var manifest = SegmentStore.latest(spark, root)
+    // A manifest already at root that THIS build did not commit (a fresh
+    // build over a previously-populated root) must not be merged into: its
+    // docsDirs/forwardDirs/stats describe the old corpus while the new
+    // buckets carry docIds from a fresh dictionary — queries would join new
+    // docIds against the old docs log. Only a resume (this buildId already
+    // committed waves, per the ledger) chains onto the latest manifest; a
+    // fresh build starts from a manifest derived from its own BuildDesc and
+    // REPLACES the old index at its first wave commit.
+    var manifest: Option[Manifest] =
+      if (done.nonEmpty) SegmentStore.latest(spark, root) else None
     val waves = pending.grouped(conf.waveBuckets).toSeq.take(maxWaves)
     val singleWave = waves.size == 1 && done.isEmpty
     waves.foreach { wave =>
@@ -229,21 +239,36 @@ object IndexWriter {
     }
   }
 
-  /** The two-phase salted posting aggregation (SURVEY.md §4.2 skew row).
+  /** The range-salted posting aggregation (SURVEY.md §4.2 skew row).
     * Input: forward rows (term, docId, tf, dl, bkt). Output: posting blocks.
-    * Deterministic: output is a pure function of the input row *set* —
-    * any partitioning/arrival order yields identical bytes (property-tested).
+    *
+    * Salting is by CONTIGUOUS docId range — (term, docId / rangeDocs) — not
+    * docId modulo: ranges tile the docId domain in order, so every range's
+    * sorted run is already a gap-free slice of the term's global posting
+    * list and block-encodes independently (block boundaries align with range
+    * boundaries; blockIds are offset per range). No task anywhere — run
+    * build OR block emission — ever holds more than rangeDocs postings of a
+    * term, which is the memory bound modulo salting could not give (its
+    * phase-2 merge re-materialized the full hot-term list). The only global
+    * per-term quantity, df, is a run-level sum joined back in: run rows are
+    * compressed and few, so the df join shuffles kilobytes where a posting
+    * shuffle would move the corpus.
+    *
+    * Deterministic: output is a pure function of the input row *set* and
+    * (rangeDocs, blockSize) — any partitioning/arrival order yields identical
+    * bytes (property-tested).
     */
   def buildBlocks(spark: SparkSession, fwd: DataFrame, conf: Conf): Dataset[PostingBlock] = {
     import spark.implicits._
-    val nSalts = conf.nSalts
+    val rd = conf.rangeDocs
+    require(rd > 0, "rangeDocs must be positive")
     val td = fwd.select("term", "docId", "tf", "dl", "bkt").as[TermDoc]
-    // Phase 1: bounded-size salted runs — no task ever holds a full hot-term
-    // posting list.
+    // one shuffle of the posting rows: per (term, range) sorted runs, each
+    // bounded at rangeDocs postings regardless of term hotness
     val runs: Dataset[PostingRun] = td
-      .groupByKey(t => (t.term, java.lang.Math.floorMod(t.docId, nSalts.toLong).toInt))
+      .groupByKey(t => (t.term, (t.docId / rd).toInt))
       .mapGroups { (key: (String, Int), it: Iterator[TermDoc]) =>
-        val (term, salt) = key
+        val (term, range) = key
         var docs = new Array[Long](64); var tfs = new Array[Long](64); var dls = new Array[Long](64)
         var n = 0
         while (it.hasNext) {
@@ -256,59 +281,43 @@ object IndexWriter {
           docs(n) = t.docId; tfs(n) = t.tf; dls(n) = t.dl; n += 1
         }
         if (n > 1) sort3(docs, tfs, dls, 0, n - 1)
-        PostingRun(term, salt, n,
+        PostingRun(term, range, n,
           Delta.encode(java.util.Arrays.copyOf(docs, n)),
           Varint.encode(java.util.Arrays.copyOf(tfs, n)),
           Varint.encode(java.util.Arrays.copyOf(dls, n)))
       }
-    // Phase 2: k-way merge of the ≤ nSalts sorted runs (no re-sort — merge of
-    // sorted runs is associative, which is exactly why salting is
-    // semantics-free) → globally docId-sorted blocks.
+    // global df per term from run metadata only (map-side partial agg over
+    // the tiny run rows), joined back so every block carries the exact df
+    val runsDf = runs.toDF()
+    val dfByTerm = runsDf.groupBy("term").agg(sum(col("n")).as("df"))
     val bs = conf.blockSize
     val nb = conf.nBuckets
-    runs.groupByKey(_.term).flatMapGroups { (term, it) =>
-      val runArr = it.toArray
-      val nRuns = runArr.length
-      val rDocs = new Array[Array[Long]](nRuns)
-      val rTfs = new Array[Array[Long]](nRuns)
-      val rDls = new Array[Array[Long]](nRuns)
-      var total = 0
-      var r = 0
-      while (r < nRuns) {
-        val run = runArr(r)
-        rDocs(r) = Delta.decode(run.docsBin, run.n)
-        rTfs(r) = Varint.decode(run.tfsBin, run.n)
-        rDls(r) = Varint.decode(run.dlsBin, run.n)
-        total += run.n
-        r += 1
-      }
-      val docs = new Array[Long](total); val tfs = new Array[Long](total); val dls = new Array[Long](total)
-      val pos = new Array[Int](nRuns)
-      var o = 0
-      while (o < total) {
-        var best = -1; var bestDoc = Long.MaxValue
-        var i = 0
-        while (i < nRuns) {
-          if (pos(i) < rDocs(i).length && rDocs(i)(pos(i)) < bestDoc) {
-            best = i; bestDoc = rDocs(i)(pos(i))
-          }
-          i += 1
+    // max blocks a range can hold — the per-range blockId offset
+    val blocksPerRange = (rd + bs - 1) / bs
+    runsDf.join(dfByTerm, "term")
+      // the df join co-locates all runs of a term on one join partition;
+      // spread the (cheap, compressed) runs back out so a hot term's block
+      // emission is parallel across its ranges, not serial on one task
+      .repartition(col("term"), col("salt"))
+      .select(col("term"), col("salt"), col("n"),
+        col("docsBin"), col("tfsBin"), col("dlsBin"), col("df"))
+      .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Long)]
+      .flatMap { case (term, range, total, docsBin, tfsBin, dlsBin, df) =>
+        val docs = Delta.decode(docsBin, total)
+        val tfs = Varint.decode(tfsBin, total)
+        val dls = Varint.decode(dlsBin, total)
+        val bkt = Hashing.termBucket(term, nb)
+        val base = range.toLong * blocksPerRange
+        (0 until total by bs).iterator.map { start =>
+          val end = math.min(start + bs, total)
+          val n = end - start
+          val bd = java.util.Arrays.copyOfRange(docs, start, end)
+          val bt = java.util.Arrays.copyOfRange(tfs, start, end)
+          val bl = java.util.Arrays.copyOfRange(dls, start, end)
+          PostingBlock(term, base + start / bs, df, n, bd(0), bd(n - 1),
+            bt.max, bl.min, Delta.encode(bd), Varint.encode(bt), Varint.encode(bl), bkt)
         }
-        docs(o) = bestDoc; tfs(o) = rTfs(best)(pos(best)); dls(o) = rDls(best)(pos(best))
-        pos(best) += 1; o += 1
       }
-      val df = total.toLong
-      val bkt = Hashing.termBucket(term, nb)
-      (0 until total by bs).iterator.map { start =>
-        val end = math.min(start + bs, total)
-        val n = end - start
-        val bd = java.util.Arrays.copyOfRange(docs, start, end)
-        val bt = java.util.Arrays.copyOfRange(tfs, start, end)
-        val bl = java.util.Arrays.copyOfRange(dls, start, end)
-        PostingBlock(term, start / bs, df, n, bd(0), bd(n - 1),
-          bt.max, bl.min, Delta.encode(bd), Varint.encode(bt), Varint.encode(bl), bkt)
-      }
-    }
   }
 
   /** Segment layout: one dir per commit, hive-partitioned by bkt_p for

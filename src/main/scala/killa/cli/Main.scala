@@ -32,7 +32,7 @@ import killa.streaming.StreamOps
   */
 object Main {
   private val mapper = new ObjectMapper()
-  private val conf = Conf(nBuckets = 32, nSalts = 8, waveBuckets = 32)
+  private val conf = Conf(nBuckets = 32, waveBuckets = 32)
 
   private def sourcesPath(root: String) = new Path(s"$root/sources.json")
 

@@ -67,7 +67,12 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
               Seq((idA, to, dlA, srcA, true), (idB, from, dlB, srcB, true))
             case (Some((idA, dlA, srcA)), None) =>
               Seq((idA, to, dlA, srcA, true)) // plain rename
-            case _ => Nil // renaming a non-indexed doc is a no-op (null discipline)
+            case (None, Some((idB, dlB, srcB))) =>
+              // the reference's Switch swaps unconditionally (Indexer.cs:37-54):
+              // `to`'s content moves under the `from` key and `to` leaves the
+              // dictionary (becomes empty) — parity for this event ordering
+              Seq((idB, from, dlB, srcB, true))
+            case (None, None) => Nil // renaming a non-indexed doc is a no-op
           }
         }
       }
@@ -190,10 +195,15 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
           .toDF("docId", "convId", "dl", "source", "alive")
         val deleteD = docsAll.join(deletedDf, Seq("docId"), "inner")
           .select(col("docId"), col("convId"), col("dl"), col("source"), lit(false).as("alive"))
-        val changedD = newFwd.select("docId", "dl").distinct()
-          .join(dict.withColumnRenamed("conv_id", "convId"), "docId")
-          .select(col("docId"), col("convId"), col("dl"), lit(source).as("source"),
-            lit(true).as("alive"))
+        // derived from the DICTIONARY (not newFwd) so a changed conv whose
+        // new content tokenizes to zero terms still gets a docs row with
+        // dl=0 — mirroring fullBuild's docs derivation and the reference's
+        // indexing of unreadable files as empty sets (FileAnalyzer.cs:80-83);
+        // otherwise the old dl would skew avgdl/BM25 forever
+        val changedD = dict
+          .join(newDl, Seq("conv_id"), "left").na.fill(0L, Seq("dl"))
+          .select(col("docId"), col("conv_id").as("convId"), col("dl"),
+            lit(source).as("source"), lit(true).as("alive"))
         // a changed conv that was also renamed this batch: change wins (it
         // carries the final convId via the post-rename dictionary view)
         renameD.join(changedD.select(col("docId").as("cd")), col("docId") === col("cd"), "left_anti")

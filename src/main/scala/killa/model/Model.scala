@@ -28,10 +28,14 @@ final case class DocEntry(docId: Long, convId: String, dl: Long, source: String)
   */
 final case class TermDoc(term: String, docId: Long, tf: Long, dl: Long, bkt: Int)
 
-/** Phase-1 salted partial posting run: all (docId, tf, dl) of one
-  * (term, docId % nSalts) slice, docId-sorted, varint-coded. Bounded size per
-  * task regardless of term hotness — the explicit skew handling demanded by
-  * the north rule.
+/** Salted posting run: all (docId, tf, dl) of one (term, docId / rangeDocs)
+  * slice — a CONTIGUOUS docId range — docId-sorted, varint-coded. Bounded at
+  * rangeDocs postings per task regardless of term hotness (the explicit skew
+  * handling demanded by the north rule), and because ranges tile the docId
+  * domain in order, each run is independently block-encodable with no
+  * cross-run merge.
+  *
+  * @param salt the range ordinal (docId / rangeDocs)
   */
 final case class PostingRun(
     term: String,
@@ -51,7 +55,7 @@ final case class PostingRun(
   */
 final case class PostingBlock(
     term: String,
-    blockId: Int,
+    blockId: Long,
     df: Long,
     n: Int,
     firstDoc: Long,

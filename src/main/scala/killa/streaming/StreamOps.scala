@@ -41,8 +41,6 @@ object StreamOps {
     val events = glob.fold(reader0)(g => reader0.option("pathGlobFilter", g)).parquet(dir)
       // driver parquet stores TIMESTAMP_NTZ; event-time semantics need TIMESTAMP
       .withColumn("ts", col("ts").cast("timestamp"))
-      // driver parquet stores TIMESTAMP_NTZ; event-time semantics need TIMESTAMP
-      .withColumn("ts", col("ts").cast("timestamp"))
     val agg = events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -65,6 +63,13 @@ object StreamOps {
     * manifest version per batch — read-your-writes after
     * processAllAvailable, the DelayedSearch analog, FileAnalyzer.cs:51-60).
     * Returns the number of batches applied.
+    *
+    * Ingest contract: each arriving file must carry the FULL new content of
+    * every conversation it touches (one file = one conversation version, the
+    * analog of the watcher re-reading the whole changed file,
+    * FileAnalyzer.cs:69-78). applyChanges treats a batch as a whole-document
+    * replacement, so a conversation's turns split across two files/batches
+    * would have the second batch REPLACE the first, not extend it.
     */
   def ingestTranscripts(spark: SparkSession, transcriptsDir: String, indexRoot: String,
       conf: Conf = Conf.default, source: String = "stream"): Long = {

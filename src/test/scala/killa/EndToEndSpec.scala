@@ -21,7 +21,7 @@ class EndToEndSpec extends AnyFunSuite {
 
   private lazy val root: String = {
     val r = TestSpark.freshDir("e2e")
-    new IndexWriter(spark, r, Conf(nBuckets = 8, nSalts = 4, waveBuckets = 3, blockSize = 16))
+    new IndexWriter(spark, r, Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16))
       .fullBuild(turns, "b0")
     r
   }
@@ -105,20 +105,48 @@ class EndToEndSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
-  test("salted build is byte-identical to unsalted (FIXTURES.md §2.5 skew property)") {
-    val dirs = Seq(1, 4).map { salts =>
-      val d = TestSpark.freshDir(s"salt$salts")
-      new IndexWriter(spark, d, Conf(nBuckets = 8, nSalts = salts, blockSize = 16))
+  test("range-salted build decodes to identical posting content for any rangeDocs (FIXTURES.md §2.5 skew property)") {
+    // rangeDocs = 2^40 ⇒ a single range (the unsalted build); rangeDocs = 8 ⇒
+    // 8-doc slices. Block boundaries align to ranges so segment BYTES differ,
+    // but the decoded per-term posting sequence and global df must be equal.
+    val dirs = Seq(8L, 1L << 40).map { rd =>
+      val d = TestSpark.freshDir(s"rd$rd")
+      new IndexWriter(spark, d, Conf(nBuckets = 8, rangeDocs = rd, blockSize = 16))
         .fullBuild(turns, "b0")
       d
     }
-    val contents = dirs.map(blocksFingerprint)
+    val contents = dirs.map(decodedFingerprint)
     assert(contents(0) == contents(1))
+  }
+
+  test("skew bound: no block (hence no emit task) spans more than one docId range, even for a 100%-df term") {
+    // "the" hits nearly all 60 docs; with rangeDocs = 8 its postings must be
+    // built as ≥ 4 independent per-range slices, each ≤ 8 postings — the
+    // structural witness that no task materialized the full hot-term list.
+    val rd = 8L
+    val d = TestSpark.freshDir("skewbound")
+    new IndexWriter(spark, d, Conf(nBuckets = 8, rangeDocs = rd, blockSize = 16))
+      .fullBuild(turns, "b0")
+    val m = SegmentStore.latest(spark, d).get
+    import spark.implicits._
+    val paths = m.buckets.keys.toSeq.sorted.flatMap(m.bucketPath)
+    val blocks = spark.read.parquet(paths: _*).as[killa.model.PostingBlock]
+      .collect().filter(_.term == "the")
+    assert(blocks.nonEmpty)
+    blocks.foreach { b =>
+      assert(b.firstDoc / rd == b.lastDoc / rd,
+        s"block ${b.blockId} spans ranges ${b.firstDoc / rd}..${b.lastDoc / rd}")
+    }
+    val perRange = blocks.groupBy(_.firstDoc / rd).view.mapValues(_.map(_.n.toLong).sum)
+    assert(perRange.size >= 4, s"hot term built in only ${perRange.size} ranges")
+    assert(perRange.values.forall(_ <= rd), s"a range holds > rangeDocs postings: $perRange")
+    // df stays global despite per-range construction
+    assert(blocks.forall(_.df == blocks.map(_.n.toLong).sum))
   }
 
   test("build is a pure function of the input row SET: any partitioning/order → identical segments (FIXTURES.md §2)") {
     import org.apache.spark.sql.functions.{col, desc}
-    val conf = Conf(nBuckets = 8, nSalts = 4, blockSize = 16)
+    val conf = Conf(nBuckets = 8, rangeDocs = 16, blockSize = 16)
     val variants = Seq(
       turns.repartition(7),
       turns.orderBy(desc("conv_id"), desc("turn_idx")),
@@ -133,8 +161,26 @@ class EndToEndSpec extends AnyFunSuite {
     assert(prints.head == blocksFingerprint(root), "differs from the baseline build")
   }
 
+  test("fresh build over a populated root REPLACES the old index — no stale-manifest merge") {
+    import org.apache.spark.sql.functions.col
+    val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16)
+    val d = TestSpark.freshDir("rebuild")
+    new IndexWriter(spark, d, conf).fullBuild(turns, "b0")
+    // rebuild (new buildId) over the LAST 10 convs only: their fresh docIds
+    // 0..9 collide with the old dictionary's conv000000..09 — a stale docs
+    // log would return those wrong conv_ids
+    val corpusB = turns.where(col("conv_id") >= "conv000050")
+    new IndexWriter(spark, d, conf).fullBuild(corpusB, "b1")
+    val r = new IndexReader(spark, d, conf)
+    assert(r.manifest.get.numDocs == 10, "stats must describe the new corpus")
+    val got = collectMembers(r.membership("the"))
+    val oracle = collectMembers(BruteForce.membership(corpusB, "the"))
+    assert(got == oracle, s"labels from a stale dictionary: $got vs $oracle")
+    assert(collectMembers(r.membership("uniq0_0")).isEmpty, "old-corpus docs still visible")
+  }
+
   test("kill/resume: interrupted build + resume ≡ uninterrupted build (FIXTURES.md §2.6)") {
-    val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 3, blockSize = 16)
+    val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16)
     val d1 = TestSpark.freshDir("resume")
     val w1 = new IndexWriter(spark, d1, conf)
     w1.fullBuild(turns, "b0", maxWaves = 1) // "killed" after wave 1 of 3
@@ -148,7 +194,7 @@ class EndToEndSpec extends AnyFunSuite {
   }
 
   test("partial snapshot only answers from built buckets (mid-indexing visibility, FileAnalyzerTests.cs:289-317)") {
-    val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 3, blockSize = 16)
+    val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16)
     val d = TestSpark.freshDir("partial")
     new IndexWriter(spark, d, conf).fullBuild(turns, "b0", maxWaves = 1)
     val r = new IndexReader(spark, d, conf)
@@ -156,6 +202,26 @@ class EndToEndSpec extends AnyFunSuite {
     val part = collectMembers(r.membership("the"))
     assert(part.subsetOf(full))
     assert(part.isEmpty || part == full || part.size < full.size)
+  }
+
+  /** Per-term decoded posting content: (df, docId-ordered (doc, tf, dl)
+    * rows) — the block-layout-independent semantics of a segment store.
+    */
+  private def decodedFingerprint(dir: String): Map[String, (Long, Seq[(Long, Long, Long)])] = {
+    val m = SegmentStore.latest(spark, dir).get
+    import spark.implicits._
+    val paths = m.buckets.keys.toSeq.sorted.flatMap(m.bucketPath)
+      .filter(p => new java.io.File(p.stripPrefix("file:")).exists)
+    val blocks = spark.read.parquet(paths: _*).as[killa.model.PostingBlock].collect()
+    blocks.groupBy(_.term).map { case (t, bs) =>
+      val rows = bs.sortBy(_.firstDoc).flatMap { b =>
+        val ds = killa.codec.Delta.decode(b.docsBin, b.n)
+        val ts = killa.codec.Varint.decode(b.tfsBin, b.n)
+        val ls = killa.codec.Varint.decode(b.dlsBin, b.n)
+        (0 until b.n).map(i => (ds(i), ts(i), ls(i)))
+      }.toSeq
+      t -> ((bs.head.df, rows))
+    }
   }
 
   /** Logical content fingerprint of all segment blocks in a store. */

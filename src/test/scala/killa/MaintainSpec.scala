@@ -24,7 +24,7 @@ class MaintainSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 8, blockSize = 16)
+  private val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 8, blockSize = 16)
   private val epoch = 1704067200000L
 
   private def mkTurns(rows: (String, Int, String)*): DataFrame =
@@ -115,6 +115,35 @@ class MaintainSpec extends AnyFunSuite {
     assert(members(r.membership("rb")) == Set("b", "zz"))
     val fin = mkTurns(("zz", 0, "ra rb"), ("b", 0, "rb"))
     assertParity(root, fin, Seq("ra", "rb"))
+  }
+
+  test("update to empty content keeps the doc registered with dl=0 — stats/BM25 stay exact") {
+    val root = build(mkTurns(("a", 0, "x y"), ("b", 0, "x q")))
+    new IndexMaintainer(spark, root, conf).applyChanges(mkTurns(("a", 0, "")), batchId = "d1")
+    val r = reader(root)
+    assert(members(r.membership("y")).isEmpty, "emptied doc's postings evicted")
+    assert(members(r.membership("x")) == Set("b"))
+    val m = SegmentStore.latest(spark, root).get
+    assert(m.numDocs == 2 && m.totalTokens == 2, s"a must stay registered with dl=0: $m")
+    assertParity(root, mkTurns(("a", 0, ""), ("b", 0, "x q")), Seq("x", "q"))
+  }
+
+  test("brand-new empty conv is registered, like fullBuild registers dl=0 docs (FileAnalyzer.cs:80-83)") {
+    val root = build(mkTurns(("a", 0, "x")))
+    new IndexMaintainer(spark, root, conf).applyChanges(mkTurns(("c", 0, "")), batchId = "d1")
+    val m = SegmentStore.latest(spark, root).get
+    assert(m.numDocs == 2 && m.totalTokens == 1, s"empty conv missing from dictionary: $m")
+    // identical registration to a fresh build over the same final corpus
+    val root2 = build(mkTurns(("a", 0, "x"), ("c", 0, "")))
+    assert(SegmentStore.latest(spark, root2).get.numDocs == 2)
+  }
+
+  test("rename from-unindexed to-live: unconditional Switch — to's content moves under from (Indexer.cs:37-54)") {
+    val root = build(mkTurns(("b", 0, "tok_b"), ("k", 0, "keep")))
+    new IndexMaintainer(spark, root, conf).rename("a", "b")
+    val r = reader(root)
+    assert(members(r.membership("tok_b")) == Set("a"), "b's content now lives under key a")
+    assert(members(r.membership("keep")) == Set("k"))
   }
 
   test("switch: two live docs swap contents (Indexer.cs:37-54; IndexerTests.cs:108-185)") {

@@ -14,7 +14,7 @@ import killa.synth.Synth
 class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 8, blockSize = 16)
+  private val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 8, blockSize = 16)
 
   private lazy val root: String = {
     val r = TestSpark.freshDir("plan")

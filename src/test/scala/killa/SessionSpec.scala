@@ -17,7 +17,7 @@ class SessionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 3, blockSize = 16)
+  private val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16)
   private val epoch = 1704067200000L
 
   private def mkTurns(rows: (String, Int, String)*): DataFrame =

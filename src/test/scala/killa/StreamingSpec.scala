@@ -29,7 +29,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream ingestion maintains the index like the reference watcher (FileAnalyzer.cs:144-168)") {
-    val conf = Conf(nBuckets = 8, nSalts = 4, waveBuckets = 8, blockSize = 16)
+    val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 8, blockSize = 16)
     val root = TestSpark.freshDir("stream")
     val epoch = 1704067200000L
     def turnsDf(rows: (String, Int, String)*) = rows.map { case (c, i, t) =>
