@@ -46,12 +46,16 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
     * @param maxWaves test hook for kill/resume: stop after N waves (the build
     *                 is then incomplete; calling fullBuild again resumes from
     *                 the ledger and produces byte-identical final segments).
+    * @param waveHook test hook called with the wave's first bucket before the
+    *                 wave runs — lets specs inject a wave fault and assert
+    *                 the failed-status ledger capture + retry-on-resume.
     */
   def fullBuild(
       turns: DataFrame,
       buildId: String,
       source: String = "default",
-      maxWaves: Int = Int.MaxValue): Option[Manifest] = {
+      maxWaves: Int = Int.MaxValue,
+      waveHook: Int => Unit = _ => ()): Option[Manifest] = {
     val tPrep0 = System.nanoTime()
     val (desc, fwdInMem, prepCleanup) = prepareForward(turns, buildId, source)
     timing(s"prepareForward ${(System.nanoTime() - tPrep0) / 1e9}s")
@@ -69,34 +73,50 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
       if (done.nonEmpty) SegmentStore.latest(spark, root) else None
     val waves = pending.grouped(conf.waveBuckets).toSeq.take(maxWaves)
     val singleWave = waves.size == 1 && done.isEmpty
-    waves.foreach { wave =>
-      val t0 = System.nanoTime()
-      val commitDir = s"$root/data/$buildId-w${wave.head}"
-      // single uninterrupted wave: consume the just-computed forward rows
-      // directly (skips a parquet read-back of the whole forward table);
-      // multi-wave / resume paths read the bucket-pruned parquet instead
-      val fwd = fwdInMem.filter(_ => singleWave).getOrElse {
-        spark.read.parquet(desc.forwardDir)
-          .where(col("bkt_p").isin(wave.map(Integer.valueOf): _*))
+    try {
+      waves.foreach { wave =>
+        val t0 = System.nanoTime()
+        val commitDir = s"$root/data/$buildId-w${wave.head}"
+        try {
+          waveHook(wave.head)
+          // single uninterrupted wave: consume the just-computed forward rows
+          // directly (skips a parquet read-back of the whole forward table);
+          // multi-wave / resume paths read the bucket-pruned parquet instead
+          val fwd = fwdInMem.filter(_ => singleWave).getOrElse {
+            spark.read.parquet(desc.forwardDir)
+              .where(col("bkt_p").isin(wave.map(Integer.valueOf): _*))
+          }
+          val blocks = buildBlocks(spark, fwd, conf)
+          writeBlocks(blocks, commitDir)
+          val wallMs = (System.nanoTime() - t0) / 1000000L
+          timing(s"wave ${wave.head}: blocks ${wallMs}ms")
+          val tm0 = System.nanoTime()
+          val metrics = bucketMetrics(spark, commitDir, wave)
+          timing(s"wave ${wave.head}: metrics ${(System.nanoTime() - tm0) / 1000000L}ms")
+          Ledger.append(spark, root, wave.map { b =>
+            val (tc, pc, bc, by) = metrics.getOrElse(b, (0L, 0L, 0L, 0L))
+            LedgerRow(buildId, "segments", b, "done", tc, pc, bc, by, wallMs, desc.forwardDir)
+          })
+          val base = manifest.getOrElse(
+            Manifest(0, conf.nBuckets, Map.empty, Seq(desc.docsDir), Seq(desc.forwardDir),
+              desc.numDocs, desc.totalTokens, desc.avgdl, desc.maxDocId, 0L))
+          manifest = Some(SegmentStore.commit(spark, root,
+            base.copy(buckets = base.buckets ++ wave.map(_ -> commitDir))))
+        } catch {
+          case e: Throwable =>
+            // failure capture (SURVEY.md §2 op 24): the fault becomes a
+            // lineage row instead of vanishing — the manifest is untouched
+            // (the wave never committed), and resume retries the buckets
+            // because doneBuckets only counts status "done"
+            Ledger.append(spark, root, wave.map { b =>
+              LedgerRow(buildId, "segments", b, "failed", 0L, 0L, 0L, 0L,
+                (System.nanoTime() - t0) / 1000000L, desc.forwardDir,
+                s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+            })
+            throw e
+        }
       }
-      val blocks = buildBlocks(spark, fwd, conf)
-      writeBlocks(blocks, commitDir)
-      val wallMs = (System.nanoTime() - t0) / 1000000L
-      timing(s"wave ${wave.head}: blocks ${wallMs}ms")
-      val tm0 = System.nanoTime()
-      val metrics = bucketMetrics(spark, commitDir, wave)
-      timing(s"wave ${wave.head}: metrics ${(System.nanoTime() - tm0) / 1000000L}ms")
-      Ledger.append(spark, root, wave.map { b =>
-        val (tc, pc, bc, by) = metrics.getOrElse(b, (0L, 0L, 0L, 0L))
-        LedgerRow(buildId, "segments", b, "done", tc, pc, bc, by, wallMs, desc.forwardDir)
-      })
-      val base = manifest.getOrElse(
-        Manifest(0, conf.nBuckets, Map.empty, Seq(desc.docsDir), Seq(desc.forwardDir),
-          desc.numDocs, desc.totalTokens, desc.avgdl, desc.maxDocId, 0L))
-      manifest = Some(SegmentStore.commit(spark, root,
-        base.copy(buckets = base.buckets ++ wave.map(_ -> commitDir))))
-    }
-    prepCleanup()
+    } finally prepCleanup()
     manifest
   }
 

@@ -31,7 +31,7 @@ object Ledger {
       n.put("status", r.status); n.put("termCount", r.termCount)
       n.put("postingCount", r.postingCount); n.put("blockCount", r.blockCount)
       n.put("bytes", r.bytes); n.put("wallMs", r.wallMs)
-      n.put("inputVersion", r.inputVersion)
+      n.put("inputVersion", r.inputVersion); n.put("error", r.error)
       sb.append(mapper.writeValueAsString(n)).append('\n')
     }
     // unique, content-addressed-ish file name → idempotent task retries

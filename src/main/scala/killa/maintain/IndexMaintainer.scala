@@ -39,10 +39,32 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
   /** Apply one maintenance batch. `changedTurns` carries the FULL new
     * content of every created-or-changed conversation (input_hint schema).
     * Returns the committed manifest (unchanged manifest on an empty delta).
+    *
+    * Small convenience overload — event-handler-sized delete lists. Bulk
+    * callers (unsubscribe) go through [[applyChangesDf]] so the delete set
+    * never rides through the driver.
     */
   def applyChanges(
       changedTurns: DataFrame,
       deletes: Seq[String] = Nil,
+      renames: Map[String, String] = Map.empty,
+      source: String = "default",
+      batchId: String = "delta"): Manifest = {
+    import spark.implicits._
+    applyChangesDf(changedTurns,
+      if (deletes.isEmpty) None else Some(deletes.toDF("conv_id")),
+      renames, source, batchId)
+  }
+
+  /** DataFrame-native batch apply: `deletesDf` is a (conv_id) set that stays
+    * distributed end to end — resolved to docIds by join, filtered out of
+    * `changedTurns` by anti-join. No collect, no literal IN list, so a
+    * million-doc unsubscribe neither materializes on the driver nor inflates
+    * the plan.
+    */
+  def applyChangesDf(
+      changedTurns: DataFrame,
+      deletesDf: Option[DataFrame],
       renames: Map[String, String] = Map.empty,
       source: String = "default",
       batchId: String = "delta"): Manifest = {
@@ -84,17 +106,20 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
           .unionByName(rn)
       }
 
-      // ---- 2. deletes (win over changes for the same conv in this batch)
-      val deleteIds: Map[String, Long] =
-        if (deletes.isEmpty) Map.empty
-        else renamedView.where(col("alive") && col("convId").isin(deletes: _*))
-          .select("convId", "docId").collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // ---- 2. deletes (win over changes for the same conv in this batch):
+      //         resolved by join, kept distributed
+      val deletedDocs = deletesDf.map { d =>
+        renamedView.where(col("alive"))
+          .join(d.select(col("conv_id").as("convId")).distinct(), "convId")
+          .select("convId", "docId").persist()
+      }
+      val nDeleted = deletedDocs.fold(0L)(_.count())
+      val deletedDf = deletedDocs.map(_.select("docId"))
+        .getOrElse(Seq.empty[Long].toDF("docId"))
 
       // ---- 3. changes: tokenize new content, diff against merged forward
-      val changed0 =
-        if (deletes.isEmpty) changedTurns
-        else changedTurns.where(!col("conv_id").isin(deletes: _*))
+      val changed0 = deletesDf.fold(changedTurns)(d =>
+        changedTurns.join(d.select("conv_id").distinct(), Seq("conv_id"), "left_anti"))
       val newTf = changed0
         .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
         .groupBy("conv_id", "term").agg(count(lit(1)).as("tf"))
@@ -119,8 +144,7 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
         .persist()
 
       // old forward rows of (changed ∪ deleted) docs
-      val touchedIds = dict.select("docId")
-        .unionByName(deleteIds.values.toSeq.toDF("docId")).distinct()
+      val touchedIds = dict.select("docId").unionByName(deletedDf).distinct()
       val oldFwd = Logs.forward(spark, m0).join(touchedIds, "docId").persist()
 
       // ---- 4. minimal term-level posting delta (Indexer.cs:74-91)
@@ -134,7 +158,6 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
       val delta = joined.where(
         col("tfNew").isNull || col("tfOld").isNull ||
           col("tfNew") =!= col("tfOld") || col("dlNew") =!= col("dlOld"))
-      val deletedDf = deleteIds.values.toSeq.toDF("docId")
       val removedPostings = oldFwd.join(deletedDf, Seq("docId"), "inner")
         .select("term", "docId")
         .unionByName(delta.select("term", "docId"))
@@ -144,20 +167,24 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
         .select(col("term"), col("docId"), col("tfNew").as("tf"), col("dlNew").as("dl"),
           IndexWriter.bucketCol(col("term"), nb).as("bkt"))
 
-      val affectedTerms = removedPostings.select("term").distinct().collect().map(_.getString(0))
+      // bucket ids of every affected term, aggregated distributed-side: the
+      // driver only ever sees ≤ nBuckets ints, never the term strings (a
+      // bulk delete can touch the whole vocabulary)
+      val affectedBuckets = removedPostings
+        .select(IndexWriter.bucketCol(col("term"), nb).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
       // observable change = some posting differs, or the dictionary moves
       // (rename/delete/new doc). Re-adding identical content is a no-op —
       // the reference's minimal-diff Update touches nothing then
       // (Indexer.cs:74-91, IndexerTests.cs:219-262).
-      val dictChanged = renameRows.nonEmpty || deleteIds.nonEmpty || !fresh.isEmpty
+      val dictChanged = renameRows.nonEmpty || nDeleted > 0 || !fresh.isEmpty
 
-      if (affectedTerms.isEmpty && !dictChanged) {
+      if (affectedBuckets.isEmpty && !dictChanged) {
         // empty-batch suppression: no event, no version (BaseIndex.cs:36-40)
         newFwd.unpersist(); oldFwd.unpersist(); freshCleanup()
+        deletedDocs.foreach(_.unpersist())
         return m0
       }
-      val affectedBuckets = affectedTerms
-        .map(killa.util.Hashing.termBucket(_, nb)).distinct.sorted
 
       // ---- 5. rewrite affected buckets: decode old blocks → retract → add →
       //         re-encode through the same deterministic block builder
@@ -220,6 +247,7 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
         .write.partitionBy("bkt_p").mode("overwrite").parquet(fwdDeltaDir)
 
       newFwd.unpersist(); oldFwd.unpersist(); freshCleanup()
+      deletedDocs.foreach(_.unpersist())
 
       // ---- 7. refresh corpus stats from the merged dictionary and commit
       val mDraft = m0.copy(
@@ -282,9 +310,11 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
   def removeSource(source: String, batchId: String = "unsub"): Manifest = {
     val m0 = SegmentStore.latest(spark, root)
       .getOrElse(throw new IllegalStateException(s"no index at $root"))
+    // the source's conv set stays a DataFrame end to end (semi-join inside
+    // applyChangesDf) — a million-doc unsubscribe never crosses the driver
     val convs = Logs.docsAlive(spark, m0).where(col("source") === source)
-      .select("convId").collect().map(_.getString(0)).toSeq
-    applyChanges(emptyTurns, deletes = convs, batchId = batchId)
+      .select(col("convId").as("conv_id"))
+    applyChangesDf(emptyTurns, Some(convs), batchId = batchId)
   }
 
   /** Compact the docs/forward logs: fold the last-wins merge back into one

@@ -70,6 +70,10 @@ final case class PostingBlock(
 /** Per-partition build lineage + metrics row (north rule: "resumable from
   * per-partition checkpoints with lineage + doc/term/posting metrics recorded
   * per partition"). One row per term bucket per build/delta batch.
+  *
+  * status "done" = committed; "failed" = the wave threw — `error` carries the
+  * fault (the lineage record the reference's silent swallow lacks,
+  * TaskExtensions.cs:7). Resume treats failed buckets as pending and retries.
   */
 final case class LedgerRow(
     buildId: String,
@@ -81,7 +85,8 @@ final case class LedgerRow(
     blockCount: Long,
     bytes: Long,
     wallMs: Long,
-    inputVersion: String)
+    inputVersion: String,
+    error: String = "")
 
 /** A scored query hit. Tie order is (score desc, docId asc); docIds are
   * assigned by conv_id rank so this equals (score desc, conv_id asc).

@@ -193,6 +193,29 @@ class EndToEndSpec extends AnyFunSuite {
     assert(ledger.where("step = 'segments' and status = 'done'").count() == 8)
   }
 
+  test("wave failure is captured as a failed ledger row; resume retries to byte-identical segments (op 24)") {
+    val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16)
+    val d = TestSpark.freshDir("wavefault")
+    val w = new IndexWriter(spark, d, conf)
+    var calls = 0
+    val ex = intercept[RuntimeException] {
+      w.fullBuild(turns, "b0", waveHook = _ => {
+        calls += 1
+        if (calls == 2) throw new RuntimeException("injected wave fault")
+      })
+    }
+    assert(ex.getMessage.contains("injected"))
+    val ledger = Ledger.read(spark, d)
+    assert(ledger.where("step = 'segments' and status = 'failed'").count() == 3,
+      "every bucket of the failed wave gets a failed lineage row")
+    assert(ledger.where("status = 'failed' and error like '%injected wave fault%'").count() == 3,
+      "the error is recorded, not swallowed (unlike TaskExtensions.cs:7)")
+    // resume: wave 1's buckets stay done, the failed wave retries
+    w.fullBuild(turns, "b0")
+    assert(blocksFingerprint(d) == blocksFingerprint(root))
+    assert(Ledger.read(spark, d).where("step = 'segments' and status = 'done'").count() == 8)
+  }
+
   test("partial snapshot only answers from built buckets (mid-indexing visibility, FileAnalyzerTests.cs:289-317)") {
     val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16)
     val d = TestSpark.freshDir("partial")

@@ -169,6 +169,35 @@ class MaintainSpec extends AnyFunSuite {
     assert(r.contains("uniq3"))
   }
 
+  test("unsubscribe is join-based: no literal conv-id list in any executed plan (100 TB discipline)") {
+    val convs = (0 until 300).map(i => (f"conv$i%06d", 0, s"tokn$i common"))
+    val root = build(mkTurns(convs: _*))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      new IndexMaintainer(spark, root, conf).removeSource("default")
+      // QueryExecutionListener delivery is async — give the bus a moment
+      val deadline = System.currentTimeMillis() + 15000
+      while (plans.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      Thread.sleep(1500)
+    } finally spark.listenerManager.unregister(listener)
+    assert(!plans.isEmpty, "listener captured no plans")
+    // a collect+isin implementation embeds conv ids as plan literals; the
+    // join-based one never lets them reach the driver or the plan
+    val offending = plans.toArray(Array.empty[String]).filter(_.contains("conv000199"))
+    assert(offending.isEmpty,
+      s"literal conv-id list leaked into a plan:\n${offending.headOption.getOrElse("").take(2000)}")
+    assert(members(reader(root).membership("common")).isEmpty, "docs must be de-indexed")
+  }
+
   test("empty delta is suppressed: no new manifest version (BaseIndex.cs:36-40)") {
     val root = build(mkTurns(("a", 0, "x")))
     val v0 = SegmentStore.latest(spark, root).get.version
