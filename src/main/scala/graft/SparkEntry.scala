@@ -50,6 +50,13 @@ object SparkEntry {
     // absent term → empty (StringIndexTests.cs:575-595)
     "q_membership_miss" -> ((s, dir) =>
       reader(s, dir).membership("qqq_absent_term_zzz").orderBy("conv_id")),
+    // prefix search — the reference's own wildcard-index TODO (README.md:56-58):
+    // pushed range scan over the sorted segment layout
+    "q_membership_prefix" -> ((s, dir) =>
+      reader(s, dir).membershipPrefix("spar").orderBy("conv_id")),
+    // glob wildcard over terms (`?` = one char), literal prefix pushed down
+    "q_membership_wildcard" -> ((s, dir) =>
+      reader(s, dir).membershipWildcard("sp?rk").orderBy("conv_id")),
     // BM25 top-k, single term
     "q_bm25_single" -> ((s, dir) =>
       present(reader(s, dir).bm25TopK(Seq("spark"), 10))),
@@ -186,6 +193,10 @@ object SparkEntry {
       " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark' ORDER BY conv_id"),
     "q_membership_miss" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'qqq_absent_term_zzz' ORDER BY conv_id"),
+    "q_membership_prefix" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE 'spar%' ORDER BY conv_id"),
+    "q_membership_wildcard" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE 'sp_rk' ORDER BY conv_id"),
     "q_bm25_single" -> bm25OracleSql(Seq("spark"), 10, conjunctive = false),
     "q_bm25_multi" -> bm25OracleSql(Seq("query", "filter", "join"), 10, conjunctive = false),
     "q_bm25_conj" -> bm25OracleSql(Seq("query", "filter"), 10, conjunctive = true),

@@ -23,6 +23,11 @@ package killa
   * @param waveBuckets buckets per build wave — the checkpoint/resume grain. Each wave
   *                    commits its segment data + ledger rows + a manifest version
   *                    atomically, so a killed build resumes at the next wave.
+  * @param localQueryBlocks adaptive query cutover: a top-k whose pruned posting
+  *                    volume is ≤ this many blocks is scored driver-side in one
+  *                    scan job (identical results, less per-query scheduling);
+  *                    bigger queries take the distributed range fan-out. 0
+  *                    forces the distributed path (used by tests).
   */
 final case class Conf(
     k1: Double = 1.2,
@@ -30,7 +35,8 @@ final case class Conf(
     blockSize: Int = 128,
     nBuckets: Int = 16,
     rangeDocs: Long = 131072L,
-    waveBuckets: Int = 8)
+    waveBuckets: Int = 8,
+    localQueryBlocks: Int = 512)
 
 object Conf {
   val default: Conf = Conf()

@@ -86,6 +86,11 @@ object Main {
       case "qw" =>
         session.delayedSearch(rest.headOption.orNull).collect()
           .foreach(r => println(r.getString(0)))
+      case "qp" => // prefix/wildcard search (reference README TODO)
+        val mask = rest.headOption.getOrElse("")
+        val hits = if (mask.exists(c => c == '*' || c == '?')) session.searchWildcard(mask)
+          else session.searchPrefix(mask)
+        hits.orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
       case "bm25" =>
         val k = rest.head.toInt
         session.topK(rest.drop(1).toSeq, k).collect()

@@ -334,6 +334,7 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
     Logs.docsAlive(spark, m0)
       .select(col("docId"), col("convId"), col("dl"), col("source"),
         lit(true).as("alive"), lit(seq).as("batchSeq"))
+      .repartitionByRange(col("docId")).sortWithinPartitions("docId")
       .write.mode("overwrite").parquet(docsDir)
     Logs.forward(spark, m0)
       .withColumn("batchSeq", lit(seq))

@@ -109,6 +109,49 @@ final class IndexReader(
   def contains(term: String): Boolean =
     term != null && term.nonEmpty && !postingBlocks(term).isEmpty
 
+  /** Prefix search — the reference's own top TODO (README.md:56-58 wants a
+    * trie-based wildcard index): conversations containing ANY term starting
+    * with `prefix`. No trie needed in the columnar layout: terms are sorted
+    * within each bucket file (IndexWriter.writeBlocks), so the pushed
+    * StringStartsWith filter prunes whole parquet row groups — only matching
+    * terms' (n, docsBin) are ever decoded (plan-asserted by PlanSpec).
+    */
+  def membershipPrefix(prefix: String): DataFrame =
+    if (prefix == null || prefix.isEmpty) emptyMembers
+    else membershipWhere(col("term").startsWith(prefix))
+
+  /** Wildcard term search (`*` = any run, `?` = any one char — reference
+    * mask semantics, FileAnalyzerTests.cs:54-84): the mask's literal prefix
+    * pushes down as a range filter, the full mask applies as a residual
+    * rlike. A wildcard-free mask degrades to the exact-term path.
+    */
+  def membershipWildcard(mask: String): DataFrame = {
+    if (mask == null || mask.isEmpty) return emptyMembers
+    val pre = killa.util.Glob.literalPrefix(mask)
+    if (pre == mask) return membership(mask)
+    val residual = col("term").rlike(killa.util.Glob.toRegex(mask))
+    membershipWhere(if (pre.nonEmpty) col("term").startsWith(pre) && residual else residual)
+  }
+
+  /** Membership of every doc holding a term matching `termCond`: one pruned
+    * scan over all bucket dirs (term buckets are hash-laid, so a range
+    * predicate can't prune buckets — row-group stats inside each file do
+    * the pruning instead), payload columns never read.
+    */
+  private def membershipWhere(termCond: org.apache.spark.sql.Column): DataFrame = manifest match {
+    case None => emptyMembers
+    case Some(m) =>
+      val paths = m.buckets.keys.toSeq.sorted.flatMap(m.bucketPath)
+        .filter(p => fs(p).exists(new Path(p)))
+      if (paths.isEmpty) return emptyMembers
+      val docIds = spark.read.schema(blockSchema).parquet(paths: _*)
+        .where(termCond)
+        .select(col("n"), col("docsBin")).as[(Int, Array[Byte])]
+        .flatMap { case (n, bin) => Delta.decode(bin, n) }
+        .toDF("docId").distinct()
+      docIds.join(docsView, "docId").select(col("convId").as("conv_id"))
+  }
+
   /** Document frequency per term (0 when absent). */
   def termDf(terms: Seq[String]): Map[String, Long] =
     terms.map { t =>
@@ -134,7 +177,37 @@ final class IndexReader(
     if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
-    finishTopK(scoredCandidates(terms, k, conjunctive, m), k)
+    localTopK(terms, k, conjunctive, m)
+      .getOrElse(finishTopK(scoredCandidates(terms, k, conjunctive, m), k))
+  }
+
+  /** Adaptive small-query fast path: when the query's pruned posting volume
+    * is small (≤ conf.localQueryBlocks blocks — the common case for rare and
+    * mid-frequency terms), fetch the blocks in ONE pruned scan job and run
+    * the same DAAT kernel driver-side. Results are identical to the range
+    * fan-out (each doc is scored once, same term-order fold, same tie
+    * retention) minus a shuffle and two scheduler rounds of latency. The
+    * limit(cap+1) probe means a hot query pays one truncated scan, then
+    * takes the distributed path; bounded memory by construction
+    * (cap × blockSize postings).
+    */
+  private[killa] def localTopK(
+      terms: Seq[String], k: Int, conjunctive: Boolean, m: Manifest): Option[DataFrame] = {
+    val cap = conf.localQueryBlocks
+    if (cap <= 0) return None
+    val tagged: Dataset[(Int, PostingBlock)] = terms.zipWithIndex
+      .map { case (t, i) => postingBlocks(t).map(b => (i, b)) }
+      .reduce(_ union _)
+    val got = tagged.limit(cap + 1).collect()
+    if (got.length > cap) return None
+    val perTerm = Array.fill(terms.length)(List.newBuilder[PostingBlock])
+    got.foreach { case (ti, b) => perTerm(ti) += b }
+    val termBlocks = perTerm.map(_.result().sortBy(_.firstDoc).toArray)
+    val weights = termBlocks.map(bs =>
+      if (bs.isEmpty) 0.0 else Bm25.weight(m.numDocs, bs(0).df, conf.k1))
+    val hits = Daat.scoreRange(termBlocks, weights, -1L, Long.MaxValue, k,
+      conjunctive, conf.k1, conf.b, m.avgdl).toArray
+    Some(labelHits(hits, k))
   }
 
   /** The distributed candidate pipeline: pruned per-term block scans →
@@ -195,16 +268,7 @@ final class IndexReader(
     val cands = scored.collect()
     if (cands.isEmpty) return emptyHits
     if (cands.length <= 10000) {
-      val ids = cands.map(_.getLong(0))
-      val labels = docsView.select(col("docId"), col("convId"))
-        .where(col("docId").isin(ids.toSeq: _*))
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-      val top = cands.iterator
-        .map(r => (labels(r.getLong(0)), r.getDouble(1)))
-        .toArray
-        .sortBy { case (conv, score) => (-score, conv) }
-        .take(k)
-      top.toSeq.toDF("conv_id", "score")
+      labelHits(cands.map(r => (r.getLong(0), r.getDouble(1))), k)
     } else {
       // broadcast() the CANDIDATES: without the hint Catalyst can't size the
       // post-shuffle side and would shuffle the (huge) dictionary per query
@@ -214,5 +278,24 @@ final class IndexReader(
         .select(col("convId").as("conv_id"), col("score"))
         .orderBy(col("score").desc, col("conv_id").asc)
     }
+  }
+
+  /** Bounded driver merge shared by both top-k paths: point-look-up the
+    * candidates' labels with an IN filter the range-laid dictionary prunes
+    * on (file/row-group docId stats), then the exact global tie-break
+    * (score desc, conv_id asc).
+    */
+  private def labelHits(cands: Array[(Long, Double)], k: Int): DataFrame = {
+    if (cands.isEmpty) return emptyHits
+    val ids = cands.map(_._1)
+    val labels = docsView.select(col("docId"), col("convId"))
+      .where(col("docId").isin(ids.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cands.iterator
+      .map { case (id, s) => (labels(id), s) }
+      .toArray
+      .sortBy { case (conv, score) => (-score, conv) }
+      .take(k)
+      .toSeq.toDF("conv_id", "score")
   }
 }

@@ -37,6 +37,12 @@ final class QuerySession(spark: SparkSession, root: String, conf: Conf = Conf.de
 
   def contains(term: String): Boolean = readerV.contains(term)
 
+  /** Prefix search (`qp` verb — the reference's wildcard-index TODO). */
+  def searchPrefix(prefix: String): DataFrame = readerV.membershipPrefix(prefix)
+
+  /** Glob wildcard search (`*`/`?` over terms). */
+  def searchWildcard(mask: String): DataFrame = readerV.membershipWildcard(mask)
+
   /** IsIndexing analog (FileAnalyzer.cs:49): any build with pending
     * segment buckets in the ledger.
     */

@@ -62,8 +62,32 @@ class EndToEndSpec extends AnyFunSuite {
     assert(r.contains("the"))
   }
 
-  test("BM25 rank identity: WAND path ≡ relational oracle, ids AND scores (FIXTURES.md §3)") {
+  test("prefix + wildcard search: parity with tokenized oracle (reference README.md:56-58 TODO)") {
+    import org.apache.spark.sql.functions.{col, explode}
     val r = reader
+    def oracle(cond: org.apache.spark.sql.Column): Set[String] =
+      turns.select(col("conv_id"),
+          explode(killa.tokenize.Tokenize.termsCol(col("text"))).as("term"))
+        .where(cond).select("conv_id").distinct().collect().map(_.getString(0)).toSet
+    assert(collectMembers(r.membershipPrefix("uniq5")) == oracle(col("term").startsWith("uniq5")))
+    assert(collectMembers(r.membershipPrefix("quer")) == oracle(col("term").startsWith("quer")))
+    assert(collectMembers(r.membershipPrefix("zz_absent")).isEmpty)
+    assert(collectMembers(r.membershipWildcard("uniq?_0")) == oracle(col("term").rlike("^uniq._0$")))
+    assert(collectMembers(r.membershipWildcard("sh*_1")) == oracle(col("term").rlike("^sh.*_1$")))
+    assert(collectMembers(r.membershipWildcard("query")) == oracle(col("term") === "query"),
+      "wildcard-free mask degrades to exact membership")
+    assert(r.membershipPrefix("").isEmpty && r.membershipPrefix(null).isEmpty)
+    assert(r.membershipWildcard("").isEmpty && r.membershipWildcard(null).isEmpty)
+  }
+
+  test("BM25 rank identity: WAND path ≡ relational oracle, ids AND scores — both query paths (FIXTURES.md §3)") {
+    // same queries through the adaptive driver-side path (small posting
+    // volume → local DAAT) and the distributed range fan-out (forced via
+    // localQueryBlocks = 0): both must match the oracle bit for bit
+    val readers = Seq(
+      "local" -> reader,
+      "distributed" -> new IndexReader(spark, root,
+        Conf(nBuckets = 8, blockSize = 16, localQueryBlocks = 0)))
     val queries = Seq(
       (Seq("the"), 10, false),
       (Seq("query"), 5, false),
@@ -76,14 +100,16 @@ class EndToEndSpec extends AnyFunSuite {
       (Seq("query", "absent_zz"), 5, false), // missing term contributes nothing
       (Seq("query", "absent_zz"), 5, true)   // conjunctive with missing term → empty
     )
-    queries.foreach { case (terms, k, conj) =>
-      val got = r.bm25TopK(terms, k, conj).collect().map(x => (x.getString(0), x.getDouble(1)))
-      val exp = BruteForce.bm25(turns, terms, k, conj).collect()
-        .map(x => (x.getString(0), x.getDouble(1)))
-      assert(got.length == exp.length, s"q=$terms k=$k conj=$conj")
-      got.zip(exp).zipWithIndex.foreach { case (((gc, gs), (ec, es)), i) =>
-        assert(gc == ec, s"q=$terms k=$k conj=$conj rank=$i ids differ: $gc vs $ec")
-        assert(gs == es, s"q=$terms k=$k conj=$conj rank=$i scores differ: $gs vs $es")
+    readers.foreach { case (path, r) =>
+      queries.foreach { case (terms, k, conj) =>
+        val got = r.bm25TopK(terms, k, conj).collect().map(x => (x.getString(0), x.getDouble(1)))
+        val exp = BruteForce.bm25(turns, terms, k, conj).collect()
+          .map(x => (x.getString(0), x.getDouble(1)))
+        assert(got.length == exp.length, s"[$path] q=$terms k=$k conj=$conj")
+        got.zip(exp).zipWithIndex.foreach { case (((gc, gs), (ec, es)), i) =>
+          assert(gc == ec, s"[$path] q=$terms k=$k conj=$conj rank=$i ids differ: $gc vs $ec")
+          assert(gs == es, s"[$path] q=$terms k=$k conj=$conj rank=$i scores differ: $gs vs $es")
+        }
       }
     }
   }

@@ -61,6 +61,31 @@ class PlanSpec extends AnyFunSuite {
     // (TakeOrdered-equivalent); correctness pinned by rank-identity suites
   }
 
+  test("prefix search pushes StringStartsWith into the parquet scan and prunes payload columns") {
+    val r = new IndexReader(spark, root, conf)
+    val plan = planOf(r.membershipPrefix("uniq"))
+    assert(plan.contains("StringStartsWith(term,uniq)"),
+      s"prefix range filter not pushed:\n$plan")
+    val scanLine = plan.linesIterator.find(l => l.contains("ReadSchema") && l.contains("docsBin"))
+      .getOrElse(fail(s"no segment scan found:\n$plan"))
+    assert(!scanLine.contains("tfsBin") && !scanLine.contains("dlsBin"),
+      s"payload columns not pruned: $scanLine")
+  }
+
+  test("dictionary point lookup pushes the docId filter down the range-laid docs log") {
+    import org.apache.spark.sql.functions.col
+    // a previously-persisted dictionary would intercept the plan with an
+    // InMemoryTableScan (whose batch stats also prune — but here we assert
+    // the cold path reaches parquet)
+    spark.catalog.clearCache()
+    val r = new IndexReader(spark, root, conf)
+    val plan = planOf(r.docs.where(col("docId").isin(1L, 5L)))
+    // the filter must reach the parquet scan (through the last-wins window —
+    // docId is its partition key) so file/row-group docId stats prune
+    assert(plan.contains("In(docId") && plan.contains("PushedFilters: [In(docId"),
+      s"docId lookup not pushed to the docs scan:\n$plan")
+  }
+
   test("forward/tf aggregation pipeline stays in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.freshDir("plansrc")
