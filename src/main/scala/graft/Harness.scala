@@ -131,6 +131,19 @@ object Harness {
       root
     })
 
+  /** Full index, then remove a term subset from one doc (Indexer.Remove(doc,
+    * terms) — SURVEY §2 op 7): df readback must equal the corpus minus
+    * exactly those (conv, term) postings, with BM25-consistent dl shrink.
+    */
+  def removeTermsRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#rmt", {
+      val root = freshRoot(sfDir, "rmt")
+      new IndexWriter(spark, root, conf).fullBuild(transcripts(spark, sfDir), "b0")
+      new killa.maintain.IndexMaintainer(spark, root, conf)
+        .removeTerms("c00002", Seq("spark", "the"), "d1")
+      root
+    })
+
   /** Full index, then rename c00001 → z99999 (Indexer.Switch rename path). */
   def incrRenameRoot(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(s"$sfDir#ren", {

@@ -84,6 +84,12 @@ object SparkEntry {
     "q_incr_rename_membership" -> ((s, dir) =>
       new killa.query.IndexReader(s, incrRenameRoot(s, dir), conf)
         .membership("spark").orderBy("conv_id")),
+    // op 7 Indexer.Remove(doc, terms) end-to-end: a term subset removed from
+    // one conversation — df readback over the whole index must shift exactly
+    "q_remove_terms" -> ((s, dir) => {
+      new killa.query.IndexReader(s, removeTermsRoot(s, dir), conf).allBlocks
+        .groupBy("term").agg(max(col("df")).as("df")).orderBy("term")
+    }),
     // corpus stats from the committed manifest
     "q_corpus_stats" -> ((s, dir) => {
       import s.implicits._
@@ -209,6 +215,10 @@ object SparkEntry {
     "q_incr_rename_membership" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT CASE WHEN conv_id = 'c00001' THEN 'z99999' ELSE conv_id END AS conv_id" +
       " FROM tok2 WHERE term = 'spark' ORDER BY conv_id"),
+    "q_remove_terms" -> (TurnsCte + TfCtes +
+      " SELECT term, count(*) AS df FROM tf" +
+      " WHERE NOT (conv_id = 'c00002' AND term IN ('spark', 'the'))" +
+      " GROUP BY term ORDER BY term"),
     "q_corpus_stats" -> (TurnsCte + TfCtes +
       " SELECT (SELECT n FROM stats) AS n_docs," +
       " (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens," +

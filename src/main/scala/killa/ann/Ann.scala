@@ -63,6 +63,26 @@ object Ann {
     sig
   }
 
+  /** Banded signature rows of a vector table: one row per (id, band) with
+    * the band's bit-slice of the nPlanes-bit hyperplane signature — the
+    * shared candidate-generation layout of [[lshTopK]] and [[nearDupPairs]].
+    */
+  private def bandRows(df: DataFrame, id: String, vec: String, outId: String,
+      nPlanes: Int, bands: Int, seed: Long, keepVec: Boolean): DataFrame = {
+    require(nPlanes % bands == 0 && nPlanes <= 64)
+    val rowsPerBand = nPlanes / bands
+    val mask = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
+    val sigUdf = udf((v: Seq[Float]) => signature(v, nPlanes, seed))
+    val base = df.select(
+      (col(id).as(outId) +: (if (keepVec) Seq(col(vec).as(s"${outId}_v")) else Nil)) :+
+        sigUdf(col(vec)).as("sig"): _*)
+    base
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bandVal",
+        expr(s"shiftright(sig, band * $rowsPerBand)").bitwiseAND(lit(mask)))
+      .drop("sig")
+  }
+
   /** LSH top-k: candidates = corpus vectors whose signature agrees with the
     * query on ≥ 1 of `bands` signature bands (multi-band OR — same recall
     * structure as MinHash LSH), re-ranked by exact cosine. Approximate:
@@ -72,21 +92,8 @@ object Ann {
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       nPlanes: Int = 32, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    require(nPlanes % bands == 0 && nPlanes <= 64)
-    val rowsPerBand = nPlanes / bands
-    val mask = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val sigUdf = udf((v: Seq[Float]) => signature(v, nPlanes, seed))
-    def bandRows(df: DataFrame, id: String, vec: String, outId: String) =
-      df.select(col(id).as(outId), col(vec).as(s"${outId}_v"), sigUdf(col(vec)).as("sig"))
-        .select(col(outId), col(s"${outId}_v"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
-          col("sig"))
-        .withColumn("bandVal",
-          expr(s"shiftright(sig, band * $rowsPerBand)").bitwiseAND(lit(mask)))
-        .drop("sig")
-    val e = bandRows(embeddings, idCol, vecCol, "vec_id")
-    val q = bandRows(queries, qIdCol, qVecCol, "q_id")
+    val e = bandRows(embeddings, idCol, vecCol, "vec_id", nPlanes, bands, seed, keepVec = true)
+    val q = bandRows(queries, qIdCol, qVecCol, "q_id", nPlanes, bands, seed, keepVec = true)
     val cand = e.join(broadcast(q), Seq("band", "bandVal"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("vec_id_v").as("v"), col("q_id_v").as("qv"))
@@ -98,11 +105,42 @@ object Ann {
       .select("q_id", "vec_id", "cosine", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a < b).
-    * Exact via self-join at test scale; the scale path reuses the LSH
-    * buckets as the candidate generator.
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a_id < b_id).
+    *
+    * Production shape: banded hyperplane-LSH candidate generation (same
+    * signature family as [[lshTopK]]) + exact-cosine verification. Precision
+    * is 1.0 by construction — every emitted pair is verified exactly — and
+    * recall is the banding's collision probability, so ONLY recall depends
+    * on (nPlanes, bands). Candidates come from an equi-join on
+    * (band, bandVal) and the pair set is deduplicated BEFORE the vectors are
+    * re-joined for verification — no crossJoin, no per-band vector copies.
+    *
+    * Band shape must match the operating threshold: the defaults
+    * (rowsPerBand = 2, bands = 32) reach measured recall 1.0 at the oracle's
+    * τ = 0.45 (per-bit agreement p ≈ 0.65 ⇒ per-pair miss ≈ (1-p²)³² ≈ 3e-8;
+    * asserted against [[nearDupPairsExact]] in PipelineOpsSpec) at the cost
+    * of coarse buckets; at production thresholds (τ ≥ 0.8) use deeper bands
+    * (e.g. 8×8) — selective AND complete.
     */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 64, bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val e = bandRows(embeddings, idCol, vecCol, "nid", nPlanes, bands, seed, keepVec = false)
+    val cand = e.as("x").join(e.as("y"),
+        col("x.band") === col("y.band") && col("x.bandVal") === col("y.bandVal") &&
+          col("x.nid") < col("y.nid"))
+      .select(col("x.nid").as("a_id"), col("y.nid").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val va = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+    val vb = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cosine", round(cosineCol(col("av"), col("bv")), 4))
+      .where(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+
+  /** Exact all-pairs oracle for [[nearDupPairs]] — O(n²), test scale ONLY. */
+  def nearDupPairsExact(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("av"))
     val b = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("bv"))

@@ -110,6 +110,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("embedding near-dup: LSH candidates + exact verify ≡ all-pairs oracle at the registered threshold (recall 1.0)") {
+    // the exact data+threshold the driver verifies (sf0.01, τ=0.45): the
+    // default banding must reproduce the all-pairs result EXACTLY, because
+    // verification is exact (precision 1.0) and only recall could diverge
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val edf = spark.read.parquet(s"$dir/embeddings.parquet")
+      val exact = Ann.nearDupPairsExact(edf, "vec_id", "embedding", 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val lsh = Ann.nearDupPairs(edf, "vec_id", "embedding", 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(lsh == exact, s"$dir: recall < 1.0 — banding too deep for τ=0.45")
+      assert(exact.nonEmpty, s"$dir: vacuous fixture")
+    }
+  }
+
   test("text ops: token counts, quality features, fingerprints") {
     val q = TextOps.qualityFeatures(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap
