@@ -136,11 +136,13 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
-    // LSH-bucketed ANN: rows-only (approximate; recall measured in specs)
+    // LSH-bucketed ANN: rows-only (approximate; recall pinned in
+    // PipelineOpsSpec — 1.0 at this banding on the sf0.01 fixture)
     "q_ann_lsh_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
-      killa.ann.Ann.lshTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5)
+      killa.ann.Ann.lshTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
+          nPlanes = 64, bands = 16)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),

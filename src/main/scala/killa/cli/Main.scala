@@ -18,13 +18,14 @@ import killa.streaming.StreamOps
   * spark-submit --class killa.cli.Main <jar> <indexRoot> <verb> [args...]
   *   q <term>                  immediate search            (Program.cs:52-66)
   *   qw <term>                 quiescent search            (Program.cs:53-59)
+  *   qp <prefix|glob>          prefix/wildcard search (reference README TODO)
   *   bm25 <k> <term>...        top-k BM25 (baseline addition)
-  *   sub <parquet> <source>    subscribe: register + backfill (Program.cs:67-79)
-  *   unsub <source>            unsubscribe + de-index      (Program.cs:80-90)
+  *   sub <parquet> <source> [mask]   subscribe/add mask + backfill (Program.cs:67-79)
+  *   unsub <source> [mask]     unsubscribe source or one mask + de-index (Program.cs:80-90)
   *   index?                    IsIndexing                  (Program.cs:91-97)
-  *   sub?                      list subscriptions          (Program.cs:98-107)
+  *   sub?                      list `source|path|mask...`  (Program.cs:98-107)
   *   build <parquet> [source]  full (resumable) index build
-  *   ingest <dir> [source]     continuous ingestion (watcher analog)
+  *   ingest <dir> [source] [mask...]  continuous ingestion (watcher analog)
   *   flush                     clear the index (StringIndex.cs:84-89)
   *   compact                   fold the docs/forward logs (GC analog)
   *   status                    manifest + ledger summary
@@ -34,28 +35,50 @@ object Main {
   private val mapper = new ObjectMapper()
   private val conf = Conf(nBuckets = 32, waveBuckets = 32)
 
+  /** One subscription: a parquet path + its glob masks over conv_id — the
+    * analog of the reference's per-folder watcher with multiplexed file
+    * masks (FileAnalyzer.cs:34-47, 100-120; masks lower-cased at :100).
+    */
+  private[killa] final case class Subscription(path: String, masks: Seq[String])
+
   private def sourcesPath(root: String) = new Path(s"$root/sources.json")
 
-  private def readSources(spark: SparkSession, root: String): Map[String, String] = {
+  private[killa] def readSources(spark: SparkSession, root: String): Map[String, Subscription] = {
     val p = sourcesPath(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
     val node = try mapper.readTree(in) finally in.close()
     val it = node.fieldNames()
-    val b = Map.newBuilder[String, String]
-    while (it.hasNext) { val k = it.next(); b += (k -> node.get(k).asText()) }
+    val b = Map.newBuilder[String, Subscription]
+    while (it.hasNext) {
+      val k = it.next()
+      val v = node.get(k)
+      val masksNode = v.get("masks")
+      val masks = (0 until masksNode.size()).map(masksNode.get(_).asText())
+      b += (k -> Subscription(v.get("path").asText(), masks))
+    }
     b.result()
   }
 
-  private def writeSources(spark: SparkSession, root: String, s: Map[String, String]): Unit = {
+  private def writeSources(spark: SparkSession, root: String, s: Map[String, Subscription]): Unit = {
     val p = sourcesPath(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val node = mapper.createObjectNode()
-    s.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    s.toSeq.sortBy(_._1).foreach { case (k, sub) =>
+      val sn = node.putObject(k)
+      sn.put("path", sub.path)
+      val mn = sn.putArray("masks")
+      sub.masks.foreach(mn.add)
+    }
     val out = fs.create(p, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
   }
+
+  /** conv_id predicate for one glob mask. */
+  private def maskCond(mask: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col("conv_id")
+      .rlike(killa.util.Glob.toRegex(mask))
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
@@ -78,7 +101,7 @@ object Main {
     finally spark.stop()
   }
 
-  private def run(spark: SparkSession, root: String, verb: String, rest: Array[String]): Unit = {
+  private[killa] def run(spark: SparkSession, root: String, verb: String, rest: Array[String]): Unit = {
     lazy val session = new QuerySession(spark, root, conf)
     verb match {
       case "q" =>
@@ -101,30 +124,80 @@ object Main {
           .fullBuild(spark.read.parquet(rest.head), buildId = s"cli-${stableId(rest.head)}", source = src)
         println("built")
       case "sub" =>
+        // sub <parquet> <source> [mask]: register (or extend) a subscription.
+        // Re-subbing an existing source ADDS the mask to its set and indexes
+        // the newly-matching convs only — reference mask multiplexing
+        // (FileAnalyzer.cs:100-120; masks lower-cased at :100).
         val Array(path, source) = rest.take(2)
+        val mask = rest.lift(2).getOrElse("*").toLowerCase
         val sources = readSources(spark, root)
-        writeSources(spark, root, sources + (source -> path))
-        val turns = spark.read.parquet(path)
-        if (SegmentStore.latest(spark, root).isEmpty)
-          new IndexWriter(spark, root, conf).fullBuild(turns, s"sub-${stableId(source)}", source)
-        else
-          new IndexMaintainer(spark, root, conf)
-            .applyChanges(turns, source = source, batchId = s"sub-${stableId(source)}")
-        println(s"subscribed $source")
+        sources.get(source) match {
+          case Some(sub) if sub.path != path =>
+            System.err.println(s"source $source already subscribed to ${sub.path}")
+            sys.exit(2)
+          case Some(sub) if sub.masks.contains(mask) =>
+            println(s"already subscribed $source $mask") // idempotent
+          case existing =>
+            val masks = existing.map(_.masks).getOrElse(Nil) :+ mask
+            writeSources(spark, root, sources + (source -> Subscription(path, masks)))
+            val turns = spark.read.parquet(path).where(maskCond(mask))
+            val batch = s"sub-${stableId(s"$source|$mask")}"
+            if (SegmentStore.latest(spark, root).isEmpty)
+              new IndexWriter(spark, root, conf).fullBuild(turns, batch, source)
+            else
+              new IndexMaintainer(spark, root, conf)
+                .applyChanges(turns, source = source, batchId = batch)
+            println(s"subscribed $source $mask")
+        }
       case "unsub" =>
+        // unsub <source> [mask]: without a mask the whole source is
+        // de-indexed; with a mask only docs matched by it AND by no remaining
+        // mask leave the index (FileAnalyzer.cs:199-220 per-mask case)
         val source = rest.head
-        new IndexMaintainer(spark, root, conf).removeSource(source, s"unsub-${stableId(source)}")
-        writeSources(spark, root, readSources(spark, root) - source)
-        println(s"unsubscribed $source")
+        val maskOpt = rest.lift(1).map(_.toLowerCase)
+        val sources = readSources(spark, root)
+        val maint = new IndexMaintainer(spark, root, conf)
+        (sources.get(source), maskOpt) match {
+          case (None, _) => println(s"not subscribed: $source")
+          case (Some(_), None) =>
+            maint.removeSource(source, s"unsub-${stableId(source)}")
+            writeSources(spark, root, sources - source)
+            println(s"unsubscribed $source")
+          case (Some(sub), Some(mask)) =>
+            val remaining = sub.masks.filterNot(_ == mask)
+            if (remaining.size == sub.masks.size) println(s"no such mask on $source: $mask")
+            else {
+              import org.apache.spark.sql.functions.{col, lit}
+              val m0 = SegmentStore.latest(spark, root)
+              m0.foreach { m =>
+                val alive = killa.store.Logs.docsAlive(spark, m)
+                  .select(col("convId").as("conv_id"), col("source"))
+                val keep = remaining
+                  .map(r => col("conv_id").rlike(killa.util.Glob.toRegex(r)))
+                  .reduceOption(_ || _).getOrElse(lit(false))
+                val victims = alive.where(col("source") === source &&
+                  col("conv_id").rlike(killa.util.Glob.toRegex(mask)) && !keep)
+                  .select("conv_id")
+                maint.removeConvs(victims, s"unsub-${stableId(s"$source|$mask")}")
+              }
+              val next = if (remaining.isEmpty) sources - source
+                else sources + (source -> sub.copy(masks = remaining))
+              writeSources(spark, root, next)
+              println(s"unsubscribed $source $mask")
+            }
+        }
       case "ingest" =>
         val src = if (rest.length > 1) rest(1) else "stream"
-        val n = StreamOps.ingestTranscripts(spark, rest.head, root, conf, src)
+        val masks = if (rest.length > 2) rest.drop(2).toSeq.map(_.toLowerCase) else Seq("*")
+        val n = StreamOps.ingestTranscripts(spark, rest.head, root, conf, src, masks)
         println(s"ingested $n batches")
       case "index?" =>
         println(if (session.isIndexing) "indexing" else "idle")
       case "sub?" =>
+        // `source|path|mask1|mask2` — parity with the reference's listing
+        // (FileAnalyzer.cs:34-47 prints path + its mask set)
         readSources(spark, root).toSeq.sortBy(_._1)
-          .foreach { case (s, p) => println(s"$s|$p") }
+          .foreach { case (s, sub) => println((s +: sub.path +: sub.masks).mkString("|")) }
       case "flush" =>
         QuerySession.flush(spark, root)
         println("flushed")

@@ -60,10 +60,6 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Deterministic MinHash permutation j applied to a shingle. */
-  @inline private def minhashOf(shingleHash: Long, j: Int): Long =
-    Hashing.splitmix64(shingleHash ^ (0x9e3779b97f4a7c15L * (j + 1)))
-
   /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
     * numHashes signatures split into `bands` bands; docs colliding in ≥ 1
     * band become candidates (P[candidate] ≈ 1-(1-j^r)^b); candidates are
@@ -77,18 +73,16 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = shingleSets(df, idCol, textCol, n)
-    // signature: per (id, j) the min over shingles of h_j(s) — expressed as
-    // one aggregation so hot docs never collect their shingles driver-side
-    val sigUdf = udf { (shingles: Seq[String]) =>
-      val hs = shingles.map(Hashing.fnv1a64)
-      (0 until numHashes).map { j =>
-        var m = Long.MaxValue
-        hs.foreach { h => val v = minhashOf(h, j); if (v < m) m = v }
-        m
-      }
-    }
-    val sigs = sh.groupBy("id").agg(collect_list(col("s")).as("shingles"))
-      .select(col("id"), sigUdf(col("shingles")).as("sig"))
+    // signature: per id the element-wise min over shingles of h_j(s),
+    // expressed RELATIONALLY — numHashes codegen'd min-aggregates over
+    // per-(id, shingle) rows (native expressions, no UDF, no per-doc
+    // collect_list array): map-side partial aggregation keeps even a
+    // million-shingle doc's work streaming, never materialized
+    val hashed = sh.select(col("id"), killa.expr.Fnv1a64.fnv1a64(col("s")).as("h"))
+    val minAggs = (0 until numHashes).map(j =>
+      min(killa.expr.Splitmix64Xor.minhashCol(col("h"), j)).as(s"m$j"))
+    val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
     val bandRows = sigs.as[(Long, Seq[Long])].flatMap { case (id, sig) =>
       (0 until bands).map { b =>
         val bandHash = Hashing.fnv1a64(sig.slice(b * rows, (b + 1) * rows).mkString(","))

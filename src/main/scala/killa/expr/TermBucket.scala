@@ -32,6 +32,36 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: splitmix64(input ^ salt) — one MinHash
+  * permutation step as generated code. Java long arithmetic wraps on
+  * overflow, which the algorithm requires; a Column-level multiply would
+  * THROW under Spark's default ANSI mode, and a UDF would break the codegen
+  * span of the signature aggregation (Dedup.minhashLshPairs).
+  */
+case class Splitmix64Xor(child: Expression, salt: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64_xor"
+
+  protected override def nullSafeEval(input: Any): Any =
+    Hashing.splitmix64(input.asInstanceOf[Long] ^ salt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"killa.util.Hashing.splitmix64($c ^ ${salt}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Splitmix64Xor =
+    copy(child = newChild)
+}
+
+object Splitmix64Xor {
+  /** h → j-th MinHash permutation value: splitmix64(h ^ GOLDEN·(j+1)) —
+    * bit-identical to the scalar family Dedup used from round 1.
+    */
+  def minhashCol(h: Column, j: Int): Column = {
+    import org.apache.spark.sql.killashim.Shim
+    Shim.toColumn(Splitmix64Xor(Shim.toExpression(h), 0x9e3779b97f4a7c15L * (j + 1)))
+  }
+}
+
 object Fnv1a64 {
   /** Static entry the generated code calls; operates on the UTF8String's
     * bytes directly (no java.lang.String materialization per row).

@@ -303,6 +303,14 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
   def remove(convIds: Seq[String], batchId: String = "remove"): Manifest =
     applyChanges(emptyTurns, deletes = convIds, batchId = batchId)
 
+  /** Whole-doc removal of an arbitrary conv set given as a DataFrame of
+    * conv_id — the distributed form [[remove]] delegates to; mask-scoped
+    * unsubscribe (FileAnalyzer.cs:199-220 per-mask case) builds its set with
+    * predicates and passes it here, never through the driver.
+    */
+  def removeConvs(convs: DataFrame, batchId: String = "remove"): Manifest =
+    applyChangesDf(emptyTurns, Some(convs), batchId = batchId)
+
   /** Unsubscribe de-index (FileAnalyzer.cs:199-220): remove every live doc
     * of `source`; post-unsubscribe searches return empty for its docs
     * (FileAnalyzerTests.cs:1026-1049).

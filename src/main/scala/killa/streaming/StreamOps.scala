@@ -58,6 +58,43 @@ object StreamOps {
         col("n"), col("sum_value"))
   }
 
+  /** Production shape of [[windowedEventCounts]]: the same watermarked
+    * windowed aggregation in APPEND mode streamed to a parquet table —
+    * state is bounded by the watermark and finalized windows flow straight
+    * to files; nothing ever materializes on the driver (the
+    * complete+in-memory form above exists only for the bounded oracle
+    * query). Append semantics: a window is emitted once the watermark
+    * passes its end, so trailing windows of a bounded input stay pending —
+    * exactly the contract a continuously-running pipeline wants.
+    */
+  def windowedEventCountsToPath(spark: SparkSession, eventsPath: String,
+      outPath: String, checkpoint: String): Unit = {
+    val schema: StructType = spark.read.parquet(eventsPath).schema
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dir, glob) =
+      if (fs.getFileStatus(p).isDirectory) (eventsPath, None)
+      else (p.getParent.toString, Some(p.getName))
+    val reader0 = spark.readStream.schema(schema)
+    val events = glob.fold(reader0)(g => reader0.option("pathGlobFilter", g)).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Stream transcript batches from a directory into an existing index:
     * every micro-batch runs one IndexMaintainer.applyChanges (one atomic
     * manifest version per batch — read-your-writes after
@@ -72,9 +109,15 @@ object StreamOps {
     * would have the second batch REPLACE the first, not extend it.
     */
   def ingestTranscripts(spark: SparkSession, transcriptsDir: String, indexRoot: String,
-      conf: Conf = Conf.default, source: String = "stream"): Long = {
+      conf: Conf = Conf.default, source: String = "stream",
+      masks: Seq[String] = Seq("*")): Long = {
     val schema = spark.read.parquet(transcriptsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(transcriptsDir)
+    val stream0 = spark.readStream.schema(schema).parquet(transcriptsDir)
+    // subscription masks filter the stream at ingest (glob over conv_id —
+    // the reference's per-watcher file masks, FileAnalyzer.cs:125-127)
+    val maskPred = masks.map(m => col("conv_id").rlike(killa.util.Glob.toRegex(m)))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val stream = stream0.where(maskPred)
     val maintainer = new IndexMaintainer(spark, indexRoot, conf)
     var batches = 0L
     val q = stream.writeStream

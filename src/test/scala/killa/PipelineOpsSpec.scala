@@ -125,6 +125,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("goldens on driver data (sf0.01): simhash ≡ exhaustive hamming oracle; lang-id + LSH-ANN recall pinned") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // simhash: the blocking is provably complete (pigeonhole), so the result
+    // must EQUAL an independent driver-side all-pairs hamming computation
+    val got = Dedup.simhashPairs(docs01, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = docs01.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Dedup.simhash64(killa.tokenize.WhitespaceTokenizer.tokenize(r.getString(1)).toSeq))
+    val exp = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1 until sigs.length).iterator
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if h <= 3
+    } yield {
+      val (a, b) = if (sigs(i)._1 < sigs(j)._1) (sigs(i)._1, sigs(j)._1)
+        else (sigs(j)._1, sigs(i)._1)
+      (a, b, h)
+    }).toSet
+    assert(got == exp, "simhash blocking missed or fabricated a pair")
+    assert(exp.nonEmpty)
+    // lang-id distribution snapshot (regression pin for the heuristic)
+    val langs = TextOps.langId(docs01, "doc_id", "text")
+      .groupBy("lang_pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs == Map("en" -> 382L, "und" -> 118L), s"lang-id drifted: $langs")
+    // LSH-ANN at the registered banding (64 planes × 16 bands): recall vs
+    // brute force on the driver's own data — measured 1.0, pinned ≥ 0.9
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+    val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
+        nPlanes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"registered-banding recall dropped to $recall")
+  }
+
   test("text ops: token counts, quality features, fingerprints") {
     val q = TextOps.qualityFeatures(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap

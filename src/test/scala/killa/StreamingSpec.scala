@@ -28,6 +28,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("append-mode file sink: finalized windows stream to parquet, none on the driver (production shape)") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val out = TestSpark.freshDir("winout")
+    val ckpt = TestSpark.freshDir("winckpt")
+    StreamOps.windowedEventCountsToPath(spark, path, out, ckpt)
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val exp = spark.read.parquet(path)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // append emits only watermark-finalized windows: exact subset, and only
+    // trailing windows (within watermark of the max event time) may be absent
+    assert(got.subsetOf(exp), "a finalized window diverged from the batch aggregation")
+    // the watermark (10 min) can hold back the last window, and the one
+    // before it when the max event falls in its hour's first 10 minutes
+    val trailing = exp.map(_._1).toSeq.sorted.takeRight(2).toSet
+    assert(got.nonEmpty && exp.forall(e => trailing.contains(e._1) || got.contains(e)),
+      "a non-trailing window was not finalized to the sink")
+  }
+
   test("stream ingestion maintains the index like the reference watcher (FileAnalyzer.cs:144-168)") {
     val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 8, blockSize = 16)
     val root = TestSpark.freshDir("stream")
