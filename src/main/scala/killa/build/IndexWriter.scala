@@ -80,11 +80,18 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
         try {
           waveHook(wave.head)
           // single uninterrupted wave: consume the just-computed forward rows
-          // directly (skips a parquet read-back of the whole forward table);
-          // multi-wave / resume paths read the bucket-pruned parquet instead
+          // directly (skips a parquet read-back of the whole forward table).
+          // Multi-wave / resume paths read the MERGED forward log instead —
+          // the build's own input PLUS any maintenance deltas committed
+          // between waves — so a delete landing mid-build cancels the doc's
+          // pending waves (the reference's CancelTasks on Deleted,
+          // BackgroundTaskQueue.cs:74-84) and a mid-build update's rows win
+          // by batchSeq instead of being overwritten by stale input.
           val fwd = fwdInMem.filter(_ => singleWave).getOrElse {
-            spark.read.parquet(desc.forwardDir)
-              .where(col("bkt_p").isin(wave.map(Integer.valueOf): _*))
+            val m = manifest.getOrElse(Manifest(0, conf.nBuckets, Map.empty,
+              Seq(desc.docsDir), Seq(desc.forwardDir),
+              desc.numDocs, desc.totalTokens, desc.avgdl, desc.maxDocId, 0L))
+            killa.store.Logs.forwardPruned(spark, m, Some(wave))
           }
           val blocks = buildBlocks(spark, fwd, conf)
           writeBlocks(blocks, commitDir)

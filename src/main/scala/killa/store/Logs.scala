@@ -37,7 +37,17 @@ object Logs {
   /** Merged forward index: each doc's rows from the latest batch that wrote
     * it, restricted to live docs. Columns (term, docId, tf, dl, bkt).
     */
-  def forward(spark: SparkSession, m: Manifest): DataFrame = {
+  def forward(spark: SparkSession, m: Manifest): DataFrame =
+    forwardPruned(spark, m, None)
+
+  /** [[forward]] with optional term-bucket pruning of the DATA read.
+    *
+    * The last-wins batchSeq per doc is always computed over ALL buckets
+    * (a column-pruned (docId, batchSeq) scan): a delta that rewrote a doc
+    * without touching bucket B must still retire the doc's OLD rows in B —
+    * a per-bucket max(batchSeq) would resurrect them.
+    */
+  def forwardPruned(spark: SparkSession, m: Manifest, buckets: Option[Seq[Int]]): DataFrame = {
     if (m.forwardDirs.isEmpty) {
       import spark.implicits._
       return Seq.empty[(String, Long, Long, Long, Int)]
@@ -46,12 +56,16 @@ object Logs {
     // each forward dir is its own hive-partitioned root (bkt_p=*) — read them
     // separately (per-dir basePath) and union, or Spark rejects the mix as
     // conflicting directory structures
-    val raw = m.forwardDirs
-      .map(d => spark.read.option("basePath", d).parquet(d)
-        .select("term", "docId", "tf", "dl", "bkt", "batchSeq"))
+    def read(pruned: Boolean): DataFrame = m.forwardDirs
+      .map { d =>
+        val df0 = spark.read.option("basePath", d).parquet(d)
+        val df = buckets.filter(_ => pruned).fold(df0)(bs =>
+          df0.where(col("bkt_p").isin(bs.map(Integer.valueOf): _*)))
+        df.select("term", "docId", "tf", "dl", "bkt", "batchSeq")
+      }
       .reduce(_ unionByName _)
-    val latest = raw.groupBy("docId").agg(max(col("batchSeq")).as("mb"))
-    raw.join(latest, "docId").where(col("batchSeq") === col("mb"))
+    val latest = read(pruned = false).groupBy("docId").agg(max(col("batchSeq")).as("mb"))
+    read(pruned = true).join(latest, "docId").where(col("batchSeq") === col("mb"))
       .join(docsAlive(spark, m).select("docId"), "docId")
       .select("term", "docId", "tf", "dl", "bkt")
   }

@@ -242,6 +242,56 @@ class EndToEndSpec extends AnyFunSuite {
     assert(Ledger.read(spark, d).where("step = 'segments' and status = 'done'").count() == 8)
   }
 
+  test("delete landing mid-build cancels the doc's pending waves (CancelTasks analog, BackgroundTaskQueue.cs:74-84)") {
+    import org.apache.spark.sql.functions.col
+    val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16)
+    val d = TestSpark.freshDir("middel")
+    val w = new IndexWriter(spark, d, conf)
+    w.fullBuild(turns, "b0", maxWaves = 1) // "killed" mid-build
+    val built = SegmentStore.latest(spark, d).get.buckets.keySet
+    // a conv whose unique token's bucket is NOT yet built — with the frozen
+    // build input, its pending wave would re-index the doc after the delete
+    val victim = (0 until 60).find { c =>
+      !built.contains(killa.util.Hashing.termBucket(s"uniq${c}_0", 8))
+    }.get
+    val victimConv = f"conv$victim%06d"
+    new killa.maintain.IndexMaintainer(spark, d, conf).remove(Seq(victimConv), "middel")
+    w.fullBuild(turns, "b0") // resume
+    val r = new IndexReader(spark, d, conf)
+    assert(collectMembers(r.membership(s"uniq${victim}_0")).isEmpty,
+      "a pending wave re-indexed a doc deleted mid-build")
+    val fin = turns.where(col("conv_id") =!= victimConv)
+    assert(collectMembers(r.membership("the")) ==
+      collectMembers(BruteForce.membership(fin, "the")))
+    assert(SegmentStore.latest(spark, d).get.numDocs == 59)
+    val got = r.bm25TopK(Seq("the", "query"), 10).collect()
+      .map(x => (x.getString(0), x.getDouble(1))).toSeq
+    val exp = BruteForce.bm25(fin, Seq("the", "query"), 10).collect()
+      .map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(got == exp, "BM25 over the post-delete corpus diverged")
+  }
+
+  test("update landing mid-build wins over the stale build input (batchSeq last-write)") {
+    val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16)
+    val d = TestSpark.freshDir("midupd")
+    val w = new IndexWriter(spark, d, conf)
+    w.fullBuild(turns, "b0", maxWaves = 1)
+    val built = SegmentStore.latest(spark, d).get.buckets.keySet
+    val victim = (0 until 60).find { c =>
+      !built.contains(killa.util.Hashing.termBucket(s"uniq${c}_0", 8))
+    }.get
+    val victimConv = f"conv$victim%06d"
+    import spark.implicits._
+    val newContent = Seq((victimConv, 0, "user", "midupdate_tok only", "",
+      new java.sql.Timestamp(0L))).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    new killa.maintain.IndexMaintainer(spark, d, conf).applyChanges(newContent, batchId = "midupd")
+    w.fullBuild(turns, "b0") // resume
+    val r = new IndexReader(spark, d, conf)
+    assert(collectMembers(r.membership("midupdate_tok")) == Set(victimConv))
+    assert(collectMembers(r.membership(s"uniq${victim}_0")).isEmpty,
+      "stale build input overwrote a mid-build update")
+  }
+
   test("partial snapshot only answers from built buckets (mid-indexing visibility, FileAnalyzerTests.cs:289-317)") {
     val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16)
     val d = TestSpark.freshDir("partial")
