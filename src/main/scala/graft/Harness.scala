@@ -90,6 +90,16 @@ object Harness {
   def reader(spark: SparkSession, sfDir: String): IndexReader =
     new IndexReader(spark, indexRoot(spark, sfDir), conf)
 
+  /** The shared index root with the positional index additionally built
+    * (phrase queries; content of the main index is untouched).
+    */
+  def posRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#pos", {
+      val root = indexRoot(spark, sfDir)
+      new IndexWriter(spark, root, conf).buildPositions(transcripts(spark, sfDir), "pos1")
+      root
+    })
+
   private def freshRoot(sfDir: String, variant: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = s"/root/repo/target/idxcache/$safe-$variant"

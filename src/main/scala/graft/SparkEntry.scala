@@ -90,6 +90,15 @@ object SparkEntry {
       new killa.query.IndexReader(s, removeTermsRoot(s, dir), conf).allBlocks
         .groupBy("term").agg(max(col("df")).as("df")).orderBy("term")
     }),
+    // phrase queries over the positional index (extension beyond the
+    // reference — consecutive-position intersection, see
+    // IndexWriter.buildPositions / IndexReader.phrase)
+    "q_phrase_pair" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .phrase(Seq("batch", "agg")).orderBy("conv_id")),
+    "q_phrase_tri" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .phrase(Seq("part", "filter", "scan")).orderBy("conv_id")),
     // corpus stats from the committed manifest
     "q_corpus_stats" -> ((s, dir) => {
       import s.implicits._
@@ -181,6 +190,14 @@ object SparkEntry {
       " SELECT a_id, b_id, round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 4) AS jaccard" +
       " FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id" +
       " WHERE round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 4) >= 0.8 ORDER BY a_id, b_id"
+  /** Token-position CTE over the transcripts: global position = rank under
+    * the stable (turn_idx, within-turn ordinal) order — the DuckDB mirror of
+    * IndexWriter.buildPositions.
+    */
+  private val PposCte =
+    ", ptoks AS (SELECT conv_id, turn_idx, unnest(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), (x, i) -> struct_pack(term := x, ord := i))) AS t FROM turns)" +
+      ", ppos AS (SELECT conv_id, t.term AS term, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, t.ord) - 1 AS pos FROM ptoks)"
+
   private val EmbCte =
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
   private def cosSql(a: String, b: String) =
@@ -221,6 +238,16 @@ object SparkEntry {
       " SELECT term, count(*) AS df FROM tf" +
       " WHERE NOT (conv_id = 'c00002' AND term IN ('spark', 'the'))" +
       " GROUP BY term ORDER BY term"),
+    "q_phrase_pair" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +
+      " WHERE a.term = 'batch' AND b.term = 'agg' ORDER BY conv_id"),
+    "q_phrase_tri" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +
+      " JOIN ppos c ON a.conv_id = c.conv_id AND c.pos = a.pos + 2" +
+      " WHERE a.term = 'part' AND b.term = 'filter' AND c.term = 'scan'" +
+      " ORDER BY conv_id"),
     "q_corpus_stats" -> (TurnsCte + TfCtes +
       " SELECT (SELECT n FROM stats) AS n_docs," +
       " (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens," +

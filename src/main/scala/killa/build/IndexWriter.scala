@@ -127,6 +127,45 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
     manifest
   }
 
+  /** Optional positional index over `turns` for phrase queries. One row per
+    * (term, docId): delta+varint position list, hive-partitioned by term
+    * bucket like the posting segments (same pruning). Positions are global
+    * token ranks under the stable (turn_idx, token ordinal) order. Scale
+    * shape: the window sorts per conversation (doc-bounded), the aggregation
+    * collects one term's positions within one doc (doc-bounded) — no hot-key
+    * amplification because the grouping key is (term, docId), never bare
+    * term. Committed as manifest.positionsDirs; content deltas invalidate it
+    * (IndexMaintainer clears the field), pure delete/rename batches keep it.
+    */
+  def buildPositions(turns: DataFrame, buildId: String): Manifest = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m0 = SegmentStore.latest(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no index at $root — run a full build first"))
+    val dir = s"$root/positions/$buildId"
+    val dict = killa.store.Logs.docsAlive(spark, m0)
+      .select(col("convId").as("conv_id"), col("docId"))
+    val toks = turns.select(col("conv_id"), col("turn_idx"),
+      posexplode(Tokenize.termsCol(col("text"))).as(Seq("tpos", "term")))
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx", "tpos")
+    val nb = conf.nBuckets
+    val rows = toks.withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .join(dict, "conv_id")
+      .groupBy(col("term"), col("docId"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .as[(String, Long, Seq[Long])]
+      .map { case (term, docId, ps) =>
+        killa.model.PosRow(term, docId, ps.length, Delta.encode(ps.toArray),
+          Hashing.termBucket(term, nb))
+      }
+    rows.toDF().withColumn("bkt_p", col("bkt"))
+      .repartition(col("bkt_p")).sortWithinPartitions("term", "docId")
+      .write.partitionBy("bkt_p").mode("overwrite").parquet(dir)
+    Ledger.append(spark, root, Seq(
+      LedgerRow(buildId, "positions", -1, "done", 0L, 0L, 0L, 0L, 0L, dir)))
+    SegmentStore.commit(spark, root, m0.copy(positionsDirs = Seq(dir)))
+  }
+
   /** Step A (idempotent, ledgered): tokenize, docId dictionary, doc stats,
     * forward index write. Reused untouched on resume.
     */
@@ -318,10 +357,13 @@ object IndexWriter {
           Varint.encode(java.util.Arrays.copyOf(tfs, n)),
           Varint.encode(java.util.Arrays.copyOf(dls, n)))
       }
-    // global df per term from run metadata only (map-side partial agg over
-    // the tiny run rows), joined back so every block carries the exact df
+    // global df per term aggregated straight from the forward rows (map-side
+    // partial count, one cheap pass over fwd — which the single-wave path
+    // already holds in memory), joined back so every block carries the exact
+    // df. NOT derived from `runs`: that lineage would re-execute the whole
+    // sort+encode phase a second time for the aggregation.
     val runsDf = runs.toDF()
-    val dfByTerm = runsDf.groupBy("term").agg(sum(col("n")).as("df"))
+    val dfByTerm = fwd.groupBy("term").agg(count(lit(1)).as("df"))
     val bs = conf.blockSize
     val nb = conf.nBuckets
     // max blocks a range can hold — the per-range blockId offset

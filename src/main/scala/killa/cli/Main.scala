@@ -114,6 +114,13 @@ object Main {
         val hits = if (mask.exists(c => c == '*' || c == '?')) session.searchWildcard(mask)
           else session.searchPrefix(mask)
         hits.orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
+      case "posbuild" => // positional index for phrase queries
+        new IndexWriter(spark, root, conf)
+          .buildPositions(spark.read.parquet(rest.head), s"pos-${stableId(rest.head)}")
+        println("positions built")
+      case "phrase" =>
+        session.phrase(rest.toSeq).orderBy("conv_id").collect()
+          .foreach(r => println(r.getString(0)))
       case "bm25" =>
         val k = rest.head.toInt
         session.topK(rest.drop(1).toSeq, k).collect()

@@ -254,6 +254,10 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
         buckets = m0.buckets ++ newBuckets,
         docsDirs = if (wroteDocs) m0.docsDirs :+ docsDeltaDir else m0.docsDirs,
         forwardDirs = if (wroteFwd) m0.forwardDirs :+ fwdDeltaDir else m0.forwardDirs,
+        // content changes invalidate the (batch-built) positional index;
+        // deletes/renames keep it — docIds are stable and dead docs filter
+        // out at phrase-query time via the alive dictionary
+        positionsDirs = if (wroteFwd) Nil else m0.positionsDirs,
         batchSeq = seq)
       val alive = Logs.docsAlive(spark, mDraft)
       val st = alive.agg(count(lit(1)), sum(col("dl")), max(col("docId"))).collect()(0)

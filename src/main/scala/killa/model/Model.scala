@@ -88,6 +88,14 @@ final case class LedgerRow(
     inputVersion: String,
     error: String = "")
 
+/** One positional posting: the ascending global token positions of `term`
+  * within document `docId` — position = rank under the stable
+  * (turn_idx, token ordinal) order the north rule pins — delta+varint coded.
+  * Basis of phrase queries (an extension beyond the reference, which has
+  * none; its wildcard TODO is the nearest neighbor).
+  */
+final case class PosRow(term: String, docId: Long, np: Int, posBin: Array[Byte], bkt: Int)
+
 /** A scored query hit. Tie order is (score desc, docId asc); docIds are
   * assigned by conv_id rank so this equals (score desc, conv_id asc).
   */

@@ -133,6 +133,51 @@ final class IndexReader(
     membershipWhere(if (pre.nonEmpty) col("term").startsWith(pre) && residual else residual)
   }
 
+  /** Phrase search over the positional index (IndexWriter.buildPositions):
+    * conversations containing the terms at consecutive global positions.
+    * Plan: one scan of the positions segments pruned to the phrase's terms
+    * (pushed IN filter + row-group stats on the sorted term column), a
+    * groupByKey per candidate doc (each group ≤ |phrase| position lists of
+    * ONE doc — bounded), executor-side merge-intersection of the sorted
+    * position lists, then the label join. Duplicate phrase terms are
+    * handled (each slot looks up its own term's list).
+    */
+  def phrase(termsIn: Seq[String]): DataFrame = {
+    val terms = termsIn.filter(t => t != null && t.nonEmpty)
+    if (terms.isEmpty || manifest.isEmpty) return emptyMembers
+    if (terms.length == 1) return membership(terms.head)
+    val m = manifest.get
+    if (m.positionsDirs.isEmpty)
+      throw new IllegalStateException(
+        "no positional index at this snapshot — run IndexWriter.buildPositions " +
+          "(content deltas invalidate positions; rebuild after maintenance)")
+    val distinctTerms = terms.distinct
+    val termSeq = terms // capture for closure
+    val matched = spark.read.parquet(m.positionsDirs: _*)
+      .where(col("term").isin(distinctTerms: _*))
+      .select("term", "docId", "np", "posBin")
+      .as[(String, Long, Int, Array[Byte])]
+      .groupByKey(_._2)
+      .flatMapGroups { (docId, it) =>
+        val byTerm = scala.collection.mutable.Map.empty[String, Array[Long]]
+        it.foreach { case (t, _, n, bin) => byTerm(t) = Delta.decode(bin, n) }
+        if (!termSeq.forall(byTerm.contains)) Iterator.empty
+        else {
+          var cand = byTerm(termSeq.head)
+          var i = 1
+          while (i < termSeq.length && cand.nonEmpty) {
+            val next = byTerm(termSeq(i))
+            val off = i.toLong
+            cand = cand.filter(p => java.util.Arrays.binarySearch(next, p + off) >= 0)
+            i += 1
+          }
+          if (cand.nonEmpty) Iterator.single(docId) else Iterator.empty
+        }
+      }
+      .toDF("docId")
+    matched.join(docsView, "docId").select(col("convId").as("conv_id"))
+  }
+
   /** Membership of every doc holding a term matching `termCond`: one pruned
     * scan over all bucket dirs (term buckets are hash-laid, so a range
     * predicate can't prune buckets — row-group stats inside each file do

@@ -43,6 +43,9 @@ final class QuerySession(spark: SparkSession, root: String, conf: Conf = Conf.de
   /** Glob wildcard search (`*`/`?` over terms). */
   def searchWildcard(mask: String): DataFrame = readerV.membershipWildcard(mask)
 
+  /** Phrase search over the positional index (`phrase` verb). */
+  def phrase(terms: Seq[String]): DataFrame = readerV.phrase(terms)
+
   /** IsIndexing analog (FileAnalyzer.cs:49): any build with pending
     * segment buckets in the ledger.
     */

@@ -20,6 +20,11 @@ import org.apache.spark.sql.SparkSession
   * @param docsDirs    ordered docId-dictionary log dirs (last-wins per docId)
   * @param forwardDirs ordered forward-index log dirs (doc → term/tf rows;
   *                    last-wins per docId by batchSeq)
+  * @param positionsDirs optional positional index (term, docId) → position
+  *                    list, built by IndexWriter.buildPositions; content
+  *                    deltas invalidate it (cleared on commit), pure
+  *                    delete/rename batches keep it (docIds are stable and
+  *                    dead docs filter out at query time)
   */
 final case class Manifest(
     version: Int,
@@ -31,7 +36,8 @@ final case class Manifest(
     totalTokens: Long,
     avgdl: Double,
     maxDocId: Long,
-    batchSeq: Long) {
+    batchSeq: Long,
+    positionsDirs: Seq[String] = Nil) {
   def bucketPath(b: Int): Option[String] = buckets.get(b).map(dir => s"$dir/bkt_p=$b")
 }
 
@@ -81,7 +87,8 @@ object SegmentStore {
       totalTokens = node.get("totalTokens").asLong(),
       avgdl = node.get("avgdl").asDouble(),
       maxDocId = node.get("maxDocId").asLong(),
-      batchSeq = node.get("batchSeq").asLong())
+      batchSeq = node.get("batchSeq").asLong(),
+      positionsDirs = if (node.has("positionsDirs")) strs("positionsDirs") else Nil)
   }
 
   def latest(spark: SparkSession, root: String): Option[Manifest] =
@@ -100,6 +107,8 @@ object SegmentStore {
     toWrite.docsDirs.foreach(dnode.add)
     val fnode = node.putArray("forwardDirs")
     toWrite.forwardDirs.foreach(fnode.add)
+    val pnode = node.putArray("positionsDirs")
+    toWrite.positionsDirs.foreach(pnode.add)
     node.put("numDocs", toWrite.numDocs)
     node.put("totalTokens", toWrite.totalTokens)
     node.put("avgdl", toWrite.avgdl)

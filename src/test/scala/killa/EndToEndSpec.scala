@@ -80,6 +80,38 @@ class EndToEndSpec extends AnyFunSuite {
     assert(r.membershipWildcard("").isEmpty && r.membershipWildcard(null).isEmpty)
   }
 
+  test("phrase search ≡ positional oracle, incl. duplicate terms; single term degrades to membership") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, desc, posexplode, row_number}
+    new IndexWriter(spark, root, Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16))
+      .buildPositions(turns, "pos1")
+    val r = reader
+    val ppos = turns.select(col("conv_id"), col("turn_idx"),
+        posexplode(killa.tokenize.Tokenize.termsCol(col("text"))).as(Seq("tp", "term")))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("conv_id").orderBy("turn_idx", "tp")).cast("long") - 1L)
+      .persist()
+    def oracle(ts: Seq[String]): Set[String] =
+      ts.zipWithIndex.map { case (t, i) =>
+        ppos.where(col("term") === t).select(col("conv_id"), (col("pos") - i).as("start"))
+      }.reduce((a, b) => a.join(b, Seq("conv_id", "start")))
+        .select("conv_id").distinct().collect().map(_.getString(0)).toSet
+    // most frequent real bigram of the corpus
+    val big = ppos.as("a").join(ppos.as("b"),
+        col("a.conv_id") === col("b.conv_id") && col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2")).count()
+      .orderBy(desc("count")).limit(1).collect()(0)
+    val (t1, t2) = (big.getString(0), big.getString(1))
+    val exp2 = oracle(Seq(t1, t2))
+    assert(exp2.nonEmpty, "fixture has no adjacent bigram — vacuous")
+    assert(collectMembers(r.phrase(Seq(t1, t2))) == exp2, s"phrase [$t1 $t2]")
+    assert(collectMembers(r.phrase(Seq(t1, t1))) == oracle(Seq(t1, t1)), s"dup phrase [$t1 $t1]")
+    assert(collectMembers(r.phrase(Seq("the", "absent_zz"))).isEmpty)
+    assert(collectMembers(r.phrase(Seq("query"))) == collectMembers(r.membership("query")))
+    ppos.unpersist()
+    ()
+  }
+
   test("BM25 rank identity: WAND path ≡ relational oracle, ids AND scores — both query paths (FIXTURES.md §3)") {
     // same queries through the adaptive driver-side path (small posting
     // volume → local DAAT) and the distributed range fan-out (forced via

@@ -238,6 +238,24 @@ class MaintainSpec extends AnyFunSuite {
     assertParity(root, fin, Seq("shared"))
   }
 
+  test("positional index: content deltas invalidate it; delete-only batches keep it (dead docs filtered)") {
+    val root = build(mkTurns(("a", 0, "p q r"), ("b", 0, "p q z"), ("c", 0, "q p")))
+    val w = new killa.build.IndexWriter(spark, root, conf)
+    w.buildPositions(mkTurns(("a", 0, "p q r"), ("b", 0, "p q z"), ("c", 0, "q p")), "pos1")
+    val maint = new IndexMaintainer(spark, root, conf)
+    assert(members(reader(root).phrase(Seq("p", "q"))) == Set("a", "b"))
+    // delete-only: positions survive, dead doc drops out of phrase hits
+    maint.remove(Seq("b"))
+    assert(members(reader(root).phrase(Seq("p", "q"))) == Set("a"))
+    // content delta: positions stale → snapshot invalidates them
+    maint.applyChanges(mkTurns(("c", 0, "p q now")), batchId = "upd")
+    val ex = intercept[IllegalStateException] { reader(root).phrase(Seq("p", "q")) }
+    assert(ex.getMessage.contains("positional"))
+    // rebuild over the final corpus restores service
+    w.buildPositions(mkTurns(("a", 0, "p q r"), ("c", 0, "p q now")), "pos2")
+    assert(members(reader(root).phrase(Seq("p", "q"))) == Set("a", "c"))
+  }
+
   test("snapshot isolation: a pinned reader never sees later batches (defensive-copy Get, StringIndex.cs:19-24)") {
     val root = build(mkTurns(("a", 0, "iso")))
     val pinned = reader(root) // pins the current latest version
