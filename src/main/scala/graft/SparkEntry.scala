@@ -117,8 +117,8 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) =>
       killa.text.TextOps.qualityFeatures(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
-    // language-ID heuristic: rows-only check (marker-lexicon scoring is not
-    // reasonably SQL-expressible)
+    // language-ID heuristic: marker-lexicon hit counts + priority argmax,
+    // recomputed independently by the DuckDB oracle
     "q_lang_id" -> ((s, dir) =>
       killa.text.TextOps.langId(documents(s, dir), "doc_id", "text").orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
@@ -145,8 +145,10 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
-    // LSH-bucketed ANN: rows-only (approximate; recall pinned in
-    // PipelineOpsSpec — 1.0 at this banding on the sf0.01 fixture)
+    // LSH-bucketed ANN: at the registered banding (64 planes × 16 bands)
+    // recall vs brute force is exactly 1.0 on the driver fixture (asserted as
+    // row-set EQUALITY in PipelineOpsSpec), so it shares the exact-cosine
+    // oracle — same pattern as q_dedup_minhash
     "q_ann_lsh_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
@@ -253,6 +255,25 @@ object SparkEntry {
       " (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens," +
       " round((SELECT avgdl FROM stats), 4) AS avgdl"),
 
+    // lang-id: same marker lexicons + greatest/argmax with en>de>es>fr
+    // priority, zero hits → 'und' — the independent SQL recomputation of
+    // TextOps.langId
+    "q_lang_id" -> {
+      val markers = killa.text.TextOps.LangMarkers.map { case (l, ms) =>
+        l -> ms.map(m => s"'$m'").mkString("[", ",", "]")
+      }
+      val hitCols = markers.map { case (l, arr) =>
+        s"COALESCE(len(list_filter(toks, x -> list_contains($arr, x))), 0) AS hits_$l"
+      }.mkString(", ")
+      val langs = markers.map(_._1)
+      val best = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.init.map(l => s"WHEN hits_$l = $best THEN '$l'")
+        .mkString(s"CASE WHEN $best = 0 THEN 'und' ", " ", s" ELSE '${langs.last}' END")
+      "WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents)" +
+        s", h AS (SELECT doc_id, $hitCols FROM w)" +
+        s" SELECT doc_id, $pred AS lang_pred, hits_en, hits_de, hits_es, hits_fr" +
+        " FROM h ORDER BY doc_id"
+    },
     "q_token_counts" -> (DocToksCte +
       " SELECT doc_id, len(toks) AS ws_tokens," +
       " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens" +
@@ -274,6 +295,14 @@ object SparkEntry {
     // 0.9998) — same oracle
     "q_dedup_minhash" -> (DocToksCte + ShinglesCte + JaccardSql),
     "q_ann_cosine_topk" -> (EmbCte +
+      ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
+      s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
+      ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
+      " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    // LSH candidates + exact re-rank reproduce the exact top-k on this
+    // corpus (recall 1.0 at 64×16 banding, asserted as equality in
+    // PipelineOpsSpec) — same oracle as the brute-force baseline
+    "q_ann_lsh_topk" -> (EmbCte +
       ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
       ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +

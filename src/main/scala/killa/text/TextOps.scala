@@ -77,8 +77,9 @@ object TextOps {
 
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Tokenize.termsCol(lower(col(textCol)))
+    // long for dtype parity with the SQL oracle (DuckDB len() is BIGINT)
     val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> coalesce(size(filter(toks, t => t.isInCollection(markers))), lit(0))
+      lang -> coalesce(size(filter(toks, t => t.isInCollection(markers))), lit(0)).cast("long")
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // first language (in declared priority order) reaching the max wins;

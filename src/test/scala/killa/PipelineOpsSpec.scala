@@ -151,16 +151,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(langs == Map("en" -> 382L, "und" -> 118L), s"lang-id drifted: $langs")
     // LSH-ANN at the registered banding (64 planes × 16 bands): recall vs
-    // brute force on the driver's own data — measured 1.0, pinned ≥ 0.9
+    // brute force on the driver's own data is exactly 1.0 — pinned as FULL
+    // row equality (ids, cosine, rank) because q_ann_lsh_topk registers the
+    // brute-force SQL as its DuckDB oracle on the strength of this property
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
     val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val lsh = Ann.lshTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
         nPlanes = 64, bands = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = brute.intersect(lsh).size.toDouble / brute.size
-    assert(recall >= 0.9, s"registered-banding recall dropped to $recall")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(lsh == brute, "registered-banding LSH top-k diverged from brute force")
   }
 
   test("text ops: token counts, quality features, fingerprints") {
