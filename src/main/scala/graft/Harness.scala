@@ -41,9 +41,14 @@ object Harness {
   /** BM25 oracle SQL over the shared CTEs for a fixed term list. Mirrors
     * killa.query.Bm25 exactly (same formula shape, same constants).
     */
-  def bm25OracleSql(terms: Seq[String], k: Int, conjunctive: Boolean): String = {
+  def bm25OracleSql(terms: Seq[String], k: Int, conjunctive: Boolean,
+      mustNot: Seq[String] = Nil): String = {
     val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
     val having = if (conjunctive) s" HAVING count(*) = ${terms.length}" else ""
+    // boolean NOT: drop every conv holding any excluded term BEFORE top-k
+    val exWhere = if (mustNot.isEmpty) "" else
+      mustNot.map(t => s"'$t'").mkString(
+        " WHERE conv_id NOT IN (SELECT DISTINCT conv_id FROM tf WHERE term IN (", ", ", "))")
     TurnsCte + TfCtes +
       s", q(term, tidx) AS (VALUES $vals)" +
       ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
@@ -51,7 +56,7 @@ object Harness {
       "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
       "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
       "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
-      s", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id$having)" +
+      s", scored AS (SELECT conv_id, sum(c) AS s FROM contrib$exWhere GROUP BY conv_id$having)" +
       s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
   }

@@ -66,6 +66,22 @@ object SparkEntry {
     // BM25 top-k, conjunctive (posting-list intersection)
     "q_bm25_conj" -> ((s, dir) =>
       present(reader(s, dir).bm25TopK(Seq("query", "filter"), 10, conjunctive = true))),
+    // boolean NOT: exclusion postings ride the same pruned scans and filter
+    // inside the DAAT kernel, so the k-th result is exact
+    "q_bm25_not" -> ((s, dir) =>
+      present(reader(s, dir).bm25TopK(Seq("query", "filter"), 10,
+        mustNot = Seq("spark")))),
+    // fuzzy term search (Levenshtein ≤ 1 over the term dictionary)
+    "q_membership_fuzzy" -> ((s, dir) =>
+      reader(s, dir).membershipFuzzy("spark", 1).orderBy("conv_id")),
+    // keyword-in-context snippets for the term's hit set: index finds the
+    // conversations, the source table renders ±3 tokens of context around
+    // the first occurrence
+    "q_snippets" -> ((s, dir) => {
+      val r = reader(s, dir)
+      killa.query.Snippets.forTerm(transcripts(s, dir), r.membership("spark"), "spark", 3)
+        .orderBy("conv_id")
+    }),
     // op 8 Indexer.Update end-to-end: index built on 3/5 of the turns, then
     // one incremental diff batch brings it to the full corpus — df readback
     // and BM25 must match full-corpus oracles exactly
@@ -157,6 +173,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
+    // IVF ANN registered at full probe breadth (nProbe = nCells) so the
+    // exact-cosine oracle verifies the whole machinery (seed → assign →
+    // probe → cell scan → re-rank); the sub-linear nProbe < nCells operating
+    // point and its recall/cost curve are pinned in PipelineOpsSpec — the
+    // fixture's uniform-random embeddings are IVF's worst case (recall ~
+    // nProbe/nCells there, unlike clustered production data)
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+      killa.ann.Ann.ivfTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
+          nCells = 16, nProbe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")
+    }),
     "q_embed_neardup" -> ((s, dir) =>
       killa.ann.Ann.nearDupPairs(embeddings(s, dir), "vec_id", "embedding", 0.45)
         .orderBy("a_id", "b_id")),
@@ -171,7 +201,15 @@ object SparkEntry {
       killa.streaming.StreamOps.windowedEventCounts(s, s"$dir/events.parquet",
         s"graft_stream_${math.abs(dir.hashCode)}")
         .withColumn("window_start", col("window_start").cast("timestamp"))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+    // gap-based per-user sessionization through the streaming engine's
+    // session_window state machine; oracle recomputes sessions relationally
+    // (gaps-and-islands over lag())
+    "q_stream_sessions" -> ((s, dir) =>
+      killa.streaming.StreamOps.sessionizedUserStats(s, s"$dir/events.parquet",
+        gap = "10 minutes", s"graft_sessions_${math.abs(dir.hashCode)}")
+        .withColumn("session_start", col("session_start").cast("timestamp"))
+        .orderBy("user_id", "session_start"))
   )
 
   private def documents(s: SparkSession, dir: String): DataFrame =
@@ -227,6 +265,21 @@ object SparkEntry {
     "q_bm25_single" -> bm25OracleSql(Seq("spark"), 10, conjunctive = false),
     "q_bm25_multi" -> bm25OracleSql(Seq("query", "filter", "join"), 10, conjunctive = false),
     "q_bm25_conj" -> bm25OracleSql(Seq("query", "filter"), 10, conjunctive = true),
+    "q_bm25_not" -> bm25OracleSql(Seq("query", "filter"), 10, conjunctive = false,
+      mustNot = Seq("spark")),
+    "q_membership_fuzzy" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE levenshtein(term, 'spark') <= 1" +
+      " ORDER BY conv_id"),
+    // snippets: first matching turn per conv (row_number over turn_idx),
+    // 1-based first token position, ±3-token window — the SQL mirror of
+    // killa.query.Snippets.forTerm
+    "q_snippets" -> (TurnsCte +
+      ", t AS (SELECT conv_id, turn_idx, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM turns)" +
+      ", m AS (SELECT conv_id, turn_idx, toks, list_position(toks, 'spark') AS pos FROM t WHERE COALESCE(list_position(toks, 'spark'), 0) > 0)" +
+      ", f AS (SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn FROM m)" +
+      " SELECT conv_id, turn_idx, CAST(pos AS BIGINT) AS pos," +
+      " array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet" +
+      " FROM f WHERE rn = 1 ORDER BY conv_id"),
     "q_incr_update_df" -> (TurnsCte + TfCtes +
       " SELECT term, count(*) AS df FROM tf GROUP BY term ORDER BY term"),
     "q_incr_update_bm25" -> bm25OracleSql(Seq("query", "scan"), 10, conjunctive = false),
@@ -307,6 +360,13 @@ object SparkEntry {
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
       ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
       " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    // IVF probes cover the exact top-k on this corpus (pinned as equality in
+    // PipelineOpsSpec) — same oracle as the brute-force baseline
+    "q_ann_ivf_topk" -> (EmbCte +
+      ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
+      s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
+      ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
+      " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
     "q_embed_neardup" -> (EmbCte +
       s" SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(${cosSql("a.v", "b.v")}, 4) AS cosine" +
       " FROM e a JOIN e b ON a.vec_id < b.vec_id" +
@@ -316,6 +376,20 @@ object SparkEntry {
       " FROM documents ORDER BY id"),
     "q_stream_window" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start," +
       " event_type, count(*) AS n, round(sum(value), 4) AS sum_value" +
-      " FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+      " FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // sessions = runs of a user's events with ≤ 10 min between neighbors:
+    // Spark merges session windows that touch (next.start == prev.end), so a
+    // gap of EXACTLY the duration still merges — break only on strictly >
+    // (pinned by the boundary case in StreamingSpec)
+    "q_stream_sessions" -> ("WITH o AS (SELECT user_id, event_id, ts, value," +
+      " CASE WHEN lag(ts) OVER w IS NULL" +
+      " OR ts - lag(ts) OVER w > INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk" +
+      " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))" +
+      ", s AS (SELECT user_id, ts, value," +
+      " sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid" +
+      " FROM o)" +
+      " SELECT user_id, min(ts) AS session_start, count(*) AS n," +
+      " round(sum(value), 4) AS sum_value" +
+      " FROM s GROUP BY user_id, sid ORDER BY user_id, session_start")
   )
 }

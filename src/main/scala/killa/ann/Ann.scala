@@ -139,6 +139,70 @@ object Ann {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: the second sublinear path next to [[lshTopK]],
+    * trading LSH's fixed hash family for data-adaptive cells.
+    *
+    *  - Cell seeds: the `nCells` corpus vectors with the smallest
+    *    splitmix64(id) — a deterministic uniform sample (no runtime
+    *    randomness, no k-means iterations; at production scale swap in
+    *    k-means|| seeds, the operator shape is identical).
+    *  - Assignment: each vector scores against all `nCells` seed vectors in
+    *    ONE codegen'd projection (seeds inlined as literals — they are
+    *    driver-bounded by construction) and lands in its argmax cell:
+    *    no shuffle, no crossJoin row expansion.
+    *  - Query: probe the `nProbe` nearest cells, scan only their members
+    *    (an equi-join on cell id), exact-cosine re-rank to top-k. Expected
+    *    scan fraction ≈ nProbe/nCells of the corpus.
+    *
+    * Approximate: recall < 1 when a true neighbor's cell isn't probed;
+    * measured against [[bruteForceTopK]] in PipelineOpsSpec.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(nCells > 0 && nProbe > 0)
+    import killa.expr.Splitmix64Xor
+    // deterministic seed sample, ordered by id for a stable cell numbering
+    val seeds: Array[(Long, Seq[Float])] = embeddings
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .withColumn("h", Splitmix64Xor.minhashCol(col("cid"), 0))
+      .orderBy(col("h"), col("cid")).limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val cellIds = typedLit(seeds.map(_._1).toSeq)
+
+    // argmax cell of a vector column, as one projection: scores against every
+    // seed (ties → lowest cell index, so assignment is total and stable)
+    def cellOf(v: Column): Column = {
+      val scores = array(seeds.toSeq.map { case (_, cv) => cosineCol(v, typedLit(cv)) }: _*)
+      element_at(cellIds, array_position(scores, array_max(scores)).cast("int"))
+    }
+
+    val assigned = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("cell", cellOf(col("v")))
+
+    // nProbe nearest cells per query (queries are top-k-request-sized)
+    val qScored = queries
+      .select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+      .withColumn("cs", array(seeds.toSeq.map { case (_, cv) => cosineCol(col("qv"), typedLit(cv)) }: _*))
+      .select(col("q_id"), col("qv"), posexplode(col("cs")).as(Seq("ci", "cos")))
+    val probeW = Window.partitionBy("q_id").orderBy(col("cos").desc, col("ci").asc)
+    val probes = qScored.withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nProbe)
+      .select(col("q_id"), col("qv"), element_at(cellIds, col("ci") + 1).as("cell"))
+
+    // no dedup needed: cells partition the corpus and probes are distinct
+    // per query, so (q_id, vec_id) pairs are unique by construction
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosineCol(col("v"), col("qv")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cosine", "rank")
+  }
+
   /** Exact all-pairs oracle for [[nearDupPairs]] — O(n²), test scale ONLY. */
   def nearDupPairsExact(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

@@ -19,7 +19,9 @@ import killa.streaming.StreamOps
   *   q <term>                  immediate search            (Program.cs:52-66)
   *   qw <term>                 quiescent search            (Program.cs:53-59)
   *   qp <prefix|glob>          prefix/wildcard search (reference README TODO)
-  *   bm25 <k> <term>...        top-k BM25 (baseline addition)
+  *   qf <term> [maxDist]       fuzzy search (Levenshtein over terms)
+  *   bm25 <k> <term>... [NOT <term>...]  top-k BM25, boolean NOT exclusions
+  *   snip <parquet> <term> [w] keyword-in-context snippets for hits
   *   sub <parquet> <source> [mask]   subscribe/add mask + backfill (Program.cs:67-79)
   *   unsub <source> [mask]     unsubscribe source or one mask + de-index (Program.cs:80-90)
   *   index?                    IsIndexing                  (Program.cs:91-97)
@@ -28,6 +30,7 @@ import killa.streaming.StreamOps
   *   ingest <dir> [source] [mask...]  continuous ingestion (watcher analog)
   *   flush                     clear the index (StringIndex.cs:84-89)
   *   compact                   fold the docs/forward logs (GC analog)
+  *   vacuum [keepLast]         expire old snapshots + dead segment dirs
   *   status                    manifest + ledger summary
   * }}}
   */
@@ -121,10 +124,24 @@ object Main {
       case "phrase" =>
         session.phrase(rest.toSeq).orderBy("conv_id").collect()
           .foreach(r => println(r.getString(0)))
+      case "qf" => // fuzzy search: qf <term> [maxDist]
+        val d = rest.lift(1).map(_.toInt).getOrElse(1)
+        session.searchFuzzy(rest.headOption.orNull, d)
+          .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
       case "bm25" =>
+        // bm25 <k> <term>... [NOT <term>...] — terms after a literal NOT
+        // are boolean exclusions
         val k = rest.head.toInt
-        session.topK(rest.drop(1).toSeq, k).collect()
+        val (pos, neg) = rest.drop(1).toSeq.span(_ != "NOT")
+        session.topK(pos, k, mustNot = neg.drop(1)).collect()
           .foreach(r => println(f"${r.getString(0)}%s\t${r.getDouble(1)}%.6f"))
+      case "snip" => // snip <parquet> <term> [width]: render hit contexts
+        val width = rest.lift(2).map(_.toInt).getOrElse(3)
+        val term = rest(1)
+        killa.query.Snippets.forTerm(spark.read.parquet(rest.head),
+            session.search(term), term, width)
+          .orderBy("conv_id").collect()
+          .foreach(r => println(s"${r.getString(0)}|${r.getInt(1)}|${r.getString(3)}"))
       case "build" =>
         val src = if (rest.length > 1) rest(1) else "default"
         new IndexWriter(spark, root, conf)
@@ -211,6 +228,10 @@ object Main {
       case "compact" =>
         val m = new IndexMaintainer(spark, root, conf).compact()
         println(s"compacted to version ${m.version}")
+      case "vacuum" => // vacuum [keepLast]: expire old snapshots + dead dirs
+        val keep = rest.headOption.map(_.toInt).getOrElse(1)
+        val st = SegmentStore.vacuum(spark, root, keep)
+        println(s"vacuumed: ${st.removedSnapshots} snapshots, ${st.removedDirs} dirs")
       case "status" =>
         SegmentStore.latest(spark, root) match {
           case None => println("no index")

@@ -20,7 +20,8 @@ object BruteForce {
       termsIn: Seq[String],
       k: Int,
       conjunctive: Boolean = false,
-      conf: Conf = Conf.default): DataFrame = {
+      conf: Conf = Conf.default,
+      mustNot: Seq[String] = Nil): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
@@ -59,7 +60,13 @@ object BruteForce {
       count(lit(1)).as("nt"))
 
     val filtered = if (conjunctive) scored.where(col("nt") === terms.size) else scored
-    filtered.orderBy(col("score").desc, col("conv_id").asc).limit(k)
+    // boolean NOT: drop convs holding any excluded term before the top-k cut
+    val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
+    val notFiltered = if (ex.isEmpty) filtered
+      else filtered.join(
+        toks.where(col("term").isin(ex: _*)).select("conv_id").distinct(),
+        Seq("conv_id"), "left_anti")
+    notFiltered.orderBy(col("score").desc, col("conv_id").asc).limit(k)
       .select("conv_id", "score")
   }
 

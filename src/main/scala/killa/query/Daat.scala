@@ -127,19 +127,41 @@ object Daat {
   /** Score all qualifying docs with docId ∈ (lo, hi]; emit the local top-k
     * (score-ties at the threshold retained).
     *
-    * @param termBlocks per query term (in query order), that term's blocks
-    *                   sorted by firstDoc; empty array = term absent.
-    * @param weights    per-term premultiplied BM25 weight idf·(k1+1).
+    * @param termBlocks    per query term (in query order), that term's blocks
+    *                      sorted by firstDoc; empty array = term absent.
+    * @param weights       per-term premultiplied BM25 weight idf·(k1+1).
+    * @param excludeBlocks per must-NOT term, that term's blocks sorted by
+    *                      firstDoc: docs holding ANY of these terms are
+    *                      filtered out before heap admission. Exclusion
+    *                      cursors only ever seek forward (candidates are
+    *                      non-decreasing in both modes) and skipped blocks
+    *                      never decode; skipping admission keeps the WAND
+    *                      threshold conservative, so pruning stays exact.
     */
   def scoreRange(
       termBlocks: Array[Array[PostingBlock]],
       weights: Array[Double],
       lo: Long, hi: Long, k: Int,
       conjunctive: Boolean,
-      k1: Double, b: Double, avgdl: Double): Iterator[(Long, Double)] = {
+      k1: Double, b: Double, avgdl: Double,
+      excludeBlocks: Array[Array[PostingBlock]] = Array.empty): Iterator[(Long, Double)] = {
     val nT = termBlocks.length
     if (conjunctive && termBlocks.exists(_.isEmpty)) return Iterator.empty
     val cursors = termBlocks.map(new TermCursor(_, lo, hi))
+    val exCursors = excludeBlocks.map(new TermCursor(_, lo, hi))
+    val nEx = exCursors.length
+    def excluded(doc: Long): Boolean = {
+      var e = 0
+      while (e < nEx) {
+        val c = exCursors(e)
+        if (!c.exhausted) {
+          c.seek(doc)
+          if (!c.exhausted && c.doc == doc) return true
+        }
+        e += 1
+      }
+      false
+    }
     val heap = new TopK(k)
 
     if (conjunctive) {
@@ -156,13 +178,15 @@ object Daat {
           t += 1
         }
         if (aligned) {
-          var score = 0.0
-          t = 0
-          while (t < nT) {
-            score += Bm25.contrib(weights(t), cursors(t).tf, cursors(t).dl, k1, b, avgdl)
-            t += 1
+          if (!excluded(target)) {
+            var score = 0.0
+            t = 0
+            while (t < nT) {
+              score += Bm25.contrib(weights(t), cursors(t).tf, cursors(t).dl, k1, b, avgdl)
+              t += 1
+            }
+            heap.offer(score, target)
           }
-          heap.offer(score, target)
           t = 0
           while (t < nT) { cursors(t).next(); t += 1 }
         }
@@ -202,7 +226,7 @@ object Daat {
               bound += weights(t) * cursors(t).blockMaxImpact(k1, b, avgdl)
             t += 1
           }
-          if (bound >= heap.threshold) {
+          if (bound >= heap.threshold && !excluded(cand)) {
             var score = 0.0
             t = 0
             while (t < nT) {

@@ -133,6 +133,20 @@ final class IndexReader(
     membershipWhere(if (pre.nonEmpty) col("term").startsWith(pre) && residual else residual)
   }
 
+  /** Fuzzy term search: conversations containing any term within Levenshtein
+    * edit distance ≤ `maxDist` of `term`. The first edit can change the first
+    * character, so no prefix range pushes down — like a leading-wildcard mask
+    * this is one scan of the (small) term dictionary columns per bucket, with
+    * a cheap codegen'd length-band pre-filter ahead of the levenshtein
+    * residual; posting payloads decode only for matching terms.
+    */
+  def membershipFuzzy(term: String, maxDist: Int = 1): DataFrame = {
+    if (term == null || term.isEmpty) return emptyMembers
+    if (maxDist <= 0) return membership(term)
+    val lenBand = abs(length(col("term")) - lit(term.length)) <= maxDist
+    membershipWhere(lenBand && levenshtein(col("term"), lit(term)) <= maxDist)
+  }
+
   /** Phrase search over the positional index (IndexWriter.buildPositions):
     * conversations containing the terms at consecutive global positions.
     * Plan: one scan of the positions segments pruned to the phrase's terms
@@ -216,14 +230,23 @@ final class IndexReader(
     * @param termsIn query terms; duplicates collapse set-style (reference
     *                token-set semantics); null/empty terms dropped; empty
     *                query → empty result without store access.
+    * @param mustNot boolean-NOT terms: documents containing ANY of them are
+    *                excluded before top-k selection (exclusion rides the
+    *                same pruned block scans and is applied inside the DAAT
+    *                kernel, so the k-th result is exact — never a
+    *                post-filtered hole).
     */
-  def bm25TopK(termsIn: Seq[String], k: Int, conjunctive: Boolean = false): DataFrame = {
+  def bm25TopK(termsIn: Seq[String], k: Int, conjunctive: Boolean = false,
+      mustNot: Seq[String] = Nil): DataFrame = {
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    // a term both required and excluded stays excluded (t AND NOT t = ∅ in
+    // conjunctive mode; disjunctive docs holding it drop) — plain boolean
+    val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
     if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
-    localTopK(terms, k, conjunctive, m)
-      .getOrElse(finishTopK(scoredCandidates(terms, k, conjunctive, m), k))
+    localTopK(terms, ex, k, conjunctive, m)
+      .getOrElse(finishTopK(scoredCandidates(terms, ex, k, conjunctive, m), k))
   }
 
   /** Adaptive small-query fast path: when the query's pruned posting volume
@@ -237,21 +260,26 @@ final class IndexReader(
     * (cap × blockSize postings).
     */
   private[killa] def localTopK(
-      terms: Seq[String], k: Int, conjunctive: Boolean, m: Manifest): Option[DataFrame] = {
+      terms: Seq[String], mustNot: Seq[String], k: Int, conjunctive: Boolean,
+      m: Manifest): Option[DataFrame] = {
     val cap = conf.localQueryBlocks
     if (cap <= 0) return None
-    val tagged: Dataset[(Int, PostingBlock)] = terms.zipWithIndex
+    // exclusion terms ride the same probe: a hot mustNot term ("NOT the")
+    // pushes the query to the distributed path just like a hot query term
+    val all = terms ++ mustNot
+    val tagged: Dataset[(Int, PostingBlock)] = all.zipWithIndex
       .map { case (t, i) => postingBlocks(t).map(b => (i, b)) }
       .reduce(_ union _)
     val got = tagged.limit(cap + 1).collect()
     if (got.length > cap) return None
-    val perTerm = Array.fill(terms.length)(List.newBuilder[PostingBlock])
+    val perTerm = Array.fill(all.length)(List.newBuilder[PostingBlock])
     got.foreach { case (ti, b) => perTerm(ti) += b }
-    val termBlocks = perTerm.map(_.result().sortBy(_.firstDoc).toArray)
+    val blocks = perTerm.map(_.result().sortBy(_.firstDoc).toArray)
+    val termBlocks = blocks.take(terms.length)
     val weights = termBlocks.map(bs =>
       if (bs.isEmpty) 0.0 else Bm25.weight(m.numDocs, bs(0).df, conf.k1))
     val hits = Daat.scoreRange(termBlocks, weights, -1L, Long.MaxValue, k,
-      conjunctive, conf.k1, conf.b, m.avgdl).toArray
+      conjunctive, conf.k1, conf.b, m.avgdl, blocks.drop(terms.length)).toArray
     Some(labelHits(hits, k))
   }
 
@@ -260,10 +288,13 @@ final class IndexReader(
     * assert its physical shape).
     */
   private[killa] def scoredCandidates(
-      terms: Seq[String], k: Int, conjunctive: Boolean,
+      terms: Seq[String], mustNot: Seq[String], k: Int, conjunctive: Boolean,
       m: Manifest): DataFrame = {
+    // exclusion terms tag on after the query terms and replicate to ranges
+    // through the same fan-out; each range's kernel splits them back off
+    val all = terms ++ mustNot
     val blocksByTerm: Seq[(Int, Dataset[PostingBlock])] =
-      terms.zipWithIndex.map { case (t, i) => (i, postingBlocks(t)) }
+      all.zipWithIndex.map { case (t, i) => (i, postingBlocks(t)) }
     val allBlocks: Dataset[(Int, PostingBlock)] = blocksByTerm
       .map { case (i, ds) => ds.map(b => (i, b)) }
       .reduce(_ union _)
@@ -276,6 +307,7 @@ final class IndexReader(
     val nRanges = math.max(1, math.min(spark.sparkContext.defaultParallelism, 64))
     val stride = math.max(1L, (m.maxDocId + 2) / nRanges + 1)
     val nTerms = terms.length
+    val nAll = all.length
     val scored = allBlocks
       .flatMap { case (ti, blk) =>
         val r0 = blk.firstDoc / stride
@@ -284,9 +316,10 @@ final class IndexReader(
       }
       .groupByKey(_._1)
       .flatMapGroups { (rangeId, it) =>
-        val perTerm = Array.fill(nTerms)(List.newBuilder[PostingBlock])
+        val perTerm = Array.fill(nAll)(List.newBuilder[PostingBlock])
         it.foreach { case (_, ti, blk) => perTerm(ti) += blk }
-        val termBlocks = perTerm.map(_.result().sortBy(_.firstDoc).toArray)
+        val blocks = perTerm.map(_.result().sortBy(_.firstDoc).toArray)
+        val termBlocks = blocks.take(nTerms)
         // per-term BM25 weights from the blocks themselves (df is global per
         // term and stored in every block) — saves a whole driver round-trip;
         // a term with no blocks in this range contributes nothing here, and
@@ -294,7 +327,8 @@ final class IndexReader(
         val weights = termBlocks.map(bs => if (bs.isEmpty) 0.0 else Bm25.weight(n, bs(0).df, k1))
         val lo = rangeId * stride - 1 // (lo, hi] convention
         val hi = rangeId * stride + stride - 1
-        Daat.scoreRange(termBlocks, weights, lo, hi, k, conjunctive, k1, b, avgdl)
+        Daat.scoreRange(termBlocks, weights, lo, hi, k, conjunctive, k1, b, avgdl,
+          blocks.drop(nTerms))
       }
       .toDF("docId", "score")
     scored

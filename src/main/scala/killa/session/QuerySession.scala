@@ -32,10 +32,15 @@ final class QuerySession(spark: SparkSession, root: String, conf: Conf = Conf.de
   /** Quiescent search (`qw` verb, Program.cs:53-66 → DelayedSearch). */
   def delayedSearch(term: String): DataFrame = { refresh(); search(term) }
 
-  def topK(terms: Seq[String], k: Int, conjunctive: Boolean = false): DataFrame =
-    readerV.bm25TopK(terms, k, conjunctive)
+  def topK(terms: Seq[String], k: Int, conjunctive: Boolean = false,
+      mustNot: Seq[String] = Nil): DataFrame =
+    readerV.bm25TopK(terms, k, conjunctive, mustNot)
 
   def contains(term: String): Boolean = readerV.contains(term)
+
+  /** Fuzzy search (`qf` verb): terms within edit distance ≤ maxDist. */
+  def searchFuzzy(term: String, maxDist: Int = 1): DataFrame =
+    readerV.membershipFuzzy(term, maxDist)
 
   /** Prefix search (`qp` verb — the reference's wildcard-index TODO). */
   def searchPrefix(prefix: String): DataFrame = readerV.membershipPrefix(prefix)

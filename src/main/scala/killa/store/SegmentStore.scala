@@ -94,6 +94,64 @@ object SegmentStore {
   def latest(spark: SparkSession, root: String): Option[Manifest] =
     latestVersion(spark, root).map(read(spark, root, _))
 
+  final case class VacuumStats(removedSnapshots: Int, removedDirs: Int)
+
+  /** Expire old snapshots and delete the data directories only they
+    * reference — the Iceberg `expire_snapshots` analog. Every maintenance
+    * batch rewrites its affected buckets into NEW commit dirs (old versions
+    * stay readable for snapshot isolation), so a long-running index
+    * accumulates dead segment files; vacuum bounds that.
+    *
+    * Keeps the newest `keepLast` manifests; a path is live iff one of them
+    * references it (posting `bkt_p` dirs, docs/forward log dirs, positions
+    * dirs). Readers pinned to an expired version break — the standard
+    * retention contract; pick `keepLast` ≥ the longest reader lifetime.
+    * Build lineage (`builds/`, `ledger/`) is resume state, not snapshot
+    * data — untouched here.
+    *
+    * Metadata-only driver work (one listing per data class + per-manifest
+    * reference sets — no data scan), so it runs the same at any corpus size.
+    */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): VacuumStats = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val f = fs(spark, root)
+    val snapDir = new Path(snapshotsDir(root))
+    if (!f.exists(snapDir)) return VacuumStats(0, 0)
+    val versions = f.listStatus(snapDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt
+      }.sorted
+    if (versions.isEmpty) return VacuumStats(0, 0)
+    val kept = versions.takeRight(keepLast).map(read(spark, root, _))
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val live: Set[String] = kept.flatMap { m =>
+      m.buckets.keys.flatMap(m.bucketPath) ++ m.docsDirs ++ m.forwardDirs ++ m.positionsDirs
+    }.map(norm).toSet
+
+    var removedDirs = 0
+    def childDirs(p: Path): Seq[Path] =
+      if (f.exists(p)) f.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq else Nil
+    // docs/forward/positions logs: manifests reference the direct children
+    Seq("docs", "forward", "positions").foreach { sub =>
+      childDirs(new Path(s"$root/$sub")).foreach { d =>
+        if (!live.contains(d.toUri.getPath)) { f.delete(d, true); removedDirs += 1 }
+      }
+    }
+    // posting data: manifests reference bkt_p=<b> children of commit dirs;
+    // a commit dir with no live children goes entirely
+    childDirs(new Path(s"$root/data")).foreach { commit =>
+      val kids = f.listStatus(commit).map(_.getPath)
+      val (liveKids, deadKids) = kids.partition(k => live.contains(k.toUri.getPath))
+      deadKids.filter(k => f.getFileStatus(k).isDirectory).foreach { k =>
+        f.delete(k, true); removedDirs += 1
+      }
+      if (liveKids.isEmpty) { f.delete(commit, true); () }
+    }
+    val dropped = versions.dropRight(keepLast)
+    dropped.foreach(v => f.delete(new Path(f"${snapshotsDir(root)}/v$v%06d.json"), false))
+    VacuumStats(dropped.length, removedDirs)
+  }
+
   /** Atomic commit: write v{N+1} to a temp file, then rename into place. */
   def commit(spark: SparkSession, root: String, m: Manifest): Manifest = {
     val v = latestVersion(spark, root).getOrElse(0) + 1

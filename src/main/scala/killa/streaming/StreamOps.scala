@@ -58,6 +58,50 @@ object StreamOps {
         col("n"), col("sum_value"))
   }
 
+  /** Per-user sessionization via session windows (gap-based, the
+    * `flatMapGroupsWithState`-class stateful op expressed with the built-in
+    * `session_window` so state management, watermark eviction, and session
+    * merging stay inside the streaming engine): events of one user within
+    * `gap` of each other merge into one session (touching windows coalesce,
+    * so a spacing of exactly `gap` still merges — boundary pinned in
+    * StreamingSpec). Run to completion over the bounded
+    * events table via an in-memory sink (complete mode needs no watermark);
+    * the production shape streams the same aggregation in append mode with
+    * a watermark, exactly like [[windowedEventCountsToPath]].
+    * Output: (user_id, session_start, n, sum_value).
+    *
+    * State scales with OPEN sessions only (the watermark closes and evicts
+    * sessions `gap` behind the stream), partitioned by user_id — never
+    * whole-corpus state on any executor at any size.
+    */
+  def sessionizedUserStats(spark: SparkSession, eventsPath: String,
+      gap: String = "10 minutes",
+      queryName: String = "killa_stream_sessions"): DataFrame = {
+    val schema: StructType = spark.read.parquet(eventsPath).schema
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dir, glob) =
+      if (fs.getFileStatus(p).isDirectory) (eventsPath, None)
+      else (p.getParent.toString, Some(p.getName))
+    val reader0 = spark.readStream.schema(schema)
+    val events = glob.fold(reader0)(g => reader0.option("pathGlobFilter", g)).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n"), col("sum_value"))
+  }
+
   /** Production shape of [[windowedEventCounts]]: the same watermarked
     * windowed aggregation in APPEND mode streamed to a parquet table —
     * state is bounded by the watermark and finalized windows flow straight

@@ -15,7 +15,9 @@ class GraftSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle without query: ${os -- qs}")
-    // rows-only registrations are deliberate and few
-    assert((qs -- os) == Set("q_lang_id", "q_dedup_simhash", "q_ann_lsh_topk"))
+    // rows-only registrations are deliberate and few: only simhash remains
+    // (hamming over our 64-bit hash family isn't SQL-expressible; it carries
+    // an exhaustive Spark-side golden in PipelineOpsSpec instead)
+    assert((qs -- os) == Set("q_dedup_simhash"))
   }
 }

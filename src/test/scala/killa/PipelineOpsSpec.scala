@@ -110,6 +110,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("ANN IVF: full probe ≡ brute force; partial probe never fabricates, recall ≈ probe fraction") {
+    // q_ann_ivf_topk registers at nProbe = nCells so its DuckDB oracle is
+    // exact end-to-end through the whole IVF machinery (seed → assign →
+    // probe → cell scan → re-rank); the sub-linear operating point is
+    // nProbe < nCells, characterized below. NOTE the driver fixture's
+    // embeddings are uniform-random (no cluster structure), the worst case
+    // for IVF — recall there ~ nProbe/nCells by construction, which is why
+    // the registered query probes everything and real recall targets need
+    // clustered data or more probes.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+    val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val full = Ann.ivfTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
+        nCells = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full == brute, "full-probe IVF diverged from brute force")
+    // partial probe scans less and may miss — but never fabricates: every
+    // returned (pair, cosine) is a true cosine (precision 1 on identity)
+    val narrow = Ann.ivfTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
+        nCells = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val allCos = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(narrow.subsetOf(allCos))
+    assert(narrow.size == brute.size) // still returns a full top-k per query
+    val recall = narrow.count(t => brute.exists(b => b._1 == t._1 && b._2 == t._2)).toDouble / brute.size
+    assert(recall >= 0.15, s"nProbe=8/16 recall collapsed: $recall")
+  }
+
   test("embedding near-dup: LSH candidates + exact verify ≡ all-pairs oracle at the registered threshold (recall 1.0)") {
     // the exact data+threshold the driver verifies (sf0.01, τ=0.45): the
     // default banding must reproduce the all-pairs result EXACTLY, because

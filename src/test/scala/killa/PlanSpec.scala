@@ -51,7 +51,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("top-k BM25 candidate pipeline: pruned per-term scans, payload decode executor-side") {
     val r = new IndexReader(spark, root, conf)
-    val df = r.scoredCandidates(Seq("the", "query"), 5, conjunctive = false, r.manifest.get)
+    val df = r.scoredCandidates(Seq("the", "query"), Nil, 5, conjunctive = false, r.manifest.get)
     val plan = planOf(df)
     assert(plan.contains("EqualTo(term,the)") && plan.contains("EqualTo(term,query)"),
       s"per-term pushdown missing:\n$plan")

@@ -28,6 +28,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("sessionization: gap merging; the exactly-gap boundary MERGES (touching windows coalesce)") {
+    val dir = TestSpark.freshDir("sessin")
+    def t(min: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    // user 1: three events < 10 min apart, then one EXACTLY 10 min after the
+    // last — Spark merges touching session windows, so all four are ONE
+    // session; one more at +10:01 strictly exceeds the gap = NEW session.
+    // user 2: one lone event.
+    Seq(
+      (0L, t(0), 1L, "view", 1.0, "{}"),
+      (1L, t(5), 1L, "view", 2.0, "{}"),
+      (2L, t(14, 59), 1L, "view", 3.0, "{}"),
+      (3L, t(24, 59), 1L, "view", 4.0, "{}"), // = last + exactly 10:00 → merges
+      (4L, t(35), 1L, "view", 5.0, "{}"), // = last + 10:01 → breaks
+      (5L, t(30), 2L, "click", 9.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val got = StreamOps.sessionizedUserStats(spark, dir, "10 minutes", "spec_sessions")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 00:00:00.0", 4L, 10.0),
+      (1L, "2024-01-01 00:35:00.0", 1L, 5.0),
+      (2L, "2024-01-01 00:30:00.0", 1L, 9.0)))
+    // and on real driver data: the streaming result equals the batch
+    // session_window aggregation of the same input
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val stream = StreamOps.sessionizedUserStats(spark, path, "10 minutes", "spec_sessions2")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.getDouble(3))).toSet
+    val batch = spark.read.parquet(path)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("session_window.start"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.getDouble(3))).toSet
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("append-mode file sink: finalized windows stream to parquet, none on the driver (production shape)") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val out = TestSpark.freshDir("winout")
