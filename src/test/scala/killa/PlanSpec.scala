@@ -86,6 +86,49 @@ class PlanSpec extends AnyFunSuite {
       s"docId lookup not pushed to the docs scan:\n$plan")
   }
 
+  test("fuzzy search prunes payload columns; no UDF (levenshtein is a codegen'd native expression)") {
+    val r = new IndexReader(spark, root, conf)
+    val plan = planOf(r.membershipFuzzy("query", 1))
+    val scanLine = plan.linesIterator.find(l => l.contains("ReadSchema") && l.contains("docsBin"))
+      .getOrElse(fail(s"no segment scan found:\n$plan"))
+    assert(!scanLine.contains("tfsBin") && !scanLine.contains("dlsBin"),
+      s"payload columns not pruned: $scanLine")
+    assert(plan.contains("levenshtein") && !plan.contains("ScalaUDF"),
+      s"fuzzy residual must be the native levenshtein expression:\n$plan")
+  }
+
+  test("IVF assignment is one shuffle-free codegen'd projection; probe join broadcasts the query side") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+    val df = killa.ann.Ann.ivfTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
+      nCells = 8, nProbe = 2)
+    df.collect() // finalize the adaptive plan
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"probe join must broadcast the (tiny) probes side:\n$plan")
+    // the only Exchanges allowed: probe-selection window (tiny, per q_id),
+    // the broadcast of probes, and the per-query candidate window — never a
+    // corpus-wide repartition for cell assignment (a pure projection). AQE's
+    // toString repeats the initial plan, so count the final section only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"cell assignment must not shuffle the corpus ($exchanges hash exchanges):\n$finalPlan")
+    assert(!plan.contains("CartesianProduct"), s"IVF must not cross-join:\n$plan")
+  }
+
+  test("snippets: turn scan prunes to (conv_id, turn_idx, text); hit join broadcasts; no UDF") {
+    val r = new IndexReader(spark, root, conf)
+    val turns = Synth.transcripts(spark, 40, 4, seed = 3L).toDF()
+    val df = killa.query.Snippets.forTerm(turns, r.membership("query"), "query", 3)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"hit join must broadcast:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "snippet extraction must stay in codegen expressions")
+  }
+
   test("forward/tf aggregation pipeline stays in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val dir = TestSpark.freshDir("plansrc")
