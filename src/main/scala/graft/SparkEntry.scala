@@ -115,6 +115,13 @@ object SparkEntry {
     "q_phrase_tri" -> ((s, dir) =>
       new killa.query.IndexReader(s, posRoot(s, dir), conf)
         .phrase(Seq("part", "filter", "scan")).orderBy("conv_id")),
+    // term facet: top-N terms by document frequency, read from the committed
+    // posting blocks (df is stored in every block — no posting decode)
+    "q_top_terms" -> ((s, dir) => {
+      reader(s, dir).allBlocks
+        .groupBy("term").agg(max(col("df")).as("df"))
+        .orderBy(col("df").desc, col("term").asc).limit(20)
+    }),
     // corpus stats from the committed manifest
     "q_corpus_stats" -> ((s, dir) => {
       import s.implicits._
@@ -303,6 +310,9 @@ object SparkEntry {
       " JOIN ppos c ON a.conv_id = c.conv_id AND c.pos = a.pos + 2" +
       " WHERE a.term = 'part' AND b.term = 'filter' AND c.term = 'scan'" +
       " ORDER BY conv_id"),
+    "q_top_terms" -> (TurnsCte + TfCtes +
+      " SELECT term, count(*) AS df FROM tf GROUP BY term" +
+      " ORDER BY df DESC, term ASC LIMIT 20"),
     "q_corpus_stats" -> (TurnsCte + TfCtes +
       " SELECT (SELECT n FROM stats) AS n_docs," +
       " (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens," +

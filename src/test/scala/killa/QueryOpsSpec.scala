@@ -50,6 +50,15 @@ class QueryOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 mustNot: an exclusion term absent from the index is a no-op") {
+    for ((path, r) <- readers) {
+      val got = hits(r.bm25TopK(Seq("query", "filter"), 10,
+        mustNot = Seq("absent_token_xyz")))
+      val plain = hits(r.bm25TopK(Seq("query", "filter"), 10))
+      assert(got == plain, s"path=$path")
+    }
+  }
+
   test("bm25 mustNot: a term both required and excluded is plain boolean (t AND NOT t)") {
     for ((path, r) <- readers) {
       // conjunctive: empty by definition
