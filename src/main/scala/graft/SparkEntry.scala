@@ -115,6 +115,12 @@ object SparkEntry {
     "q_phrase_tri" -> ((s, dir) =>
       new killa.query.IndexReader(s, posRoot(s, dir), conf)
         .phrase(Seq("part", "filter", "scan")).orderBy("conv_id")),
+    // positions maintained incrementally: positional index built on 3/5 of
+    // the turns, one maintenance batch brings it to the full corpus — phrase
+    // results must equal the full-corpus oracle (no positional rebuild)
+    "q_incr_phrase" -> ((s, dir) =>
+      new killa.query.IndexReader(s, incrPhraseRoot(s, dir), conf)
+        .phrase(Seq("batch", "agg")).orderBy("conv_id")),
     // term facet: top-N terms by document frequency, read from the committed
     // posting blocks (df is stored in every block — no posting decode)
     "q_top_terms" -> ((s, dir) => {
@@ -301,6 +307,10 @@ object SparkEntry {
       " WHERE NOT (conv_id = 'c00002' AND term IN ('spark', 'the'))" +
       " GROUP BY term ORDER BY term"),
     "q_phrase_pair" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +
+      " WHERE a.term = 'batch' AND b.term = 'agg' ORDER BY conv_id"),
+    "q_incr_phrase" -> (TurnsCte + PposCte +
       " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
       " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +
       " WHERE a.term = 'batch' AND b.term = 'agg' ORDER BY conv_id"),

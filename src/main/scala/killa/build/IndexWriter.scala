@@ -134,8 +134,10 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
     * shape: the window sorts per conversation (doc-bounded), the aggregation
     * collects one term's positions within one doc (doc-bounded) — no hot-key
     * amplification because the grouping key is (term, docId), never bare
-    * term. Committed as manifest.positionsDirs; content deltas invalidate it
-    * (IndexMaintainer clears the field), pure delete/rename batches keep it.
+    * term. Committed as manifest.posBuckets (bucket → bkt_p dir); content
+    * batches REWRITE only the affected buckets (IndexMaintainer positions
+    * step), pure delete/rename batches touch nothing — docIds are stable and
+    * dead docs filter out at query time.
     */
   def buildPositions(turns: DataFrame, buildId: String): Manifest = {
     import spark.implicits._
@@ -163,7 +165,14 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
       .write.partitionBy("bkt_p").mode("overwrite").parquet(dir)
     Ledger.append(spark, root, Seq(
       LedgerRow(buildId, "positions", -1, "done", 0L, 0L, 0L, 0L, 0L, dir)))
-    SegmentStore.commit(spark, root, m0.copy(positionsDirs = Seq(dir)))
+    // bucket → bkt_p leaf dir, from what the write actually produced (empty
+    // buckets create no partition dir)
+    val fsys = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val posBuckets = fsys.listStatus(new Path(dir)).map(_.getPath.getName)
+      .collect { case n if n.startsWith("bkt_p=") =>
+        n.stripPrefix("bkt_p=").toInt -> s"$dir/$n"
+      }.toMap
+    SegmentStore.commit(spark, root, m0.copy(posBuckets = posBuckets))
   }
 
   /** Step A (idempotent, ledgered): tokenize, docId dictionary, doc stats,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import killa.Conf
 import killa.build.{Dict, IndexWriter, Ledger}
 import killa.codec.{Delta, Varint}
-import killa.model.{LedgerRow, PostingBlock}
+import killa.model.{LedgerRow, PosRow, PostingBlock}
 import killa.store.{Logs, Manifest, SegmentStore}
 import killa.tokenize.Tokenize
 
@@ -179,7 +179,48 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
       // (Indexer.cs:74-91, IndexerTests.cs:219-262).
       val dictChanged = renameRows.nonEmpty || nDeleted > 0 || !fresh.isEmpty
 
-      if (affectedBuckets.isEmpty && !dictChanged) {
+      // fresh position rows of this batch's changed convs — the maintenance
+      // analog of IndexWriter.buildPositions, derived from the SAME turns
+      def freshPositions(): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val nbc = conf.nBuckets
+        val toks = changed0.select(col("conv_id"), col("turn_idx"),
+          posexplode(Tokenize.termsCol(col("text"))).as(Seq("tpos", "term")))
+        val pw = Window.partitionBy("conv_id").orderBy("turn_idx", "tpos")
+        toks.withColumn("pos", row_number().over(pw).cast("long") - 1L)
+          .join(dict, "conv_id")
+          .groupBy(col("term"), col("docId"))
+          .agg(sort_array(collect_list(col("pos"))).as("positions"))
+          .as[(String, Long, Seq[Long])]
+          .map { case (term, docId, ps) =>
+            PosRow(term, docId, ps.length, Delta.encode(ps.toArray),
+              killa.util.Hashing.termBucket(term, nbc))
+          }.toDF()
+      }
+      val posSchema = org.apache.spark.sql.Encoders.product[PosRow].schema
+
+      // a token-order-only edit leaves every tf/dl unchanged (empty posting
+      // delta) but MOVES positions — when a positional index exists, probe
+      // whether the changed docs' position rows differ before suppressing.
+      // Cost: one bucket-pruned positions read of the changed docs' term
+      // buckets, only on posting-no-op batches — identical re-adds still
+      // suppress (posBin byte equality), order edits fall through to 5b.
+      lazy val stalePositions: Boolean =
+        m0.posBuckets.nonEmpty && !changedConvs.isEmpty && {
+          val fp = freshPositions()
+          val bkts = fp.select("bkt").distinct().collect().map(_.getInt(0))
+          val paths = bkts.toSeq.sorted.flatMap(m0.posPath).filter(fsExists)
+          val old =
+            if (paths.isEmpty) spark.emptyDataset[PosRow].toDF()
+            else spark.read.schema(posSchema).parquet(paths: _*)
+              .join(dict.select("docId"), Seq("docId"), "left_semi")
+          val j = old.select(col("term"), col("docId"), col("posBin").as("a"))
+            .join(fp.select(col("term"), col("docId"), col("posBin").as("b")),
+              Seq("term", "docId"), "full_outer")
+          !j.where(col("a").isNull || col("b").isNull || col("a") =!= col("b")).isEmpty
+        }
+
+      if (affectedBuckets.isEmpty && !dictChanged && !stalePositions) {
         // empty-batch suppression: no event, no version (BaseIndex.cs:36-40)
         newFwd.unpersist(); oldFwd.unpersist(); freshCleanup()
         deletedDocs.foreach(_.unpersist())
@@ -214,6 +255,42 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
           LedgerRow(batchId, "delta", b, "done", tc, pc, bc, by, wallMs, s"seq=$seq")
         })
         newBuckets = affectedBuckets.map(_ -> commitDir).toMap
+      }
+
+      // ---- 5b. positional-index maintenance (phrase queries stay correct
+      //          through content batches — no full positional rebuild):
+      //          affected buckets = buckets of any term in a touched doc's
+      //          OLD or NEW version (covers terms the new content dropped,
+      //          and token-order-only edits where no posting changed);
+      //          rewrite = old rows minus touched docs, plus fresh rows from
+      //          this batch's turns. Pure deletes stay lazy: dead docs
+      //          filter out via the alive-dictionary join at query time, and
+      //          docIds are never reused, so stale rows cannot collide.
+      var newPosBuckets = Map.empty[Int, String]
+      if (m0.posBuckets.nonEmpty && !changedConvs.isEmpty) {
+        val changedIds = dict.select("docId")
+        val affectedPos = oldFwd.join(changedIds, Seq("docId"), "left_semi")
+          .select(col("bkt")).unionByName(newFwd.select(col("bkt")))
+          .distinct().collect().map(_.getInt(0)).toSet
+        if (affectedPos.nonEmpty) {
+          val oldPosPaths = affectedPos.toSeq.sorted
+            .flatMap(b => m0.posPath(b)).filter(fsExists)
+          val oldPos =
+            if (oldPosPaths.isEmpty) spark.emptyDataset[PosRow].toDF()
+            else spark.read.schema(posSchema).parquet(oldPosPaths: _*)
+          val retainedPos = oldPos.join(touchedIds, Seq("docId"), "left_anti")
+          val posDir = s"$root/positions/$batchId-s$seq"
+          retainedPos.unionByName(freshPositions())
+            .withColumn("bkt_p", col("bkt"))
+            .repartition(col("bkt_p")).sortWithinPartitions("term", "docId")
+            .write.partitionBy("bkt_p").mode("overwrite").parquet(posDir)
+          // an affected bucket whose rebuilt content is empty writes no
+          // partition dir — still point the manifest at the (absent) path so
+          // the old rows stop being visible; readers fs-exists-filter
+          newPosBuckets = affectedPos.map(b => b -> s"$posDir/bkt_p=$b").toMap
+          Ledger.append(spark, root, Seq(LedgerRow(batchId, "positions", -1, "done",
+            0L, 0L, 0L, 0L, 0L, posDir)))
+        }
       }
 
       // ---- 6. docs + forward log deltas
@@ -254,10 +331,10 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
         buckets = m0.buckets ++ newBuckets,
         docsDirs = if (wroteDocs) m0.docsDirs :+ docsDeltaDir else m0.docsDirs,
         forwardDirs = if (wroteFwd) m0.forwardDirs :+ fwdDeltaDir else m0.forwardDirs,
-        // content changes invalidate the (batch-built) positional index;
-        // deletes/renames keep it — docIds are stable and dead docs filter
-        // out at phrase-query time via the alive dictionary
-        positionsDirs = if (wroteFwd) Nil else m0.positionsDirs,
+        // positions: affected buckets rewritten in 5b, the rest carried;
+        // deletes/renames touch nothing — docIds are stable and dead docs
+        // filter out at phrase-query time via the alive dictionary
+        posBuckets = m0.posBuckets ++ newPosBuckets,
         batchSeq = seq)
       val alive = Logs.docsAlive(spark, mDraft)
       val st = alive.agg(count(lit(1)), sum(col("dl")), max(col("docId"))).collect()(0)
@@ -277,6 +354,11 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
     * its old forward entry minus the given terms, re-applied through the
     * minimal-diff path (dl shrinks, so every remaining posting of the doc is
     * rewritten with the new length — BM25 consistency).
+    *
+    * Positional note: the op is defined on the SET index (the reference has
+    * no positions); the synthesized replacement text carries the remaining
+    * terms in arbitrary order, so the doc's position rows afterwards reflect
+    * that synthesized order, not the original prose.
     */
   def removeTerms(convId: String, terms: Seq[String], batchId: String = "rmterms"): Manifest = {
     val m0 = SegmentStore.latest(spark, root)

@@ -147,27 +147,33 @@ final class IndexReader(
     membershipWhere(lenBand && levenshtein(col("term"), lit(term)) <= maxDist)
   }
 
-  /** Phrase search over the positional index (IndexWriter.buildPositions):
+  /** Phrase search over the positional index (IndexWriter.buildPositions,
+    * maintained incrementally by IndexMaintainer's positions step):
     * conversations containing the terms at consecutive global positions.
-    * Plan: one scan of the positions segments pruned to the phrase's terms
-    * (pushed IN filter + row-group stats on the sorted term column), a
-    * groupByKey per candidate doc (each group ≤ |phrase| position lists of
-    * ONE doc — bounded), executor-side merge-intersection of the sorted
-    * position lists, then the label join. Duplicate phrase terms are
-    * handled (each slot looks up its own term's list).
+    * Plan: scans ONLY the phrase terms' position buckets (bucket-level path
+    * pruning via manifest.posBuckets, then pushed IN filter + row-group
+    * stats on the sorted term column), a groupByKey per candidate doc (each
+    * group ≤ |phrase| position lists of ONE doc — bounded), executor-side
+    * merge-intersection of the sorted position lists, then the label join
+    * (which also filters dead docs — deletes never rewrite positions).
+    * Duplicate phrase terms are handled (each slot looks up its own term's
+    * list).
     */
   def phrase(termsIn: Seq[String]): DataFrame = {
     val terms = termsIn.filter(t => t != null && t.nonEmpty)
     if (terms.isEmpty || manifest.isEmpty) return emptyMembers
     if (terms.length == 1) return membership(terms.head)
     val m = manifest.get
-    if (m.positionsDirs.isEmpty)
+    if (m.posBuckets.isEmpty)
       throw new IllegalStateException(
-        "no positional index at this snapshot — run IndexWriter.buildPositions " +
-          "(content deltas invalidate positions; rebuild after maintenance)")
+        "no positional index at this snapshot — run IndexWriter.buildPositions once" )
     val distinctTerms = terms.distinct
+    val posPaths = distinctTerms.map(t => Hashing.termBucket(t, m.nBuckets)).distinct
+      .flatMap(m.posPath).filter(p => fs(p).exists(new Path(p)))
+    if (posPaths.isEmpty) return emptyMembers
     val termSeq = terms // capture for closure
-    val matched = spark.read.parquet(m.positionsDirs: _*)
+    val posSchema = org.apache.spark.sql.Encoders.product[killa.model.PosRow].schema
+    val matched = spark.read.schema(posSchema).parquet(posPaths: _*)
       .where(col("term").isin(distinctTerms: _*))
       .select("term", "docId", "np", "posBin")
       .as[(String, Long, Int, Array[Byte])]

@@ -20,11 +20,13 @@ import org.apache.spark.sql.SparkSession
   * @param docsDirs    ordered docId-dictionary log dirs (last-wins per docId)
   * @param forwardDirs ordered forward-index log dirs (doc → term/tf rows;
   *                    last-wins per docId by batchSeq)
-  * @param positionsDirs optional positional index (term, docId) → position
-  *                    list, built by IndexWriter.buildPositions; content
-  *                    deltas invalidate it (cleared on commit), pure
-  *                    delete/rename batches keep it (docIds are stable and
-  *                    dead docs filter out at query time)
+  * @param posBuckets  optional positional index (term, docId) → position
+  *                    list, term-bucketed like the posting segments: bucket →
+  *                    its CURRENT bkt_p dir. Built by
+  *                    IndexWriter.buildPositions; content batches rewrite
+  *                    only the affected buckets (IndexMaintainer), pure
+  *                    delete/rename batches touch nothing (docIds are stable
+  *                    and dead docs filter out at query time)
   */
 final case class Manifest(
     version: Int,
@@ -37,8 +39,10 @@ final case class Manifest(
     avgdl: Double,
     maxDocId: Long,
     batchSeq: Long,
-    positionsDirs: Seq[String] = Nil) {
+    posBuckets: Map[Int, String] = Map.empty) {
   def bucketPath(b: Int): Option[String] = buckets.get(b).map(dir => s"$dir/bkt_p=$b")
+  /** Current positions dir of one term bucket (already a bkt_p leaf). */
+  def posPath(b: Int): Option[String] = posBuckets.get(b)
 }
 
 object SegmentStore {
@@ -66,8 +70,9 @@ object SegmentStore {
     val p = new Path(f"${snapshotsDir(root)}/v$version%06d.json")
     val in = fs(spark, root).open(p)
     val node = try mapper.readTree(in) finally in.close()
-    val buckets = {
-      val bnode = node.get("buckets")
+    def intMap(field: String): Map[Int, String] = {
+      if (!node.has(field)) return Map.empty
+      val bnode = node.get(field)
       val it = bnode.fieldNames()
       val b = Map.newBuilder[Int, String]
       while (it.hasNext) { val k = it.next(); b += (k.toInt -> bnode.get(k).asText()) }
@@ -80,7 +85,7 @@ object SegmentStore {
     Manifest(
       version = node.get("version").asInt(),
       nBuckets = node.get("nBuckets").asInt(),
-      buckets = buckets,
+      buckets = intMap("buckets"),
       docsDirs = strs("docsDirs"),
       forwardDirs = strs("forwardDirs"),
       numDocs = node.get("numDocs").asLong(),
@@ -88,7 +93,7 @@ object SegmentStore {
       avgdl = node.get("avgdl").asDouble(),
       maxDocId = node.get("maxDocId").asLong(),
       batchSeq = node.get("batchSeq").asLong(),
-      positionsDirs = if (node.has("positionsDirs")) strs("positionsDirs") else Nil)
+      posBuckets = intMap("posBuckets"))
   }
 
   def latest(spark: SparkSession, root: String): Option[Manifest] =
@@ -125,27 +130,30 @@ object SegmentStore {
     val kept = versions.takeRight(keepLast).map(read(spark, root, _))
     def norm(s: String): String = new Path(s).toUri.getPath
     val live: Set[String] = kept.flatMap { m =>
-      m.buckets.keys.flatMap(m.bucketPath) ++ m.docsDirs ++ m.forwardDirs ++ m.positionsDirs
+      m.buckets.keys.flatMap(m.bucketPath) ++ m.docsDirs ++ m.forwardDirs ++
+        m.posBuckets.values
     }.map(norm).toSet
 
     var removedDirs = 0
     def childDirs(p: Path): Seq[Path] =
       if (f.exists(p)) f.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq else Nil
-    // docs/forward/positions logs: manifests reference the direct children
-    Seq("docs", "forward", "positions").foreach { sub =>
+    // docs/forward logs: manifests reference the direct children
+    Seq("docs", "forward").foreach { sub =>
       childDirs(new Path(s"$root/$sub")).foreach { d =>
         if (!live.contains(d.toUri.getPath)) { f.delete(d, true); removedDirs += 1 }
       }
     }
-    // posting data: manifests reference bkt_p=<b> children of commit dirs;
-    // a commit dir with no live children goes entirely
-    childDirs(new Path(s"$root/data")).foreach { commit =>
-      val kids = f.listStatus(commit).map(_.getPath)
-      val (liveKids, deadKids) = kids.partition(k => live.contains(k.toUri.getPath))
-      deadKids.filter(k => f.getFileStatus(k).isDirectory).foreach { k =>
-        f.delete(k, true); removedDirs += 1
+    // posting + positions data: manifests reference bkt_p=<b> children of
+    // commit dirs; a commit dir with no live children goes entirely
+    Seq("data", "positions").foreach { sub =>
+      childDirs(new Path(s"$root/$sub")).foreach { commit =>
+        val kids = f.listStatus(commit).map(_.getPath)
+        val (liveKids, deadKids) = kids.partition(k => live.contains(k.toUri.getPath))
+        deadKids.filter(k => f.getFileStatus(k).isDirectory).foreach { k =>
+          f.delete(k, true); removedDirs += 1
+        }
+        if (liveKids.isEmpty) { f.delete(commit, true); () }
       }
-      if (liveKids.isEmpty) { f.delete(commit, true); () }
     }
     val dropped = versions.dropRight(keepLast)
     dropped.foreach(v => f.delete(new Path(f"${snapshotsDir(root)}/v$v%06d.json"), false))
@@ -165,8 +173,8 @@ object SegmentStore {
     toWrite.docsDirs.foreach(dnode.add)
     val fnode = node.putArray("forwardDirs")
     toWrite.forwardDirs.foreach(fnode.add)
-    val pnode = node.putArray("positionsDirs")
-    toWrite.positionsDirs.foreach(pnode.add)
+    val pnode = node.putObject("posBuckets")
+    toWrite.posBuckets.toSeq.sortBy(_._1).foreach { case (k, p) => pnode.put(k.toString, p) }
     node.put("numDocs", toWrite.numDocs)
     node.put("totalTokens", toWrite.totalTokens)
     node.put("avgdl", toWrite.avgdl)

@@ -238,22 +238,33 @@ class MaintainSpec extends AnyFunSuite {
     assertParity(root, fin, Seq("shared"))
   }
 
-  test("positional index: content deltas invalidate it; delete-only batches keep it (dead docs filtered)") {
+  test("positional index: maintained through content batches; deletes lazy; order-only edits detected") {
     val root = build(mkTurns(("a", 0, "p q r"), ("b", 0, "p q z"), ("c", 0, "q p")))
     val w = new killa.build.IndexWriter(spark, root, conf)
     w.buildPositions(mkTurns(("a", 0, "p q r"), ("b", 0, "p q z"), ("c", 0, "q p")), "pos1")
     val maint = new IndexMaintainer(spark, root, conf)
     assert(members(reader(root).phrase(Seq("p", "q"))) == Set("a", "b"))
-    // delete-only: positions survive, dead doc drops out of phrase hits
+    // delete-only: positions untouched, dead doc drops out of phrase hits
     maint.remove(Seq("b"))
     assert(members(reader(root).phrase(Seq("p", "q"))) == Set("a"))
-    // content delta: positions stale → snapshot invalidates them
+    // content batch: affected position buckets rewrite — phrase stays live
+    // and reflects the new content ("c" gains the phrase)
     maint.applyChanges(mkTurns(("c", 0, "p q now")), batchId = "upd")
-    val ex = intercept[IllegalStateException] { reader(root).phrase(Seq("p", "q")) }
-    assert(ex.getMessage.contains("positional"))
-    // rebuild over the final corpus restores service
-    w.buildPositions(mkTurns(("a", 0, "p q r"), ("c", 0, "p q now")), "pos2")
     assert(members(reader(root).phrase(Seq("p", "q"))) == Set("a", "c"))
+    assert(members(reader(root).phrase(Seq("q", "now"))) == Set("c"))
+    // token-order-only edit: every tf/dl is unchanged (empty posting delta)
+    // but positions MOVE — the staleness probe must bypass empty-batch
+    // suppression and rewrite ("a" loses the phrase, gains the reverse)
+    maint.applyChanges(mkTurns(("a", 0, "q p r")), batchId = "ord")
+    assert(members(reader(root).phrase(Seq("p", "q"))) == Set("c"))
+    assert(members(reader(root).phrase(Seq("q", "p"))) == Set("a"))
+    // re-adding byte-identical content is still a suppressed no-op
+    val vBefore = killa.store.SegmentStore.latest(spark, root).get.version
+    maint.applyChanges(mkTurns(("a", 0, "q p r")), batchId = "noop")
+    assert(killa.store.SegmentStore.latest(spark, root).get.version == vBefore)
+    // a brand-new conv flows into positions through the same step
+    maint.applyChanges(mkTurns(("d", 0, "p q fresh")), batchId = "add")
+    assert(members(reader(root).phrase(Seq("p", "q"))) == Set("c", "d"))
   }
 
   test("snapshot isolation: a pinned reader never sees later batches (defensive-copy Get, StringIndex.cs:19-24)") {
