@@ -41,6 +41,23 @@ object Bench {
     s
   }
 
+  /** Pin every thread of this JVM to exactly `cpus` cores for the duration
+    * of a level. Without this, local[N] bounds only EXECUTOR task slots —
+    * driver-side work (planning, adaptive local scoring, top-k merges,
+    * parquet footer reads, GC) leaks onto the box's remaining cores,
+    * flattering the low level and corrupting the N→4N ratio. With it, a
+    * level is an honest stand-in for a whole N-core node.
+    */
+  private def setAffinity(cpus: Int): Unit = {
+    val pid = ProcessHandle.current().pid().toString
+    val p = new ProcessBuilder("taskset", "-apc", s"0-${cpus - 1}", pid)
+      .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      .redirectError(ProcessBuilder.Redirect.DISCARD)
+      .start()
+    if (p.waitFor() != 0)
+      System.err.println(s"warning: taskset failed — level not core-bound")
+  }
+
   private def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -68,6 +85,7 @@ object Bench {
     */
   private def runLevel(cpus: Int, nConvs: Int, turnsPerConv: Int, timedBuilds: Int,
       queryReps: Int, warmups: Int): LevelResult = {
+    setAffinity(cpus)
     val spark = session(cpus)
     try {
       val turns = Synth.transcripts(spark, nConvs, turnsPerConv, seed = 42L).toDF()
@@ -94,6 +112,12 @@ object Bench {
       val buildThroughput = nTurns / buildSecs.min
       val buildThroughputMedian = nTurns / median(buildSecs)
 
+      // serving phase: AQE off — its runtime re-planning multiplies the
+      // per-query job/stage count, and every job serializes through the one
+      // DAGScheduler thread, which is the binding constraint under
+      // concurrent clients (plans here are small and fixed; AQE only helps
+      // the build side)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val reader = new IndexReader(spark, lastRoot, conf)
       val queries: Seq[(String, () => Long)] = Seq(
         "membership_hot" -> (() => reader.membership("the").count()),
@@ -204,9 +228,12 @@ object Bench {
          |${queryReps}×6 runs after warmup. Query throughput: `cpus` concurrent clients
          |(one FAIR pool each), 3 passes × 5 phases, BEST phase (same
          |shared-host rationale as builds: noise only slows a phase).
-         |Sandbox stand-in for N→4N executors: local[$cpusLo] → local[$cpusHi]
-         |(driver instruction; single box, so these share memory bandwidth a real
-         |cluster would not).
+         |Sandbox stand-in for N→4N executors: local[$cpusLo] → local[$cpusHi],
+         |each level's ENTIRE JVM pinned to exactly that many cores via
+         |taskset (local[N] alone bounds only executor slots — driver-side
+         |planning/merges/GC would leak onto spare cores and flatter the low
+         |level). Single box, so levels share memory bandwidth a real
+         |cluster would not.
          |
          || metric | local[$cpusLo] | local[$cpusHi] | scaling efficiency (target ≥ 0.8) |
          ||---|---|---|---|

@@ -28,6 +28,10 @@ package killa
   *                    scan job (identical results, less per-query scheduling);
   *                    bigger queries take the distributed range fan-out. 0
   *                    forces the distributed path (used by tests).
+  * @param labelCacheMax cap on the reader's hot docId→convId label cache
+  *                    (entries). Snapshot-pinned readers never see label
+  *                    churn, so the cache is consistency-free; the cap keeps
+  *                    the driver bounded at any dictionary size.
   */
 final case class Conf(
     k1: Double = 1.2,
@@ -36,7 +40,8 @@ final case class Conf(
     nBuckets: Int = 16,
     rangeDocs: Long = 131072L,
     waveBuckets: Int = 8,
-    localQueryBlocks: Int = 512)
+    localQueryBlocks: Int = 512,
+    labelCacheMax: Int = 1 << 20)
 
 object Conf {
   val default: Conf = Conf()

@@ -365,22 +365,41 @@ final class IndexReader(
     }
   }
 
-  /** Bounded driver merge shared by both top-k paths: point-look-up the
-    * candidates' labels with an IN filter the range-laid dictionary prunes
-    * on (file/row-group docId stats), then the exact global tie-break
-    * (score desc, conv_id asc).
+  // bounded hot-label cache: a reader is snapshot-pinned, so docId→convId
+  // is immutable for its lifetime. Point lookups of repeated top-k ids skip
+  // the Spark job entirely — the standard dictionary hot-set cache of a
+  // serving engine, and the dominant per-query driver cost under concurrent
+  // clients (every job serializes through the one DAGScheduler). Size-capped
+  // so a 10^12-doc dictionary can never swamp the driver.
+  private val labelCache = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+
+  /** Bounded driver merge shared by both top-k paths: resolve candidate
+    * labels from the hot cache, point-look-up only the misses with an IN
+    * filter the range-laid dictionary prunes on (file/row-group docId
+    * stats), then the exact global tie-break (score desc, conv_id asc).
     */
   private def labelHits(cands: Array[(Long, Double)], k: Int): DataFrame = {
     if (cands.isEmpty) return emptyHits
-    val ids = cands.map(_._1)
-    val labels = docsView.select(col("docId"), col("convId"))
-      .where(col("docId").isin(ids.toSeq: _*))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val misses = cands.map(_._1).distinct.filterNot(labelCache.containsKey(_))
+    if (misses.nonEmpty) {
+      val fetched = docsView.select(col("docId"), col("convId"))
+        .where(col("docId").isin(misses.toSeq: _*))
+        .collect()
+      if (labelCache.size() + fetched.length <= conf.labelCacheMax)
+        fetched.foreach(r => labelCache.put(r.getLong(0), r.getString(1)))
+      val m = fetched.map(r => r.getLong(0) -> r.getString(1)).toMap
+      return finishLabels(cands,
+        id => { val c = labelCache.get(id); if (c != null) c else m(id) }, k)
+    }
+    finishLabels(cands, labelCache.get(_), k)
+  }
+
+  private def finishLabels(cands: Array[(Long, Double)], label: Long => String,
+      k: Int): DataFrame =
     cands.iterator
-      .map { case (id, s) => (labels(id), s) }
+      .map { case (id, s) => (label(id), s) }
       .toArray
       .sortBy { case (conv, score) => (-score, conv) }
       .take(k)
       .toSeq.toDF("conv_id", "score")
-  }
 }
