@@ -163,7 +163,10 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       killa.dedup.Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text", 3, 64, 16, 0.8)
         .orderBy("a_id", "b_id")),
-    // simhash hamming pairs: rows-only (signature family not SQL-expressible)
+    // simhash hamming pairs: the DuckDB oracle recomputes the exact same
+    // tf-weighted FNV-1a64 simhash family (recursive byte-fold CTE) and takes
+    // ALL pairs with hamming ≤ 3 — segment blocking is complete by pigeonhole,
+    // so the blocked Spark result must equal the all-pairs oracle exactly
     "q_dedup_simhash" -> ((s, dir) =>
       killa.dedup.Dedup.simhashPairs(documents(s, dir), "doc_id", "text", 3)
         .orderBy("a_id", "b_id")),
@@ -363,6 +366,44 @@ object SparkEntry {
       " SELECT md5(array_to_string(toks, ' ')) AS text_md5, count(*) AS cnt," +
       " min(doc_id) AS rep_id FROM w GROUP BY 1 ORDER BY 1"),
     "q_dedup_ngram_jaccard" -> (DocToksCte + ShinglesCte + JaccardSql),
+    // simhash: independent recomputation of the EXACT signature family —
+    // FNV-1a64 per token via a recursive byte-fold CTE (ASCII corpus ⇒
+    // ord(char) = UTF-8 byte; HUGEINT keeps the 64-bit modular product exact:
+    // hash < 2^64 times prime 2^40 < 2^104 < HUGEINT range), tf-weighted
+    // per-bit majority, then ALL pairs at hamming ≤ 3 (segment blocking is
+    // complete by pigeonhole, so blocked Spark output = all-pairs oracle)
+    "q_dedup_simhash" -> ("""WITH RECURSIVE
+      |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |v AS (SELECT DISTINCT t FROM tf),
+      |fnv AS (
+      |  SELECT t, 1 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM v
+      |  UNION ALL
+      |  SELECT t, i + 1,
+      |    (xor(h, CAST(ord(substr(t, i, 1)) AS HUGEINT)) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+      |  FROM fnv WHERE i <= length(t)
+      |),
+      |fh AS (SELECT t, h FROM fnv WHERE i = length(t) + 1),
+      |bits AS (
+      |  SELECT 0 AS b, CAST(1 AS HUGEINT) AS p
+      |  UNION ALL
+      |  SELECT b + 1, p * 2 FROM bits WHERE b < 63
+      |),
+      |acc AS (
+      |  SELECT tf.doc_id, bits.b, bits.p,
+      |    sum(CASE WHEN (h // p) % 2 = 1 THEN tf ELSE -tf END) AS s
+      |  FROM tf JOIN fh ON tf.t = fh.t CROSS JOIN bits
+      |  GROUP BY 1, 2, 3
+      |),
+      |sig0 AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS u FROM acc GROUP BY 1),
+      |sigs AS (SELECT doc_id, CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END AS BIGINT) AS sig FROM sig0)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin),
     // MinHash LSH candidates + exact verify empirically reproduce the exact
     // jaccard pair set on this corpus (recall of 16x4 banding at τ=0.8 ≈
     // 0.9998) — same oracle

@@ -148,12 +148,13 @@ object Dedup {
     val segs = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
       (0 until nSeg).map { s => (id, sig, s, (sig >>> (s * segBits)) & ((1L << segBits) - 1)) }
     }.toDF("id", "sig", "seg", "segVal")
-    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    // native bit_count keeps the verify stage in whole-stage codegen (the
+    // old Scala-UDF hamming was the last UDF on a registered query path)
     segs.as("x").join(segs.as("y"),
         col("x.seg") === col("y.seg") && col("x.segVal") === col("y.segVal") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        hamming(col("x.sig"), col("y.sig")).as("hamming"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

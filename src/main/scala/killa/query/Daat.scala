@@ -107,15 +107,29 @@ object Daat {
     * here scores strictly below ≥ k docs of its own range, so it can never
     * reach the global top-k under any tie-break.
     */
-  private final class TopK(k: Int) {
+  private[query] final class TopK(k: Int) {
     private val minHeap = mutable.PriorityQueue.empty[Double](Ordering[Double].reverse)
     private val buf = mutable.ArrayBuffer.empty[(Long, Double)]
+    // compaction keeps buf at O(k + ties-at-threshold) even under an
+    // adversarial ascending-score order (every admission raises the
+    // threshold, stranding earlier entries): evict sub-threshold entries
+    // whenever buf outgrows the high-water mark. The mark doubles when a
+    // compaction can't shrink (all survivors are genuine ties that drain()
+    // must keep), so repeated no-op compactions amortize to O(1) per offer.
+    private var compactAt = math.max(4 * k, 64)
+    private[query] def bufferedCount: Int = buf.length
     def threshold: Double = if (minHeap.size < k) Double.NegativeInfinity else minHeap.head
     def offer(score: Double, doc: Long): Unit = {
       if (score >= threshold) { // ≥ admits ties (SURVEY.md §7.5.1)
         buf += ((doc, score))
         if (minHeap.size < k) minHeap.enqueue(score)
         else if (score > minHeap.head) { minHeap.dequeue(); minHeap.enqueue(score) }
+        if (buf.length > compactAt) {
+          val t = threshold
+          val kept = buf.filter(_._2 >= t)
+          buf.clear(); buf ++= kept
+          compactAt = math.max(math.max(4 * k, 64), 2 * buf.length)
+        }
       }
     }
     def drain(): Iterator[(Long, Double)] = {

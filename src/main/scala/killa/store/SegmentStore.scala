@@ -107,15 +107,19 @@ object SegmentStore {
     * stay readable for snapshot isolation), so a long-running index
     * accumulates dead segment files; vacuum bounds that.
     *
-    * Keeps the newest `keepLast` manifests; a path is live iff one of them
-    * references it (posting `bkt_p` dirs, docs/forward log dirs, positions
-    * dirs). Readers pinned to an expired version break — the standard
-    * retention contract; pick `keepLast` ≥ the longest reader lifetime.
-    * Build lineage (`builds/`, `ledger/`) is resume state, not snapshot
-    * data — untouched here.
+    * Keeps the newest `keepLast` manifests. Deletable = (referenced by an
+    * EXPIRED manifest) minus (referenced by a kept manifest) — like Iceberg's
+    * expire_snapshots, paths referenced by NO manifest are never touched:
+    * they are the uncommitted output of an in-flight build or maintenance
+    * batch (or of a crashed, ledger-resumable one), and deleting them would
+    * lose data a writer is about to commit or a resume will re-reference.
+    * Safe to run concurrently with writers for the same reason. Readers
+    * pinned to an expired version break — the standard retention contract;
+    * pick `keepLast` ≥ the longest reader lifetime. Build lineage
+    * (`builds/`, `ledger/`) is resume state, not snapshot data — untouched.
     *
-    * Metadata-only driver work (one listing per data class + per-manifest
-    * reference sets — no data scan), so it runs the same at any corpus size.
+    * Metadata-only driver work (per-manifest reference sets, one delete per
+    * dead dir — no data scan), so it runs the same at any corpus size.
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): VacuumStats = {
     require(keepLast >= 1, "keepLast must be >= 1")
@@ -127,37 +131,32 @@ object SegmentStore {
         n.stripPrefix("v").stripSuffix(".json").toInt
       }.sorted
     if (versions.isEmpty) return VacuumStats(0, 0)
-    val kept = versions.takeRight(keepLast).map(read(spark, root, _))
     def norm(s: String): String = new Path(s).toUri.getPath
-    val live: Set[String] = kept.flatMap { m =>
-      m.buckets.keys.flatMap(m.bucketPath) ++ m.docsDirs ++ m.forwardDirs ++
-        m.posBuckets.values
-    }.map(norm).toSet
+    def refs(m: Manifest): Set[String] =
+      (m.buckets.keys.flatMap(m.bucketPath) ++ m.docsDirs ++ m.forwardDirs ++
+        m.posBuckets.values).map(norm).toSet
+    val kept = versions.takeRight(keepLast).map(read(spark, root, _))
+    val expired = versions.dropRight(keepLast)
+    val live: Set[String] = kept.flatMap(refs).toSet
+    val dead: Set[String] = expired.map(read(spark, root, _)).flatMap(refs).toSet -- live
 
     var removedDirs = 0
+    dead.toSeq.sorted.foreach { d =>
+      val p = new Path(d)
+      if (f.exists(p)) { f.delete(p, true); removedDirs += 1 }
+    }
+    // a posting/positions commit dir whose bkt_p children are all gone is an
+    // empty shell — drop it, but ONLY if truly empty (a remaining child may
+    // be an in-flight writer's not-yet-committed bucket)
     def childDirs(p: Path): Seq[Path] =
       if (f.exists(p)) f.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq else Nil
-    // docs/forward logs: manifests reference the direct children
-    Seq("docs", "forward").foreach { sub =>
-      childDirs(new Path(s"$root/$sub")).foreach { d =>
-        if (!live.contains(d.toUri.getPath)) { f.delete(d, true); removedDirs += 1 }
-      }
-    }
-    // posting + positions data: manifests reference bkt_p=<b> children of
-    // commit dirs; a commit dir with no live children goes entirely
     Seq("data", "positions").foreach { sub =>
       childDirs(new Path(s"$root/$sub")).foreach { commit =>
-        val kids = f.listStatus(commit).map(_.getPath)
-        val (liveKids, deadKids) = kids.partition(k => live.contains(k.toUri.getPath))
-        deadKids.filter(k => f.getFileStatus(k).isDirectory).foreach { k =>
-          f.delete(k, true); removedDirs += 1
-        }
-        if (liveKids.isEmpty) { f.delete(commit, true); () }
+        if (f.exists(commit) && f.listStatus(commit).isEmpty) { f.delete(commit, true); () }
       }
     }
-    val dropped = versions.dropRight(keepLast)
-    dropped.foreach(v => f.delete(new Path(f"${snapshotsDir(root)}/v$v%06d.json"), false))
-    VacuumStats(dropped.length, removedDirs)
+    expired.foreach(v => f.delete(new Path(f"${snapshotsDir(root)}/v$v%06d.json"), false))
+    VacuumStats(expired.length, removedDirs)
   }
 
   /** Atomic commit: write v{N+1} to a temp file, then rename into place. */

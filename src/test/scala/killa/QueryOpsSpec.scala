@@ -133,4 +133,23 @@ class QueryOpsSpec extends AnyFunSuite {
     // idempotent: a second vacuum finds nothing else to remove
     assert(SegmentStore.vacuum(spark, r, keepLast = 1) == SegmentStore.VacuumStats(0, 0))
   }
+
+  test("vacuum never deletes paths referenced by NO manifest (in-flight writer output)") {
+    val r = TestSpark.freshDir("vacflight")
+    val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 3, blockSize = 16)
+    new IndexWriter(spark, r, conf).fullBuild(turns, "b0")
+    val maint = new IndexMaintainer(spark, r, conf)
+    maint.remove(Seq("conv000004"), "d1") // create ≥ 1 expired version
+    // simulate an in-flight build/batch: data dirs no manifest references yet
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inflight = Seq(
+      new org.apache.hadoop.fs.Path(s"$r/data/inflight-commit/bkt_p=0"),
+      new org.apache.hadoop.fs.Path(s"$r/docs/inflight-docs"),
+      new org.apache.hadoop.fs.Path(s"$r/forward/inflight-fwd"))
+    inflight.foreach(fs.mkdirs(_))
+    val stats = SegmentStore.vacuum(spark, r, keepLast = 1)
+    assert(stats.removedSnapshots >= 1)
+    inflight.foreach(p => assert(fs.exists(p), s"vacuum deleted in-flight path $p"))
+  }
 }
