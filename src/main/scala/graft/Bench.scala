@@ -10,11 +10,12 @@ import killa.query.IndexReader
 import killa.synth.Synth
 
 /** Benchmark protocol (BASELINE.md §3): fixed-seed synthetic transcripts,
-  * warm JVM, ≥3 timed runs, median; build turns/sec + query p95 at TWO
-  * parallelism levels (local[N/4] and local[N] stand in for N and 4N
-  * executors per the driver instruction) + scaling efficiency between them.
-  * Prints exactly ONE JSON line for the driver and writes the human report
-  * to BENCH.md.
+  * warm JVM, equal best-of-N sampling at TWO parallelism levels (local[N/4]
+  * and local[N] stand in for N and 4N executors per the driver instruction)
+  * + scaling efficiency between them, plus the reader-replication serving
+  * phase (1 vs 4 pinned frontend JVMs over the same store, both best-of-3,
+  * barrier-aligned fixed-duration windows). Prints exactly ONE JSON line for
+  * the driver and writes the human report to BENCH.md.
   */
 object Bench {
   private val conf = Conf(nBuckets = 32, rangeDocs = 131072, waveBuckets = 32, blockSize = 128)
@@ -76,14 +77,16 @@ object Bench {
   }
 
   private final case class LevelResult(
-      buildThroughput: Double, buildThroughputMedian: Double, qps: Double,
+      buildThroughput: Double, buildThroughputMedian: Double, buildSamples: Int,
+      qps: Double, qpsMedian: Double,
       p95Ms: Double, perQuery: Map[String, Double], lastRoot: String)
 
-  /** One QpsProbe frontend as a child JVM pinned to `cores`; returns its
-    * measured qps. Child processes get their own taskset mask (overriding
-    * the parent level's pin).
+  /** Launch one QpsProbe frontend as a child JVM pinned to `cores`.
+    * stderr goes to DISCARD (Spark logs there; an unread pipe deadlocks the
+    * child past ~64KB — ADVICE r2 #3), stdout carries the one-line JSON.
     */
-  private def runProbe(cores: String, root: String, nConvs: Int): Double = {
+  private def startProbe(cores: String, root: String, nConvs: Int, secs: Int,
+      barrierDir: String, id: Int): Process = {
     val java = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val addOpens = Seq(
@@ -96,17 +99,47 @@ object Bench {
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).map(p => s"--add-opens=$p=ALL-UNNAMED")
     val cmd = Seq("taskset", "-c", cores, java) ++ addOpens ++
-      Seq("-Xmx8g", "-cp", cp, "graft.QpsProbe", root, "2", "2", "2", nConvs.toString)
+      Seq("-Xmx8g", "-cp", cp, "graft.QpsProbe", root, "2", "2", secs.toString,
+        nConvs.toString, barrierDir, id.toString)
     val pb = new ProcessBuilder(cmd: _*)
-      .redirectErrorStream(false)
+      .redirectError(ProcessBuilder.Redirect.DISCARD)
     pb.environment().put("KILLA_LOCAL_DIR",
       sys.env.getOrElse("KILLA_LOCAL_DIR", "/dev/shm/killa-shuffle"))
-    val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes())
-    p.waitFor()
-    """"probe_qps":([0-9.]+)""".r.findFirstMatchIn(out)
-      .map(_.group(1).toDouble)
-      .getOrElse { System.err.println(s"probe failed on $cores: $out"); 0.0 }
+    pb.start()
+  }
+
+  /** One replication phase: `frontends` probe JVMs on disjoint 2-core sets,
+    * barrier-released together, each measuring the same fixed wall-clock
+    * window; returns the aggregate qps. A probe that fails to report is
+    * FATAL — a silent 0.0 would corrupt the published ratio (ADVICE r2 #3).
+    */
+  private def probePhase(frontends: Int, root: String, nConvs: Int, secs: Int,
+      tag: String): Double = {
+    val barrier = s"/root/repo/target/bench/barrier-$tag"
+    rmDir(barrier)
+    val procs = (0 until frontends).map { i =>
+      startProbe(s"${i * 2}-${i * 2 + 1}", root, nConvs, secs, barrier, i)
+    }
+    try {
+      val readyBy = System.currentTimeMillis() + 180000
+      while ((0 until frontends).exists(i =>
+          !Files.exists(Paths.get(barrier, s"ready-$i"))) &&
+          System.currentTimeMillis() < readyBy)
+        Thread.sleep(100)
+      val notReady = (0 until frontends).filterNot(i =>
+        Files.exists(Paths.get(barrier, s"ready-$i")))
+      if (notReady.nonEmpty)
+        throw new IllegalStateException(s"probe(s) $notReady never became ready [$tag]")
+      Files.writeString(Paths.get(barrier, "go"), "1")
+      procs.zipWithIndex.map { case (p, i) =>
+        val out = new String(p.getInputStream.readAllBytes())
+        p.waitFor()
+        """"probe_qps":([0-9.]+)""".r.findFirstMatchIn(out)
+          .map(_.group(1).toDouble)
+          .getOrElse(throw new IllegalStateException(
+            s"probe $i reported no qps [$tag]: $out"))
+      }.sum
+    } finally procs.foreach(p => if (p.isAlive) { p.destroyForcibly(); () })
   }
 
   /** Horizontal serving-scaling: aggregate qps of 4 independent 2-core
@@ -114,24 +147,23 @@ object Bench {
     * are snapshot-pinned and stateless, so this — not more cores under one
     * driver — is how query THROUGHPUT scales in this architecture (each
     * JVM's queries serialize through its single DAGScheduler thread;
-    * frontends share nothing but the immutable store). Baseline best-of-3
-    * (conservative: a higher baseline lowers the ratio).
+    * frontends share nothing but the immutable store). SYMMETRIC sampling:
+    * both the baseline and the aggregate phase run `samples` times, best
+    * taken (r2's artifact ran the aggregate once against a best-of-3
+    * baseline — asymmetry that could only bias the ratio down).
     */
-  private def replicationEfficiency(root: String, nConvs: Int): (Double, Double, Double) = {
-    val base = (1 to 3).map(_ => runProbe("0-1", root, nConvs)).max
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val agg = (0 until 4).map { i =>
-      pool.submit(new java.util.concurrent.Callable[Double] {
-        def call(): Double = runProbe(s"${i * 2}-${i * 2 + 1}", root, nConvs)
-      })
-    }.map(_.get()).sum
-    pool.shutdown()
+  private def replicationEfficiency(root: String, nConvs: Int, secs: Int,
+      samples: Int): (Double, Double, Double) = {
+    val base = (1 to samples).map(i => probePhase(1, root, nConvs, secs, s"base$i")).max
+    val agg = (1 to samples).map(i => probePhase(4, root, nConvs, secs, s"agg$i")).max
     (base, agg, if (base > 0) (agg / base) / 4.0 else 0.0)
   }
 
-  /** One parallelism level: timed index builds (median of N after warmup),
-    * sequential query latencies (p95), and concurrent-client query
-    * throughput (qps) — the scaling basis the north rule asks for.
+  /** One parallelism level: timed index builds (best + median of N after
+    * warmup), sequential query latencies (p95), and concurrent-client query
+    * throughput (best + median phase qps) — the scaling basis the north
+    * rule asks for. Queries go through the serving APIs (count fast path,
+    * rows top-k), the surface a frontend actually calls.
     */
   private def runLevel(cpus: Int, nConvs: Int, turnsPerConv: Int, timedBuilds: Int,
       queryReps: Int, warmups: Int): LevelResult = {
@@ -158,7 +190,9 @@ object Bench {
       // mid-round-2 cut one level's median 40% while the other level ran
       // clean — poisoning the ratio), so the fastest sample is the least
       // contaminated estimate of capability at each level; the median is
-      // reported alongside for transparency
+      // reported alongside for transparency. Both levels take the SAME
+      // number of samples (max over more samples is stochastically larger —
+      // ADVICE r2 #2).
       val buildThroughput = nTurns / buildSecs.min
       val buildThroughputMedian = nTurns / median(buildSecs)
 
@@ -170,12 +204,12 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val reader = new IndexReader(spark, lastRoot, conf)
       val queries: Seq[(String, () => Long)] = Seq(
-        "membership_hot" -> (() => reader.membership("the").count()),
-        "membership_rare" -> (() => reader.membership(s"uniq${nConvs / 2}_0").count()),
-        "bm25_single_hot" -> (() => reader.bm25TopK(Seq("the"), 10).count()),
-        "bm25_single_mid" -> (() => reader.bm25TopK(Seq("query"), 10).count()),
-        "bm25_multi" -> (() => reader.bm25TopK(Seq("query", "filter", "join"), 10).count()),
-        "bm25_conj" -> (() => reader.bm25TopK(Seq("query", "filter"), 10, conjunctive = true).count()))
+        "membership_hot" -> (() => reader.membershipCount("the")),
+        "membership_rare" -> (() => reader.membershipCount(s"uniq${nConvs / 2}_0")),
+        "bm25_single_hot" -> (() => reader.bm25TopKRows(Seq("the"), 10).length.toLong),
+        "bm25_single_mid" -> (() => reader.bm25TopKRows(Seq("query"), 10).length.toLong),
+        "bm25_multi" -> (() => reader.bm25TopKRows(Seq("query", "filter", "join"), 10).length.toLong),
+        "bm25_conj" -> (() => reader.bm25TopKRows(Seq("query", "filter"), 10, conjunctive = true).length.toLong))
       queries.foreach(_._2()) // warmup pass (also materializes the dict cache)
 
       // sequential latency → p95
@@ -189,13 +223,10 @@ object Bench {
       val p95All = p95(timings.map(_._2))
       val perQuery = timings.groupBy(_._1).map { case (n, ts) => n -> median(ts.map(_._2)) }
 
-      // concurrent throughput: `cpus` clients × 2 passes over the query set,
-      // phase repeated 5× and the BEST taken — same shared-host rationale as
-      // the builds: a noisy neighbor or GC pause can only SLOW a phase, so
-      // the fastest phase is the least-contaminated capability estimate per
-      // level (medians of the same phases showed lo-level swings of ±35%,
-      // which poisoned the ratio — 0.75 vs 1.2 across otherwise-identical
-      // runs)
+      // concurrent throughput: `cpus` clients × 3 passes over the query set,
+      // phase repeated 5× — BEST phase is the headline (same shared-host
+      // rationale as builds: a noisy neighbor or GC pause can only SLOW a
+      // phase), the MEDIAN phase is reported alongside (ADVICE r2 #4)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(cpus)
       val qpsPhases = (0 until 5).map { _ =>
         val t0 = System.nanoTime()
@@ -213,10 +244,12 @@ object Bench {
         totalQ / ((System.nanoTime() - t0) / 1e9)
       }
       val qps = qpsPhases.max
+      val qpsMed = median(qpsPhases)
       pool.shutdown()
 
       turns.unpersist()
-      LevelResult(buildThroughput, buildThroughputMedian, qps, p95All, perQuery, lastRoot)
+      LevelResult(buildThroughput, buildThroughputMedian, timedBuilds,
+        qps, qpsMed, p95All, perQuery, lastRoot)
     } finally spark.stop()
   }
 
@@ -241,16 +274,18 @@ object Bench {
     val timedBuilds = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val queryReps = 5
+    val probeSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_SECS", "12").toInt
+    val probeSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_SAMPLES", "3").toInt
 
     val lo = runLevel(cpusLo, nConvs, turnsPerConv, timedBuilds, queryReps, warmups)
-    // the high level's builds are ~4x shorter, so they are the more exposed
-    // to transient host-steal windows — take extra samples there (best-of)
-    val hi = runLevel(cpusHi, nConvs, turnsPerConv, timedBuilds + 2, queryReps, warmups)
+    val hi = runLevel(cpusHi, nConvs, turnsPerConv, timedBuilds, queryReps, warmups)
     val ratio = cpusHi.toDouble / cpusLo
     val effBuild = (hi.buildThroughput / lo.buildThroughput) / ratio
     val effQuery = (hi.qps / lo.qps) / ratio
-    // horizontal serving scaling over the hi level's committed index
-    val (qpsBase, qpsAgg, effRepl) = replicationEfficiency(hi.lastRoot, nConvs)
+    // horizontal serving scaling over the hi level's committed index; the
+    // parent stays pinned to the hi mask but is idle while probes run
+    val (qpsBase, qpsAgg, effRepl) =
+      replicationEfficiency(hi.lastRoot, nConvs, probeSecs, probeSamples)
 
     def r2(d: Double) = math.rint(d * 100) / 100
     val qmap = Map(
@@ -260,6 +295,8 @@ object Bench {
       s"build_turns_per_sec_median_local$cpusHi" -> r2(hi.buildThroughputMedian),
       s"query_qps_local$cpusLo" -> r2(lo.qps),
       s"query_qps_local$cpusHi" -> r2(hi.qps),
+      s"query_qps_median_local$cpusLo" -> r2(lo.qpsMedian),
+      s"query_qps_median_local$cpusHi" -> r2(hi.qpsMedian),
       s"query_p95_ms_local$cpusLo" -> r2(lo.p95Ms),
       s"query_p95_ms_local$cpusHi" -> r2(hi.p95Ms),
       "scaling_efficiency_build" -> r2(effBuild),
@@ -276,13 +313,15 @@ object Bench {
          |
          |Corpus: $nConvs convs × $turnsPerConv turns = ${nConvs * turnsPerConv} turns,
          |seed 42, Zipf-ish vocab with hot term "the" in ~50% of turns (skew live).
-         |Builds: BEST of $timedBuilds timed after $warmups warmup(s) — on a shared host a
+         |Builds: BEST of ${lo.buildSamples} (lo) / ${hi.buildSamples} (hi) timed after
+         |$warmups warmup(s) — IDENTICAL sample counts per level; on a shared host a
          |neighbor can only slow a build, so the fastest sample is the least-contaminated
          |capability estimate per level (medians: ${r2(lo.buildThroughputMedian)} /
          |${r2(hi.buildThroughputMedian)} turns/sec). Query p95: sequential,
-         |${queryReps}×6 runs after warmup. Query throughput: `cpus` concurrent clients
-         |(one FAIR pool each), 3 passes × 5 phases, BEST phase (same
-         |shared-host rationale as builds: noise only slows a phase).
+         |${queryReps}×6 runs after warmup, through the serving APIs
+         |(membershipCount / bm25TopKRows). Query throughput: `cpus` concurrent
+         |clients (one FAIR pool each), 3 passes × 5 phases, BEST phase
+         |(medians alongside: ${r2(lo.qpsMedian)} / ${r2(hi.qpsMedian)} qps).
          |Sandbox stand-in for N→4N executors: local[$cpusLo] → local[$cpusHi],
          |each level's ENTIRE JVM pinned to exactly that many cores via
          |taskset (local[N] alone bounds only executor slots — driver-side
@@ -294,13 +333,24 @@ object Bench {
          ||---|---|---|---|
          || index build turns/sec | ${r2(lo.buildThroughput)} | ${r2(hi.buildThroughput)} | ${r2(effBuild)} |
          || query throughput qps (one driver) | ${r2(lo.qps)} | ${r2(hi.qps)} | ${r2(effQuery)} — single-JVM, see below |
-         || query throughput qps (replicated frontends) | ${r2(qpsBase)} (1 × 2-core) | ${r2(qpsAgg)} (4 × 2-core) | **${r2(effRepl)}** |
          || query p95 ms (sequential) | ${r2(lo.p95Ms)} | ${r2(hi.p95Ms)} | — (latency, not a throughput metric) |
+         |
+         || serving replication (its own axis) | 1 × 2-core frontend | 4 × 2-core frontends | 1→4 frontends efficiency (target ≥ 0.8) |
+         ||---|---|---|---|
+         || aggregate qps over the shared store | ${r2(qpsBase)} | ${r2(qpsAgg)} | **${r2(effRepl)}** |
+         |
+         |Replication protocol: each frontend is a child JVM pinned to its own
+         |2 cores (stderr discarded — an unread pipe would deadlock it; a probe
+         |that fails to report ABORTS the bench rather than summing 0.0), warms
+         |up, signals ready, and all measure the SAME wall-clock window from a
+         |shared barrier-release instant for $probeSecs s. BOTH phases sampled
+         |$probeSamples× (best taken) — symmetric, unlike the r2 artifact's
+         |once-vs-best-of-3.
          |
          |Per-query median ms at local[$cpusHi]: ${hi.perQuery.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=${r2(v)}" }.mkString(", ")}
          |
-         |Query-throughput scaling has two rows because the two numbers answer
+         |Query-throughput scaling has two tables because the two numbers answer
          |different questions. Under ONE driver, every query's jobs serialize
          |through that JVM's single DAGScheduler thread and pruned index
          |queries deliberately leave little per-query work to parallelize (the
@@ -308,10 +358,8 @@ object Bench {
          |track executor count, on a real cluster exactly as here. The
          |architecture scales serving the standard way instead: stateless
          |snapshot-pinned readers replicate over the shared segment store.
-         |The replicated row measures THAT (aggregate qps of 4 independent
-         |2-core frontends vs one 2-core frontend, same on-disk index, child
-         |JVMs pinned via taskset, baseline best-of-3) — it is the number that
-         |predicts a production deployment's QPS growth.
+         |The second table measures THAT — it is the number that predicts a
+         |production deployment's QPS growth, and carries its own ≥ 0.8 bar.
          |
          |## Reference scaling study (10M turns, one-off, exclusive box)
          |
@@ -336,6 +384,6 @@ object Bench {
          |""".stripMargin
     Files.writeString(Paths.get("/root/repo/BENCH.md"), report)
 
-    println(s"""{"metric":"index-build turns/sec at local[$cpusHi] (median of $timedBuilds; queries map carries p95+qps+scaling)","value":${r2(hi.buildThroughput)},"unit":"turns/sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"index-build turns/sec at local[$cpusHi] (best of $timedBuilds; queries map carries p95+qps+scaling)","value":${r2(hi.buildThroughput)},"unit":"turns/sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

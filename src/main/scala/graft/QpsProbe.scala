@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 import killa.Conf
@@ -15,15 +17,23 @@ import killa.query.IndexReader
   * serving-scaling number the single-JVM bench cannot express (all of one
   * JVM's queries serialize through its lone DAGScheduler).
   *
-  * args: <indexRoot> <cpus> <clients> <passes> [nConvs]
+  * Protocol (round 3, fixing the r2 0.68 artifact): every frontend warms up,
+  * signals `ready-<id>` in the barrier dir, spins on `go`, then measures a
+  * FIXED-duration window from the shared go instant — so all frontends'
+  * windows cover the same wall-clock interval regardless of JVM start skew
+  * (a late starter previously diluted the aggregate). Queries go through the
+  * serving APIs (count fast path, rows top-k), not DataFrame materialization.
+  *
+  * args: <indexRoot> <cpus> <clients> <secs> <nConvs> [<barrierDir> <id>]
   */
 object QpsProbe {
   def main(args: Array[String]): Unit = {
     val root = args(0)
     val cpus = args(1).toInt
     val clients = args(2).toInt
-    val passes = args(3).toInt
-    val nConvs = if (args.length > 4) args(4).toInt else 2000000
+    val secs = args(3).toDouble
+    val nConvs = args(4).toInt
+    val barrier = if (args.length > 6) Some((args(5), args(6))) else None
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("killa-qps-probe")
@@ -38,27 +48,40 @@ object QpsProbe {
     val conf = Conf(nBuckets = 32, rangeDocs = 131072, waveBuckets = 32, blockSize = 128)
     val reader = new IndexReader(spark, root, conf)
     val queries: Seq[() => Long] = Seq(
-      () => reader.membership("the").count(),
-      () => reader.membership(s"uniq${nConvs / 2}_0").count(),
-      () => reader.bm25TopK(Seq("the"), 10).count(),
-      () => reader.bm25TopK(Seq("query"), 10).count(),
-      () => reader.bm25TopK(Seq("query", "filter", "join"), 10).count(),
-      () => reader.bm25TopK(Seq("query", "filter"), 10, conjunctive = true).count())
-    queries.foreach(_.apply()) // warmup (dict cache + codegen)
+      () => reader.membershipCount("the"),
+      () => reader.membershipCount(s"uniq${nConvs / 2}_0"),
+      () => reader.bm25TopKRows(Seq("the"), 10).length.toLong,
+      () => reader.bm25TopKRows(Seq("query"), 10).length.toLong,
+      () => reader.bm25TopKRows(Seq("query", "filter", "join"), 10).length.toLong,
+      () => reader.bm25TopKRows(Seq("query", "filter"), 10, conjunctive = true).length.toLong)
+    (0 until 2).foreach(_ => queries.foreach(_.apply())) // warmup: dict + label caches, codegen
+
+    barrier.foreach { case (dir, id) =>
+      val d = Paths.get(dir)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(s"ready-$id"), "1")
+      val go = d.resolve("go")
+      while (!Files.exists(go)) Thread.sleep(20)
+    }
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
-    val t0 = System.nanoTime()
+    val deadline = System.nanoTime() + (secs * 1e9).toLong
     val futures = (0 until clients).map { c =>
-      pool.submit(new java.util.concurrent.Callable[Int] {
-        def call(): Int = {
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$c")
-          (0 until passes).foreach(_ => queries.foreach(_.apply()))
-          passes * queries.length
+          var n = 0L
+          var qi = c // offset start so clients don't lockstep on one query
+          while (System.nanoTime() < deadline) {
+            queries(qi % queries.length).apply()
+            n += 1; qi += 1
+          }
+          n
         }
       })
     }
     val total = futures.map(_.get()).sum
-    val qps = total / ((System.nanoTime() - t0) / 1e9)
+    val qps = total / secs
     pool.shutdown()
     println(f"""{"probe_qps":$qps%.2f,"cpus":$cpus,"clients":$clients,"queries":$total}""")
     spark.stop()

@@ -57,6 +57,13 @@ object SparkEntry {
     // glob wildcard over terms (`?` = one char), literal prefix pushed down
     "q_membership_wildcard" -> ((s, dir) =>
       reader(s, dir).membershipWildcard("sp?rk").orderBy("conv_id")),
+    // count-only membership fast path: sum of the term's block `n` values
+    // from ONE pruned scan (no payload decode, no label join) — the serving
+    // count API; exact because posting blocks hold only alive docs
+    "q_membership_count" -> ((s, dir) => {
+      import s.implicits._
+      Seq(reader(s, dir).membershipCount("spark")).toDF("n_docs")
+    }),
     // BM25 top-k, single term
     "q_bm25_single" -> ((s, dir) =>
       present(reader(s, dir).bm25TopK(Seq("spark"), 10))),
@@ -278,6 +285,8 @@ object SparkEntry {
       " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE 'spar%' ORDER BY conv_id"),
     "q_membership_wildcard" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE 'sp_rk' ORDER BY conv_id"),
+    "q_membership_count" -> (TurnsCte + TfCtes +
+      " SELECT count(DISTINCT conv_id) AS n_docs FROM tok2 WHERE term = 'spark'"),
     "q_bm25_single" -> bm25OracleSql(Seq("spark"), 10, conjunctive = false),
     "q_bm25_multi" -> bm25OracleSql(Seq("query", "filter", "join"), 10, conjunctive = false),
     "q_bm25_conj" -> bm25OracleSql(Seq("query", "filter"), 10, conjunctive = true),

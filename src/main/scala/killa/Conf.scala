@@ -24,10 +24,18 @@ package killa
   *                    commits its segment data + ledger rows + a manifest version
   *                    atomically, so a killed build resumes at the next wave.
   * @param localQueryBlocks adaptive query cutover: a top-k whose pruned posting
-  *                    volume is ≤ this many blocks is scored driver-side in one
-  *                    scan job (identical results, less per-query scheduling);
-  *                    bigger queries take the distributed range fan-out. 0
-  *                    forces the distributed path (used by tests).
+  *                    volume is ≤ this many blocks is fetched in one scan job
+  *                    and scored driver-side (identical results, no shuffle,
+  *                    no second stage); bigger queries take the distributed
+  *                    range fan-out. 8192 blocks ≈ 1M postings ≈ a few MB of
+  *                    payload — mid-frequency multi-term queries stay local,
+  *                    truly hot single terms go distributed. 0 forces the
+  *                    distributed path (used by tests).
+  * @param localParBlocks block count past which the local kernel splits the
+  *                    docId domain into ranges scored on parallel driver
+  *                    threads (same range decomposition as the distributed
+  *                    kernel ⇒ identical results, spec-pinned). Below it one
+  *                    range suffices and thread startup isn't worth paying.
   * @param labelCacheMax cap on the reader's hot docId→convId label cache
   *                    (entries). Snapshot-pinned readers never see label
   *                    churn, so the cache is consistency-free; the cap keeps
@@ -40,7 +48,8 @@ final case class Conf(
     nBuckets: Int = 16,
     rangeDocs: Long = 131072L,
     waveBuckets: Int = 8,
-    localQueryBlocks: Int = 512,
+    localQueryBlocks: Int = 8192,
+    localParBlocks: Int = 256,
     labelCacheMax: Int = 1 << 20)
 
 object Conf {

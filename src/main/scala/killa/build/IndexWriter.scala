@@ -107,8 +107,10 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
           val base = manifest.getOrElse(
             Manifest(0, conf.nBuckets, Map.empty, Seq(desc.docsDir), Seq(desc.forwardDir),
               desc.numDocs, desc.totalTokens, desc.avgdl, desc.maxDocId, 0L))
+          val dicts = bucketDictSummaries(spark, commitDir)
           manifest = Some(SegmentStore.commit(spark, root,
-            base.copy(buckets = base.buckets ++ wave.map(_ -> commitDir))))
+            base.copy(buckets = base.buckets ++ wave.map(_ -> commitDir),
+              bucketDicts = base.bucketDicts -- wave ++ dicts)))
         } catch {
           case e: Throwable =>
             // failure capture (SURVEY.md §2 op 24): the fault becomes a
@@ -415,6 +417,33 @@ object IndexWriter {
       .repartition(col("bkt_p"))
       .sortWithinPartitions("term", "blockId")
       .write.partitionBy("bkt_p").mode("overwrite").parquet(commitDir)
+
+  /** Per-bucket term-dictionary summaries (manifest sidecar — VERDICT r2 #7)
+    * from a freshly-written commit dir: the distinct leading 2-char prefixes
+    * (None past the cap) + term-length range, read from the term column only.
+    * Buckets with no data simply don't appear (their dict entries drop).
+    */
+  def bucketDictSummaries(spark: SparkSession, commitDir: String)
+      : Map[Int, killa.store.BucketDict] = {
+    val p = new Path(commitDir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(p)) return Map.empty
+    if (!fsys.listStatus(p).exists(_.getPath.getName.startsWith("bkt_p="))) return Map.empty
+    val capped = killa.store.SegmentStore.DictMaxPrefixes
+    spark.read.parquet(commitDir)
+      .groupBy(col("bkt_p").cast("int").as("b"))
+      .agg(
+        collect_set(substring(col("term"), 1, killa.store.SegmentStore.DictPrefixLen)).as("ps"),
+        min(length(col("term"))).as("lo"),
+        max(length(col("term"))).as("hi"))
+      .collect()
+      .map { r =>
+        val ps = r.getSeq[String](1)
+        r.getInt(0) -> killa.store.BucketDict(
+          if (ps.size > capped) None else Some(ps.sorted),
+          r.getInt(2), r.getInt(3))
+      }.toMap
+  }
 
   /** Read-back per-bucket metrics for the ledger (exact, no plan recompute). */
   def bucketMetrics(spark: SparkSession, commitDir: String, wave: Seq[Int])

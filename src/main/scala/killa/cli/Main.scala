@@ -24,10 +24,17 @@ import killa.streaming.StreamOps
   *   snip <parquet> <term> [w] keyword-in-context snippets for hits
   *   sub <parquet> <source> [mask]   subscribe/add mask + backfill (Program.cs:67-79)
   *   unsub <source> [mask]     unsubscribe source or one mask + de-index (Program.cs:80-90)
+  *   del <conv>...             delete event: de-index + drop conv-specific
+  *                             masks (FileAnalyzer.cs:267-295)
+  *   ren <from> <to>           rename event: Switch + remap conv-specific
+  *                             mask to the new name (FileAnalyzer.cs:298-328)
   *   index?                    IsIndexing                  (Program.cs:91-97)
   *   sub?                      list `source|path|mask...`  (Program.cs:98-107)
   *   build <parquet> [source]  full (resumable) index build
-  *   ingest <dir> [source] [mask...]  continuous ingestion (watcher analog)
+  *   ingest <dir> [source] [mask...]  one ingestion pass (watcher analog)
+  *   watch <dir> [source] [mask...]   daemon: repeat ingestion passes until
+  *                             <root>/watch.stop appears (FileSystemWatcher
+  *                             persistence, FileAnalyzer.cs:144-168)
   *   flush                     clear the index (StringIndex.cs:84-89)
   *   compact                   fold the docs/forward logs (GC analog)
   *   vacuum [keepLast]         expire old snapshots + dead segment dirs
@@ -82,6 +89,35 @@ object Main {
   private def maskCond(mask: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.col("conv_id")
       .rlike(killa.util.Glob.toRegex(mask))
+
+  /** Mask lifecycle on delete/rename events — parity with the reference's
+    * watcher handlers: a mask equal (case-insensitively) to a DELETED conv's
+    * name leaves its subscription's mask set (FileAnalyzer.cs:267-295:
+    * `watcher.Filters.Remove(file)`); a mask equal to a RENAMED conv's old
+    * name remaps to the new name lower-cased (FileAnalyzer.cs:298-328:
+    * `Filters.Remove(old); Filters.Add(e.Name.ToLowerInvariant())`). A
+    * subscription whose mask set empties is KEPT with no masks — mirroring
+    * FileSystemWatcher, where an empty Filters collection matches everything
+    * (and our ingest's empty-mask predicate is likewise match-all).
+    */
+  private[killa] def applyMaskLifecycle(spark: SparkSession, root: String,
+      deletes: Seq[String], renames: Map[String, String]): Unit = {
+    val sources = readSources(spark, root)
+    if (sources.isEmpty || (deletes.isEmpty && renames.isEmpty)) return
+    val del = deletes.map(_.toLowerCase).toSet
+    val ren = renames.map { case (f, t) => f.toLowerCase -> t.toLowerCase }
+    val next = sources.map { case (s, sub) =>
+      val masks2 = sub.masks.flatMap { m =>
+        if (del.contains(m)) None
+        else ren.get(m) match {
+          case Some(to) => Some(to)
+          case None => Some(m)
+        }
+      }.distinct
+      s -> sub.copy(masks = masks2)
+    }
+    if (next != sources) writeSources(spark, root, next)
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
@@ -210,6 +246,40 @@ object Main {
               println(s"unsubscribed $source $mask")
             }
         }
+      case "del" =>
+        // delete events: de-index + conv-specific mask drop
+        // (FileAnalyzer.cs:267-295 — delete supersedes pending work, then
+        // the file's own mask leaves the watcher)
+        val convs = rest.toSeq
+        new IndexMaintainer(spark, root, conf)
+          .remove(convs, s"del-${stableId(convs.mkString(","))}")
+        applyMaskLifecycle(spark, root, convs, Map.empty)
+        println(s"deleted ${convs.length}")
+      case "ren" =>
+        // rename event: Switch + conv-specific mask remap
+        // (FileAnalyzer.cs:298-328)
+        val Array(from, to) = rest.take(2)
+        new IndexMaintainer(spark, root, conf)
+          .rename(from, to, s"ren-${stableId(s"$from|$to")}")
+        applyMaskLifecycle(spark, root, Nil, Map(from -> to))
+        println(s"renamed $from -> $to")
+      case "watch" =>
+        // watch <dir> [source] [mask...]: persistent-watcher parity
+        // (FileSystemWatcher, FileAnalyzer.cs:144-168) — repeated
+        // AvailableNow ingestion passes over the directory until
+        // <root>/watch.stop appears; the shared streaming checkpoint makes
+        // each pass pick up only newly-arrived files.
+        val src = if (rest.length > 1) rest(1) else "stream"
+        val masks = if (rest.length > 2) rest.drop(2).toSeq.map(_.toLowerCase) else Seq("*")
+        val stop = new Path(s"$root/watch.stop")
+        val fs = stop.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        var total = 0L
+        while (!fs.exists(stop)) {
+          total += StreamOps.ingestTranscripts(spark, rest.head, root, conf, src, masks)
+          Thread.sleep(sys.env.getOrElse("KILLA_WATCH_INTERVAL_MS", "250").toLong)
+        }
+        fs.delete(stop, false)
+        println(s"watch stopped after $total batches")
       case "ingest" =>
         val src = if (rest.length > 1) rest(1) else "stream"
         val masks = if (rest.length > 2) rest.drop(2).toSeq.map(_.toLowerCase) else Seq("*")

@@ -230,6 +230,7 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
       // ---- 5. rewrite affected buckets: decode old blocks → retract → add →
       //         re-encode through the same deterministic block builder
       var newBuckets = Map.empty[Int, String]
+      var newDicts = Map.empty[Int, killa.store.BucketDict]
       if (affectedBuckets.nonEmpty) {
         val oldPaths = affectedBuckets.toSeq
           .flatMap(b => m0.bucketPath(b))
@@ -255,6 +256,7 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
           LedgerRow(batchId, "delta", b, "done", tc, pc, bc, by, wallMs, s"seq=$seq")
         })
         newBuckets = affectedBuckets.map(_ -> commitDir).toMap
+        newDicts = IndexWriter.bucketDictSummaries(spark, commitDir)
       }
 
       // ---- 5b. positional-index maintenance (phrase queries stay correct
@@ -335,6 +337,9 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
         // deletes/renames touch nothing — docIds are stable and dead docs
         // filter out at phrase-query time via the alive dictionary
         posBuckets = m0.posBuckets ++ newPosBuckets,
+        // rewritten buckets get fresh dictionary summaries (an emptied
+        // bucket's entry drops — absent = never prunes, so always safe)
+        bucketDicts = m0.bucketDicts -- affectedBuckets ++ newDicts,
         batchSeq = seq)
       val alive = Logs.docsAlive(spark, mDraft)
       val st = alive.agg(count(lit(1)), sum(col("dl")), max(col("docId"))).collect()(0)

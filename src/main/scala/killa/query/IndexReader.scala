@@ -105,6 +105,23 @@ final class IndexReader(
     docIds.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 
+  /** Count-only membership fast path: |membership(term)| without decoding
+    * posting payloads or resolving labels. Exact by construction: posting
+    * blocks hold only alive docs (every delete/update rewrites its affected
+    * term buckets — IndexMaintainer step 5; renames remap the dictionary and
+    * keep the docId alive), and a docId appears in at most one block of a
+    * term (blocks partition the docId range), so the count is the sum of the
+    * blocks' stored `n` — ONE pruned scan reading a single int column, no
+    * payload bytes, no dictionary join. This is the serving path for count
+    * queries; MaintainSpec pins equality with membership().count() across
+    * delete and rename batches.
+    */
+  def membershipCount(term: String): Long = {
+    if (term == null || term.isEmpty || manifest.isEmpty) return 0L
+    val r = postingBlocks(term).agg(sum(col("n"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Contains (StringIndex.cs:17): any posting for this term? */
   def contains(term: String): Boolean =
     term != null && term.nonEmpty && !postingBlocks(term).isEmpty
@@ -118,7 +135,7 @@ final class IndexReader(
     */
   def membershipPrefix(prefix: String): DataFrame =
     if (prefix == null || prefix.isEmpty) emptyMembers
-    else membershipWhere(col("term").startsWith(prefix))
+    else membershipWhere(col("term").startsWith(prefix), prefixHint = Some(prefix))
 
   /** Wildcard term search (`*` = any run, `?` = any one char — reference
     * mask semantics, FileAnalyzerTests.cs:54-84): the mask's literal prefix
@@ -130,7 +147,9 @@ final class IndexReader(
     val pre = killa.util.Glob.literalPrefix(mask)
     if (pre == mask) return membership(mask)
     val residual = col("term").rlike(killa.util.Glob.toRegex(mask))
-    membershipWhere(if (pre.nonEmpty) col("term").startsWith(pre) && residual else residual)
+    membershipWhere(
+      if (pre.nonEmpty) col("term").startsWith(pre) && residual else residual,
+      prefixHint = if (pre.nonEmpty) Some(pre) else None)
   }
 
   /** Fuzzy term search: conversations containing any term within Levenshtein
@@ -144,7 +163,8 @@ final class IndexReader(
     if (term == null || term.isEmpty) return emptyMembers
     if (maxDist <= 0) return membership(term)
     val lenBand = abs(length(col("term")) - lit(term.length)) <= maxDist
-    membershipWhere(lenBand && levenshtein(col("term"), lit(term)) <= maxDist)
+    membershipWhere(lenBand && levenshtein(col("term"), lit(term)) <= maxDist,
+      lenHint = Some((term.length - maxDist, term.length + maxDist)))
   }
 
   /** Phrase search over the positional index (IndexWriter.buildPositions,
@@ -198,23 +218,44 @@ final class IndexReader(
     matched.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 
-  /** Membership of every doc holding a term matching `termCond`: one pruned
-    * scan over all bucket dirs (term buckets are hash-laid, so a range
-    * predicate can't prune buckets — row-group stats inside each file do
-    * the pruning instead), payload columns never read.
+  /** Bucket dirs surviving the manifest's term-dictionary sidecar pruning
+    * (VERDICT r2 #7): buckets are hash-laid, so a range predicate can't
+    * prune them — but the per-bucket prefix-set / length-band summaries can
+    * skip whole buckets holding no candidate term (package-private so the
+    * pruning spec asserts the path list directly). Absent summaries keep
+    * the bucket — conservative, never wrong.
     */
-  private def membershipWhere(termCond: org.apache.spark.sql.Column): DataFrame = manifest match {
-    case None => emptyMembers
+  private[killa] def prunedBucketPaths(prefixHint: Option[String],
+      lenHint: Option[(Int, Int)]): Seq[String] = manifest match {
+    case None => Nil
     case Some(m) =>
-      val paths = m.buckets.keys.toSeq.sorted.flatMap(m.bucketPath)
+      m.buckets.keys.toSeq.sorted
+        .filter { b =>
+          m.bucketDicts.get(b).forall { d =>
+            prefixHint.forall(d.mayHavePrefix) &&
+              lenHint.forall { case (lo, hi) => d.mayHaveLen(lo, hi) }
+          }
+        }
+        .flatMap(m.bucketPath)
         .filter(p => fs(p).exists(new Path(p)))
-      if (paths.isEmpty) return emptyMembers
-      val docIds = spark.read.schema(blockSchema).parquet(paths: _*)
-        .where(termCond)
-        .select(col("n"), col("docsBin")).as[(Int, Array[Byte])]
-        .flatMap { case (n, bin) => Delta.decode(bin, n) }
-        .toDF("docId").distinct()
-      docIds.join(docsView, "docId").select(col("convId").as("conv_id"))
+  }
+
+  /** Membership of every doc holding a term matching `termCond`: one scan
+    * over the sidecar-surviving bucket dirs (row-group stats inside each
+    * file prune further), payload columns never read.
+    */
+  private def membershipWhere(termCond: org.apache.spark.sql.Column,
+      prefixHint: Option[String] = None,
+      lenHint: Option[(Int, Int)] = None): DataFrame = {
+    if (manifest.isEmpty) return emptyMembers
+    val paths = prunedBucketPaths(prefixHint, lenHint)
+    if (paths.isEmpty) return emptyMembers
+    val docIds = spark.read.schema(blockSchema).parquet(paths: _*)
+      .where(termCond)
+      .select(col("n"), col("docsBin")).as[(Int, Array[Byte])]
+      .flatMap { case (n, bin) => Delta.decode(bin, n) }
+      .toDF("docId").distinct()
+    docIds.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 
   /** Document frequency per term (0 when absent). */
@@ -251,9 +292,35 @@ final class IndexReader(
     if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
-    localTopK(terms, ex, k, conjunctive, m)
+    localTopK(terms, ex, k, conjunctive, m).map(rows => hitsDf(rows))
       .getOrElse(finishTopK(scoredCandidates(terms, ex, k, conjunctive, m), k))
   }
+
+  /** Serving-shaped top-k: the same exact BM25 result as [[bm25TopK]] (rank
+    * identity spec-pinned) returned as materialized rows — what a query
+    * frontend actually sends back. Skips the final LocalRelation round-trip,
+    * so a warm small query is exactly ONE Spark job (the pruned block scan;
+    * label lookups hit the reader's hot cache) — the job-count is
+    * listener-asserted in ServeSpec.
+    */
+  def bm25TopKRows(termsIn: Seq[String], k: Int, conjunctive: Boolean = false,
+      mustNot: Seq[String] = Nil): Array[(String, Double)] = {
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || k <= 0 || manifest.isEmpty) return Array.empty
+    val m = manifest.get
+    if (m.numDocs == 0 || m.avgdl <= 0.0) return Array.empty
+    localTopK(terms, ex, k, conjunctive, m).getOrElse {
+      val cands = scoredCandidates(terms, ex, k, conjunctive, m).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      if (cands.length <= 10000) labelRows(cands, k)
+      else finishTopK(scoredCandidates(terms, ex, k, conjunctive, m), k)
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+    }
+  }
+
+  private def hitsDf(rows: Array[(String, Double)]): DataFrame =
+    if (rows.isEmpty) emptyHits else rows.toSeq.toDF("conv_id", "score")
 
   /** Adaptive small-query fast path: when the query's pruned posting volume
     * is small (≤ conf.localQueryBlocks blocks — the common case for rare and
@@ -261,13 +328,12 @@ final class IndexReader(
     * the same DAAT kernel driver-side. Results are identical to the range
     * fan-out (each doc is scored once, same term-order fold, same tie
     * retention) minus a shuffle and two scheduler rounds of latency. The
-    * limit(cap+1) probe means a hot query pays one truncated scan, then
-    * takes the distributed path; bounded memory by construction
-    * (cap × blockSize postings).
+    * bounded probe means a hot query pays one truncated scan, then takes
+    * the distributed path; bounded memory by construction.
     */
   private[killa] def localTopK(
       terms: Seq[String], mustNot: Seq[String], k: Int, conjunctive: Boolean,
-      m: Manifest): Option[DataFrame] = {
+      m: Manifest): Option[Array[(String, Double)]] = {
     val cap = conf.localQueryBlocks
     if (cap <= 0) return None
     // exclusion terms ride the same probe: a hot mustNot term ("NOT the")
@@ -276,17 +342,45 @@ final class IndexReader(
     val tagged: Dataset[(Int, PostingBlock)] = all.zipWithIndex
       .map { case (t, i) => postingBlocks(t).map(b => (i, b)) }
       .reduce(_ union _)
-    val got = tagged.limit(cap + 1).collect()
+    // per-partition take instead of limit: CollectLimit executes
+    // incrementally (1 partition, then scale-up) = 2+ jobs per query; a
+    // bounded per-partition take is ONE job and decides identically —
+    // total > cap ⟺ collected > cap (each partition contributes min(its
+    // blocks, cap+1), so driver memory stays ≤ partitions × (cap+1) blocks)
+    val got = tagged.mapPartitions(_.take(cap + 1)).collect()
     if (got.length > cap) return None
     val perTerm = Array.fill(all.length)(List.newBuilder[PostingBlock])
     got.foreach { case (ti, b) => perTerm(ti) += b }
     val blocks = perTerm.map(_.result().sortBy(_.firstDoc).toArray)
     val termBlocks = blocks.take(terms.length)
+    val exBlocks = blocks.drop(terms.length)
     val weights = termBlocks.map(bs =>
       if (bs.isEmpty) 0.0 else Bm25.weight(m.numDocs, bs(0).df, conf.k1))
-    val hits = Daat.scoreRange(termBlocks, weights, -1L, Long.MaxValue, k,
-      conjunctive, conf.k1, conf.b, m.avgdl, blocks.drop(terms.length)).toArray
-    Some(labelHits(hits, k))
+    // mid-size queries: the SAME docId-range decomposition as the
+    // distributed kernel, on driver threads — identical results (per-range
+    // DAAT + global tie-broken merge), none of the fan-out's shuffle/stage
+    // latency. Small queries stay single-range (thread startup > win).
+    val hits: Array[(Long, Double)] =
+      if (got.length <= conf.localParBlocks)
+        Daat.scoreRange(termBlocks, weights, -1L, Long.MaxValue, k,
+          conjunctive, conf.k1, conf.b, m.avgdl, exBlocks).toArray
+      else {
+        val nRanges = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 32))
+        val stride = math.max(1L, (m.maxDocId + 2) / nRanges + 1)
+        val results = new Array[Array[(Long, Double)]](nRanges)
+        val threads = (0 until nRanges).map { r =>
+          val t = new Thread(() => {
+            val lo = r.toLong * stride - 1 // (lo, hi] — the fan-out's convention
+            val hi = r.toLong * stride + stride - 1
+            results(r) = Daat.scoreRange(termBlocks, weights, lo, hi, k,
+              conjunctive, conf.k1, conf.b, m.avgdl, exBlocks).toArray
+          })
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        results.flatten
+      }
+    Some(labelRows(hits, k))
   }
 
   /** The distributed candidate pipeline: pruned per-term block scans →
@@ -378,8 +472,11 @@ final class IndexReader(
     * filter the range-laid dictionary prunes on (file/row-group docId
     * stats), then the exact global tie-break (score desc, conv_id asc).
     */
-  private def labelHits(cands: Array[(Long, Double)], k: Int): DataFrame = {
-    if (cands.isEmpty) return emptyHits
+  private def labelHits(cands: Array[(Long, Double)], k: Int): DataFrame =
+    hitsDf(labelRows(cands, k))
+
+  private def labelRows(cands: Array[(Long, Double)], k: Int): Array[(String, Double)] = {
+    if (cands.isEmpty) return Array.empty
     val misses = cands.map(_._1).distinct.filterNot(labelCache.containsKey(_))
     if (misses.nonEmpty) {
       val fetched = docsView.select(col("docId"), col("convId"))
@@ -395,11 +492,10 @@ final class IndexReader(
   }
 
   private def finishLabels(cands: Array[(Long, Double)], label: Long => String,
-      k: Int): DataFrame =
+      k: Int): Array[(String, Double)] =
     cands.iterator
       .map { case (id, s) => (label(id), s) }
       .toArray
       .sortBy { case (conv, score) => (-score, conv) }
       .take(k)
-      .toSeq.toDF("conv_id", "score")
 }

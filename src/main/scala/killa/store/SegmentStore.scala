@@ -27,7 +27,31 @@ import org.apache.spark.sql.SparkSession
   *                    only the affected buckets (IndexMaintainer), pure
   *                    delete/rename batches touch nothing (docIds are stable
   *                    and dead docs filter out at query time)
+  * @param bucketDicts per-bucket term-dictionary summary (the sidecar of
+  *                    VERDICT r2 #7): the set of distinct leading 2-char
+  *                    term prefixes (None once it exceeds the cap — then the
+  *                    bucket never prunes) plus the term-length range.
+  *                    Buckets are HASH-laid, so plain min/max term spans the
+  *                    whole alphabet and prunes nothing — the prefix SET is
+  *                    what lets a prefix/leading-literal-wildcard scan skip
+  *                    buckets holding no candidate term, and the length band
+  *                    does the same for fuzzy scans. Recomputed for every
+  *                    bucket a build wave or maintenance batch rewrites;
+  *                    absent (old manifests) = no pruning, never wrong.
   */
+final case class BucketDict(prefixes: Option[Seq[String]], minLen: Int, maxLen: Int) {
+  /** Could this bucket hold a term starting with `p`? (conservative) */
+  def mayHavePrefix(p: String): Boolean = prefixes match {
+    case None => true
+    case Some(ps) =>
+      if (p.length >= SegmentStore.DictPrefixLen)
+        ps.contains(p.take(SegmentStore.DictPrefixLen))
+      else ps.exists(_.startsWith(p))
+  }
+  /** Could this bucket hold a term with length in [lo, hi]? */
+  def mayHaveLen(lo: Int, hi: Int): Boolean = maxLen >= lo && minLen <= hi
+}
+
 final case class Manifest(
     version: Int,
     nBuckets: Int,
@@ -39,13 +63,21 @@ final case class Manifest(
     avgdl: Double,
     maxDocId: Long,
     batchSeq: Long,
-    posBuckets: Map[Int, String] = Map.empty) {
+    posBuckets: Map[Int, String] = Map.empty,
+    bucketDicts: Map[Int, BucketDict] = Map.empty) {
   def bucketPath(b: Int): Option[String] = buckets.get(b).map(dir => s"$dir/bkt_p=$b")
   /** Current positions dir of one term bucket (already a bkt_p leaf). */
   def posPath(b: Int): Option[String] = posBuckets.get(b)
 }
 
 object SegmentStore {
+  /** Leading-prefix length of the bucket term-dictionary summary. */
+  val DictPrefixLen = 2
+  /** Distinct-prefix cap per bucket: beyond it the summary stores None
+    * (a near-saturated prefix set prunes nothing but bloats the manifest).
+    */
+  val DictMaxPrefixes = 512
+
   private val mapper = new ObjectMapper()
 
   private def fs(spark: SparkSession, p: String): FileSystem =
@@ -82,6 +114,22 @@ object SegmentStore {
       val arr = node.get(field)
       (0 until arr.size()).map(arr.get(_).asText())
     }
+    val dicts: Map[Int, BucketDict] = {
+      if (!node.has("bucketDicts")) Map.empty
+      else {
+        val dnode = node.get("bucketDicts")
+        val it = dnode.fieldNames()
+        val b = Map.newBuilder[Int, BucketDict]
+        while (it.hasNext) {
+          val k = it.next(); val v = dnode.get(k)
+          val ps =
+            if (!v.has("p") || v.get("p").isNull) None
+            else Some((0 until v.get("p").size()).map(v.get("p").get(_).asText()))
+          b += (k.toInt -> BucketDict(ps, v.get("lo").asInt(), v.get("hi").asInt()))
+        }
+        b.result()
+      }
+    }
     Manifest(
       version = node.get("version").asInt(),
       nBuckets = node.get("nBuckets").asInt(),
@@ -93,7 +141,8 @@ object SegmentStore {
       avgdl = node.get("avgdl").asDouble(),
       maxDocId = node.get("maxDocId").asLong(),
       batchSeq = node.get("batchSeq").asLong(),
-      posBuckets = intMap("posBuckets"))
+      posBuckets = intMap("posBuckets"),
+      bucketDicts = dicts)
   }
 
   def latest(spark: SparkSession, root: String): Option[Manifest] =
@@ -174,6 +223,15 @@ object SegmentStore {
     toWrite.forwardDirs.foreach(fnode.add)
     val pnode = node.putObject("posBuckets")
     toWrite.posBuckets.toSeq.sortBy(_._1).foreach { case (k, p) => pnode.put(k.toString, p) }
+    val dicts = node.putObject("bucketDicts")
+    toWrite.bucketDicts.toSeq.sortBy(_._1).foreach { case (k, d) =>
+      val dn = dicts.putObject(k.toString)
+      d.prefixes match {
+        case None => dn.putNull("p")
+        case Some(ps) => val arr = dn.putArray("p"); ps.foreach(arr.add)
+      }
+      dn.put("lo", d.minLen); dn.put("hi", d.maxLen)
+    }
     node.put("numDocs", toWrite.numDocs)
     node.put("totalTokens", toWrite.totalTokens)
     node.put("avgdl", toWrite.avgdl)

@@ -139,6 +139,43 @@ object StreamOps {
     q.stop()
   }
 
+  /** Production shape of [[sessionizedUserStats]]: the same gap-based
+    * session_window aggregation in APPEND mode streamed to a parquet table
+    * with a watermark — the sibling of [[windowedEventCountsToPath]]. A
+    * session is emitted exactly once, when the watermark passes its end
+    * (last event + gap); open sessions (those the watermark hasn't closed)
+    * stay pending — the contract a continuously-running pipeline wants.
+    * State is bounded by OPEN sessions only, partitioned by user_id.
+    */
+  def sessionizedToPath(spark: SparkSession, eventsPath: String,
+      outPath: String, checkpoint: String, gap: String = "10 minutes",
+      watermark: String = "10 minutes"): Unit = {
+    val schema: StructType = spark.read.parquet(eventsPath).schema
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dir, glob) =
+      if (fs.getFileStatus(p).isDirectory) (eventsPath, None)
+      else (p.getParent.toString, Some(p.getName))
+    val reader0 = spark.readStream.schema(schema)
+    val events = glob.fold(reader0)(g => reader0.option("pathGlobFilter", g)).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Stream transcript batches from a directory into an existing index:
     * every micro-batch runs one IndexMaintainer.applyChanges (one atomic
     * manifest version per batch — read-your-writes after

@@ -15,9 +15,9 @@ class GraftSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle without query: ${os -- qs}")
-    // rows-only registrations are deliberate and few: only simhash remains
-    // (hamming over our 64-bit hash family isn't SQL-expressible; it carries
-    // an exhaustive Spark-side golden in PipelineOpsSpec instead)
-    assert((qs -- os) == Set("q_dedup_simhash"))
+    // round 3 closed the last rows-only registration (simhash's oracle
+    // recomputes the FNV-1a64 family via a recursive CTE): EVERY registered
+    // query now carries an independent DuckDB oracle
+    assert((qs -- os).isEmpty, s"query without oracle: ${qs -- os}")
   }
 }

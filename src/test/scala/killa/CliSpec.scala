@@ -57,4 +57,67 @@ class CliSpec extends AnyFunSuite {
     assert(members(root, "common").isEmpty, "whole-source unsub empties the source")
     assert(Main.readSources(spark, root).isEmpty)
   }
+
+  test("delete/rename events drop or remap conv-specific masks (FileAnalyzer.cs:267-328)") {
+    val root = TestSpark.freshDir("clilc")
+    val data = TestSpark.freshDir("clilcdata")
+    mkData(data)
+    Main.run(spark, root, "sub", Array(data, "s1", "alpha1"))
+    Main.run(spark, root, "sub", Array(data, "s1", "alpha2"))
+    Main.run(spark, root, "sub", Array(data, "s1", "beta*"))
+    val betas = (0 until 5).map(i => s"beta$i").toSet
+    assert(members(root, "common") == Set("alpha1", "alpha2") ++ betas)
+
+    // delete event: alpha1 de-indexed AND its conv-specific mask dropped;
+    // the glob mask and the sibling specific mask stay (FileAnalyzer.cs:267-295)
+    Main.run(spark, root, "del", Array("alpha1"))
+    assert(Main.readSources(spark, root)("s1").masks == Seq("alpha2", "beta*"))
+    assert(members(root, "common") == Set("alpha2") ++ betas)
+
+    // rename event: Switch + mask remap, new name lower-cased like the
+    // reference's Filters.Add(e.Name.ToLowerInvariant()) (FileAnalyzer.cs:298-328)
+    Main.run(spark, root, "ren", Array("alpha2", "GAMMA7"))
+    assert(Main.readSources(spark, root)("s1").masks == Seq("gamma7", "beta*"))
+    assert(members(root, "ua2") == Set("GAMMA7"), "renamed conv answers under its new name")
+
+    // deleting a conv matched only by a glob leaves the mask set untouched
+    Main.run(spark, root, "del", Array("beta3"))
+    assert(Main.readSources(spark, root)("s1").masks == Seq("gamma7", "beta*"))
+    assert(!members(root, "common").contains("beta3"))
+  }
+
+  test("watch daemon: repeated ingestion passes until the stop file (FileAnalyzer.cs:144-168)") {
+    val root = TestSpark.freshDir("cliwatch")
+    val watched = TestSpark.freshDir("cliwatched")
+    val seedDir = TestSpark.freshDir("cliseed")
+    def turnsDf(rows: (String, Int, String)*) = rows.map { case (c, i, t) =>
+      killa.model.Turn(c, i, "user", t, "", new Timestamp(i * 1000L))
+    }.toDS().toDF()
+    turnsDf(("a", 0, "alpha seed")).write.mode("overwrite").parquet(seedDir)
+    Main.run(spark, root, "build", Array(seedDir))
+    // first batch file exists before the watcher starts (schema inference)
+    turnsDf(("b", 0, "bravo fresh")).write.mode("append").parquet(watched)
+
+    val watcher = new Thread(() =>
+      killa.cli.Main.run(spark, root, "watch", Array(watched, "w1", "*")))
+    watcher.setDaemon(true)
+    watcher.start()
+    def owners(t: String): Set[String] =
+      new IndexReader(spark, root).membership(t).collect().map(_.getString(0)).toSet
+    def await(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      cond
+    }
+    assert(await(owners("bravo") == Set("b")), "watcher missed the first batch")
+    // a second file lands while the watcher runs — the next pass picks it up
+    turnsDf(("c", 0, "charlie fresh")).write.mode("append").parquet(watched)
+    assert(await(owners("charlie") == Set("c")), "watcher missed a late-arriving batch")
+    assert(owners("fresh") == Set("b", "c"))
+    // stop cleanly
+    val stop = new org.apache.hadoop.fs.Path(s"$root/watch.stop")
+    stop.getFileSystem(spark.sparkContext.hadoopConfiguration).create(stop, true).close()
+    watcher.join(120000)
+    assert(!watcher.isAlive, "watch verb did not stop on the stop file")
+  }
 }

@@ -118,6 +118,8 @@ class EndToEndSpec extends AnyFunSuite {
     // localQueryBlocks = 0): both must match the oracle bit for bit
     val readers = Seq(
       "local" -> reader,
+      "localpar" -> new IndexReader(spark, root,
+        Conf(nBuckets = 8, blockSize = 16, localParBlocks = 1)),
       "distributed" -> new IndexReader(spark, root,
         Conf(nBuckets = 8, blockSize = 16, localQueryBlocks = 0)))
     val queries = Seq(

@@ -59,9 +59,9 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("simhash: exact dup at hamming 0; blocking finds near pairs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val p03 = pairs.find(p => p._1 == 0L && p._2 == 3L)
-    assert(p03.isDefined && p03.get._3 == 0, "identical docs → hamming 0")
+    assert(p03.isDefined && p03.get._3 == 0L, "identical docs → hamming 0")
     assert(pairs.forall(_._3 <= 3))
   }
 
@@ -140,6 +140,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"nProbe=8/16 recall collapsed: $recall")
   }
 
+  test("IVF k-means refinement: recall at equal nProbe improves on a clustered corpus") {
+    // 4 deterministic clusters around near-orthogonal one-hot centers with
+    // strong noise (±0.45): sampled-point seeds sit on cluster EDGES and
+    // mis-partition their cluster; Lloyd centroids average the noise out —
+    // exactly the gap refineIters exists to close
+    val vecs = (for (c <- 0 until 4; j <- 0 until 25) yield {
+      val id = c * 25 + j
+      val v = (0 until 8).map { d =>
+        val noise = ((util.Hashing.splitmix64(id * 8L + d) % 900L) - 450L).toFloat / 1000f
+        (if (d == 2 * c) 1.0f else 0.0f) + noise
+      }.toArray
+      (id.toLong, v)
+    }).toDF("vec_id", "embedding").persist()
+    val q = vecs.where(col("vec_id").isin(3L, 28L, 53L, 78L))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val brute = Ann.bruteForceTopK(vecs, "vec_id", "embedding", q, "q_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(iters: Int): Double = {
+      val got = Ann.ivfTopK(vecs, "vec_id", "embedding", q, "q_id", "embedding", 10,
+          nCells = 4, nProbe = 1, refineIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val sampled = recall(0)
+    val refined = recall(3)
+    // deterministic fixture → deterministic recalls (measured 0.325 → 0.6:
+    // nProbe=1 of 4 cells on ±0.45-noise clusters caps what ANY partition
+    // can reach, so the pin is the IMPROVEMENT, not an absolute)
+    assert(refined - sampled >= 0.15,
+      s"refinement gained too little: sampled=$sampled refined=$refined")
+    assert(sampled <= 0.45 && refined >= 0.55,
+      s"recall regime shifted: sampled=$sampled refined=$refined")
+    vecs.unpersist()
+    ()
+  }
+
   test("embedding near-dup: LSH candidates + exact verify ≡ all-pairs oracle at the registered threshold (recall 1.0)") {
     // the exact data+threshold the driver verifies (sf0.01, τ=0.45): the
     // default banding must reproduce the all-pairs result EXACTLY, because
@@ -160,14 +196,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // simhash: the blocking is provably complete (pigeonhole), so the result
     // must EQUAL an independent driver-side all-pairs hamming computation
     val got = Dedup.simhashPairs(docs01, "doc_id", "text", 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val sigs = docs01.select("doc_id", "text").collect()
       .map(r => r.getLong(0) ->
         Dedup.simhash64(killa.tokenize.WhitespaceTokenizer.tokenize(r.getString(1)).toSeq))
     val exp = (for {
       i <- sigs.indices.iterator
       j <- (i + 1 until sigs.length).iterator
-      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) if h <= 3
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2).toLong if h <= 3L
     } yield {
       val (a, b) = if (sigs(i)._1 < sigs(j)._1) (sigs(i)._1, sigs(j)._1)
         else (sigs(j)._1, sigs(i)._1)

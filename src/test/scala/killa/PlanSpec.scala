@@ -118,6 +118,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"IVF must not cross-join:\n$plan")
   }
 
+  test("simhash pair pipeline carries no UDF (native bit_count hamming)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") < 50)
+    val plan = planOf(killa.dedup.Dedup.simhashPairs(docs, "doc_id", "text", 3))
+    // the signature map is a typed Dataset map (DeserializeToObject, not a
+    // SQL UDF); the verify stage — join + hamming filter — must be pure
+    // codegen expressions (bit_count over xor)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"simhash verify stage fell out of codegen:\n$plan")
+    assert(plan.contains("bit_count"), s"native bit_count missing:\n$plan")
+  }
+
   test("snippets: turn scan prunes to (conv_id, turn_idx, text); hit join broadcasts; no UDF") {
     val r = new IndexReader(spark, root, conf)
     val turns = Synth.transcripts(spark, 40, 4, seed = 3L).toDF()

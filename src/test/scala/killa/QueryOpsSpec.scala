@@ -26,9 +26,13 @@ class QueryOpsSpec extends AnyFunSuite {
     r
   }
 
-  // both query paths: the adaptive local kernel and the forced range fan-out
+  // all three query paths: single-range local, parallel multi-range local
+  // (localParBlocks=1 forces the threaded range decomposition), and the
+  // forced distributed range fan-out
   private def readers = Seq(
     "local" -> new IndexReader(spark, root, Conf(nBuckets = 8, blockSize = 16)),
+    "localpar" -> new IndexReader(spark, root,
+      Conf(nBuckets = 8, blockSize = 16, localParBlocks = 1)),
     "dist" -> new IndexReader(spark, root, Conf(nBuckets = 8, blockSize = 16, localQueryBlocks = 0)))
 
   private def hits(df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =

@@ -1,0 +1,113 @@
+package killa
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import killa.build.IndexWriter
+import killa.maintain.IndexMaintainer
+import killa.query.{BruteForce, IndexReader}
+import killa.synth.Synth
+
+/** Serving fast paths (round-3: VERDICT r2 "Next round" #2): the count-only
+  * membership path and the rows-returning top-k path must be result-identical
+  * to their DataFrame siblings, and a warm small query must cost exactly ONE
+  * Spark job — the driver-side serving floor the replication bench measures.
+  */
+class ServeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 8, blockSize = 16)
+
+  private lazy val turns = Synth.transcripts(spark, nConvs = 60, turnsPerConv = 6, seed = 11L)
+    .toDF().persist()
+
+  private lazy val root: String = {
+    val r = TestSpark.freshDir("serve")
+    new IndexWriter(spark, r, conf).fullBuild(turns, "b0")
+    r
+  }
+
+  private def count(df: DataFrame): Long = df.count()
+
+  test("membershipCount == membership().count(): fresh index, null/absent → 0") {
+    val r = new IndexReader(spark, root, conf)
+    Seq("the", "query", "uniq30_0").foreach { t =>
+      assert(r.membershipCount(t) == count(r.membership(t)), s"term=$t")
+      assert(r.membershipCount(t) > 0, s"vacuous fixture for $t")
+    }
+    assert(r.membershipCount("absent_token_xyz") == 0L)
+    assert(r.membershipCount(null) == 0L)
+    assert(r.membershipCount("") == 0L)
+  }
+
+  test("membershipCount stays exact across delete and rename batches") {
+    val rt = TestSpark.freshDir("servemaint")
+    new IndexWriter(spark, rt, conf).fullBuild(turns, "b0")
+    val maint = new IndexMaintainer(spark, rt, conf)
+    maint.remove(Seq("conv000002", "conv000005", "conv000011"), "d1")
+    maint.rename("conv000003", "zz_renamed", "r1")
+    val r = new IndexReader(spark, rt, conf)
+    Seq("the", "query", "shared_0").foreach { t =>
+      val viaBlocks = r.membershipCount(t)
+      val viaSet = count(r.membership(t))
+      assert(viaBlocks == viaSet, s"term=$t blocks=$viaBlocks set=$viaSet")
+    }
+    // a deleted conv's unique terms vanish from the count path too
+    assert(r.membershipCount("uniq2_0") == 0L)
+  }
+
+  test("bm25TopKRows identical to bm25TopK rows on both query paths") {
+    val readers = Seq(
+      "local" -> new IndexReader(spark, root, conf),
+      "localpar" -> new IndexReader(spark, root, conf.copy(localParBlocks = 1)),
+      "dist" -> new IndexReader(spark, root, conf.copy(localQueryBlocks = 0)))
+    val cases = Seq(
+      (Seq("the"), false, Seq.empty[String]),
+      (Seq("query", "filter", "join"), false, Nil),
+      (Seq("query", "filter"), true, Nil),
+      (Seq("query", "filter"), false, Seq("the")))
+    for ((path, r) <- readers; (terms, conj, ex) <- cases) {
+      val viaDf = r.bm25TopK(terms, 10, conj, ex).collect()
+        .map(x => (x.getString(0), x.getDouble(1))).toSeq
+      val viaRows = r.bm25TopKRows(terms, 10, conj, ex).toSeq
+      assert(viaRows == viaDf, s"path=$path terms=$terms")
+    }
+    // and both match the relational oracle
+    val exp = BruteForce.bm25(turns, Seq("query", "filter", "join"), 10).collect()
+      .map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(readers.head._2.bm25TopKRows(Seq("query", "filter", "join"), 10).toSeq == exp)
+  }
+
+  /** Count the Spark jobs `f` submits on this thread via a job group +
+    * statusTracker (the status store fills asynchronously — poll to
+    * stability).
+    */
+  private def jobsFor(tag: String)(f: => Unit): Int = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(tag, tag)
+    try f finally sc.clearJobGroup()
+    var last = -1
+    var cur = sc.statusTracker.getJobIdsForGroup(tag).length
+    var tries = 0
+    while (cur != last && tries < 100) {
+      last = cur; Thread.sleep(30)
+      cur = sc.statusTracker.getJobIdsForGroup(tag).length
+      tries += 1
+    }
+    cur
+  }
+
+  test("warm serving cost: count + local top-k are ONE job each (AQE off, as in serving)") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val r = new IndexReader(spark, root, conf)
+      // warm: dict cache, bucket DataFrames, label cache, codegen
+      r.membershipCount("query")
+      r.bm25TopKRows(Seq("query", "filter"), 10)
+      assert(jobsFor("probe-count") { r.membershipCount("query"); () } == 1)
+      assert(jobsFor("probe-topk") { r.bm25TopKRows(Seq("query", "filter"), 10); () } == 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}

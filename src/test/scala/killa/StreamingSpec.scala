@@ -89,6 +89,40 @@ class StreamingSpec extends AnyFunSuite {
       "a non-trailing window was not finalized to the sink")
   }
 
+  test("append-mode sessionization: closed sessions land exactly once (production shape)") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val out = TestSpark.freshDir("sessout")
+    val ckpt = TestSpark.freshDir("sessckpt")
+    StreamOps.sessionizedToPath(spark, path, out, ckpt)
+    val got = spark.read.parquet(out)
+      .select("user_id", "session_start", "n", "sum_value")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.getDouble(3))).toSeq
+    // exactly once: no (user, session_start) appears twice
+    assert(got.size == got.distinct.size, "duplicate session emitted")
+    val gotSet = got.toSet
+    val batch = spark.read.parquet(path)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n"), col("sum_value"))
+      .persist()
+    val expAll = batch.collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(3), r.getDouble(4))).toSet
+    assert(gotSet.subsetOf(expAll), "an emitted session diverged from the batch aggregation")
+    // every session the final watermark strictly closed must have been emitted
+    val maxTs = spark.read.parquet(path)
+      .agg(max(col("ts").cast("timestamp"))).collect()(0).getTimestamp(0)
+    val closed = batch.where(col("e") < lit(maxTs) - expr("INTERVAL 10 MINUTES"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(3), r.getDouble(4))).toSet
+    assert(closed.nonEmpty && closed.subsetOf(gotSet), "a closed session was not emitted")
+    batch.unpersist()
+    // idempotent continuation: re-running over the same (fully-consumed)
+    // input emits nothing new
+    StreamOps.sessionizedToPath(spark, path, out, ckpt)
+    assert(spark.read.parquet(out).count() == got.size.toLong)
+  }
+
   test("stream ingestion maintains the index like the reference watcher (FileAnalyzer.cs:144-168)") {
     val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 8, blockSize = 16)
     val root = TestSpark.freshDir("stream")
