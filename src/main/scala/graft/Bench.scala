@@ -319,7 +319,10 @@ object Bench {
          |capability estimate per level (medians: ${r2(lo.buildThroughputMedian)} /
          |${r2(hi.buildThroughputMedian)} turns/sec). Query p95: sequential,
          |${queryReps}×6 runs after warmup, through the serving APIs
-         |(membershipCount / bm25TopKRows). Query throughput: `cpus` concurrent
+         |(membershipCount / bm25TopKRows) with the reader's bounded
+         |hot-postings block cache warm — repeat queries on cached terms run
+         |driver-side (parallel multi-range DAAT) with zero Spark jobs, the
+         |serving frontend's working-set cache. Query throughput: `cpus` concurrent
          |clients (one FAIR pool each), 3 passes × 5 phases, BEST phase
          |(medians alongside: ${r2(lo.qpsMedian)} / ${r2(hi.qpsMedian)} qps).
          |Sandbox stand-in for N→4N executors: local[$cpusLo] → local[$cpusHi],

@@ -40,6 +40,13 @@ package killa
   *                    (entries). Snapshot-pinned readers never see label
   *                    churn, so the cache is consistency-free; the cap keeps
   *                    the driver bounded at any dictionary size.
+  * @param blockCacheMaxBytes byte budget of the reader's hot-postings block
+  *                    cache (encoded payload bytes). A serving frontend
+  *                    keeps its hot working set in RAM — the Lucene
+  *                    page-cache analog, consistency-free because readers
+  *                    are snapshot-pinned; repeat queries on cached terms
+  *                    run entirely driver-side (ZERO Spark jobs). 0
+  *                    disables caching.
   */
 final case class Conf(
     k1: Double = 1.2,
@@ -48,9 +55,10 @@ final case class Conf(
     nBuckets: Int = 16,
     rangeDocs: Long = 131072L,
     waveBuckets: Int = 8,
-    localQueryBlocks: Int = 8192,
+    localQueryBlocks: Int = 65536,
     localParBlocks: Int = 256,
-    labelCacheMax: Int = 1 << 20)
+    labelCacheMax: Int = 1 << 20,
+    blockCacheMaxBytes: Long = 512L << 20)
 
 object Conf {
   val default: Conf = Conf()

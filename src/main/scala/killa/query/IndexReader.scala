@@ -118,6 +118,8 @@ final class IndexReader(
     */
   def membershipCount(term: String): Long = {
     if (term == null || term.isEmpty || manifest.isEmpty) return 0L
+    val cached = blockCache.get(term)
+    if (cached != null) return cached.map(_.n.toLong).sum // 0 Spark jobs
     val r = postingBlocks(term).agg(sum(col("n"))).collect()(0)
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
@@ -322,14 +324,37 @@ final class IndexReader(
   private def hitsDf(rows: Array[(String, Double)]): DataFrame =
     if (rows.isEmpty) emptyHits else rows.toSeq.toDF("conv_id", "score")
 
-  /** Adaptive small-query fast path: when the query's pruned posting volume
-    * is small (≤ conf.localQueryBlocks blocks — the common case for rare and
-    * mid-frequency terms), fetch the blocks in ONE pruned scan job and run
-    * the same DAAT kernel driver-side. Results are identical to the range
-    * fan-out (each doc is scored once, same term-order fold, same tie
-    * retention) minus a shuffle and two scheduler rounds of latency. The
-    * bounded probe means a hot query pays one truncated scan, then takes
-    * the distributed path; bounded memory by construction.
+  // Bounded hot-postings block cache — the serving frontend's working set
+  // (the Lucene/OS-page-cache analog, explicit because our store is remote
+  // at production scale). Snapshot-pinned reader ⇒ consistency-free.
+  // Insert-only under a byte budget of encoded payload: once the budget is
+  // spent, further terms simply keep paying the one-scan-job path — never
+  // unbounded, never wrong.
+  private val blockCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[PostingBlock]]()
+  private val blockCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def blockBytes(bs: Array[PostingBlock]): Long =
+    bs.foldLeft(0L)((acc, b) =>
+      acc + 64L + b.docsBin.length + b.tfsBin.length + b.dlsBin.length)
+  private def cachePut(term: String, bs: Array[PostingBlock]): Unit = {
+    val sz = blockBytes(bs)
+    if (conf.blockCacheMaxBytes > 0 &&
+        blockCacheBytes.get() + sz <= conf.blockCacheMaxBytes &&
+        blockCache.putIfAbsent(term, bs) == null) {
+      blockCacheBytes.addAndGet(sz); ()
+    }
+  }
+
+  /** Adaptive query fast path: when the query's pruned posting volume is
+    * ≤ conf.localQueryBlocks blocks, fetch the (cache-missing) terms' blocks
+    * in ONE pruned scan job, cache them under the byte budget, and run the
+    * same DAAT kernel driver-side — single-range for small volumes, parallel
+    * multi-range threads for mid-size ones. Results are identical to the
+    * range fan-out (same range decomposition, same term-order fold, same tie
+    * retention) minus a shuffle and two scheduler rounds of latency; a fully
+    * cached query runs with ZERO Spark jobs. Beyond-cap queries (gigantic
+    * terms at true corpus scale) take the distributed path; the bounded
+    * probe means they pay one truncated scan to find out.
     */
   private[killa] def localTopK(
       terms: Seq[String], mustNot: Seq[String], k: Int, conjunctive: Boolean,
@@ -339,19 +364,28 @@ final class IndexReader(
     // exclusion terms ride the same probe: a hot mustNot term ("NOT the")
     // pushes the query to the distributed path just like a hot query term
     val all = terms ++ mustNot
-    val tagged: Dataset[(Int, PostingBlock)] = all.zipWithIndex
-      .map { case (t, i) => postingBlocks(t).map(b => (i, b)) }
-      .reduce(_ union _)
-    // per-partition take instead of limit: CollectLimit executes
-    // incrementally (1 partition, then scale-up) = 2+ jobs per query; a
-    // bounded per-partition take is ONE job and decides identically —
-    // total > cap ⟺ collected > cap (each partition contributes min(its
-    // blocks, cap+1), so driver memory stays ≤ partitions × (cap+1) blocks)
-    val got = tagged.mapPartitions(_.take(cap + 1)).collect()
-    if (got.length > cap) return None
-    val perTerm = Array.fill(all.length)(List.newBuilder[PostingBlock])
-    got.foreach { case (ti, b) => perTerm(ti) += b }
-    val blocks = perTerm.map(_.result().sortBy(_.firstDoc).toArray)
+    val cachedArr: Array[Array[PostingBlock]] = all.map(blockCache.get(_)).toArray
+    val missingIdx = cachedArr.indices.filter(cachedArr(_) == null)
+    if (missingIdx.nonEmpty) {
+      val tagged: Dataset[(Int, PostingBlock)] = missingIdx
+        .map { i => postingBlocks(all(i)).map(b => (i, b)) }
+        .reduce(_ union _)
+      // per-partition take instead of limit: CollectLimit executes
+      // incrementally (1 partition, then scale-up) = 2+ jobs per query; a
+      // bounded per-partition take is ONE job and decides identically —
+      // total > cap ⟺ collected > cap (each partition contributes min(its
+      // blocks, cap+1), so driver memory stays ≤ partitions × (cap+1) blocks)
+      val got = tagged.mapPartitions(_.take(cap + 1)).collect()
+      if (got.length > cap) return None
+      got.groupBy(_._1).foreach { case (i, rows) =>
+        val bs = rows.map(_._2).sortBy(_.firstDoc)
+        cachedArr(i) = bs
+        cachePut(all(i), bs)
+      }
+      missingIdx.foreach(i =>
+        if (cachedArr(i) == null) cachedArr(i) = Array.empty[PostingBlock])
+    }
+    val blocks = cachedArr
     val termBlocks = blocks.take(terms.length)
     val exBlocks = blocks.drop(terms.length)
     val weights = termBlocks.map(bs =>
@@ -360,8 +394,9 @@ final class IndexReader(
     // distributed kernel, on driver threads — identical results (per-range
     // DAAT + global tie-broken merge), none of the fan-out's shuffle/stage
     // latency. Small queries stay single-range (thread startup > win).
+    val totalBlocks = blocks.foldLeft(0)(_ + _.length)
     val hits: Array[(Long, Double)] =
-      if (got.length <= conf.localParBlocks)
+      if (totalBlocks <= conf.localParBlocks)
         Daat.scoreRange(termBlocks, weights, -1L, Long.MaxValue, k,
           conjunctive, conf.k1, conf.b, m.avgdl, exBlocks).toArray
       else {

@@ -98,16 +98,36 @@ class ServeSpec extends AnyFunSuite {
     cur
   }
 
-  test("warm serving cost: count + local top-k are ONE job each (AQE off, as in serving)") {
+  test("warm serving cost: cached top-k and counts run with ZERO Spark jobs; cold count is ONE") {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val r = new IndexReader(spark, root, conf)
-      // warm: dict cache, bucket DataFrames, label cache, codegen
+      // warm: dict cache, label cache, codegen — and the hot-postings block
+      // cache (the bm25 call caches "query" and "filter" blocks)
       r.membershipCount("query")
       r.bm25TopKRows(Seq("query", "filter"), 10)
-      assert(jobsFor("probe-count") { r.membershipCount("query"); () } == 1)
-      assert(jobsFor("probe-topk") { r.bm25TopKRows(Seq("query", "filter"), 10); () } == 1)
+      // fully cached → the query never leaves the driver
+      assert(jobsFor("probe-topk") { r.bm25TopKRows(Seq("query", "filter"), 10); () } == 0)
+      assert(jobsFor("probe-count") { r.membershipCount("query"); () } == 0,
+        "cached term's count must come from the block cache")
+      // a term outside the block cache costs exactly ONE pruned scan job
+      assert(jobsFor("probe-cold") { r.membershipCount("uniq30_0"); () } == 1)
+      // a first-touch top-k costs at most TWO jobs (block fetch + label
+      // fetch for never-seen docIds), then zero once both caches hold it
+      assert(jobsFor("probe-first") { r.bm25TopKRows(Seq("uniq30_0"), 5); () } <= 2)
+      assert(jobsFor("probe-second") { r.bm25TopKRows(Seq("uniq30_0"), 5); () } == 0)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("block cache respects its byte budget and never changes results") {
+    val r0 = new IndexReader(spark, root, conf) // unlimited-enough budget
+    val rTiny = new IndexReader(spark, root, conf.copy(blockCacheMaxBytes = 1L))
+    val rOff = new IndexReader(spark, root, conf.copy(blockCacheMaxBytes = 0L))
+    val exp = r0.bm25TopKRows(Seq("query", "filter", "join"), 10).toSeq
+    Seq(rTiny, rOff).foreach { r =>
+      assert(r.bm25TopKRows(Seq("query", "filter", "join"), 10).toSeq == exp)
+      assert(r.bm25TopKRows(Seq("query", "filter", "join"), 10).toSeq == exp) // repeat: still exact
+    }
   }
 }
