@@ -119,7 +119,19 @@ final class IndexReader(
   def membershipCount(term: String): Long = {
     if (term == null || term.isEmpty || manifest.isEmpty) return 0L
     val cached = blockCache.get(term)
-    if (cached != null) return cached.map(_.n.toLong).sum // 0 Spark jobs
+    if (cached != null) return cached.foldLeft(0L)(_ + _.n) // 0 Spark jobs
+    // miss: fetch-and-cache like the top-k path (one bounded job) so repeat
+    // counts serve from memory; beyond-cap terms fall back to the
+    // column-pruned aggregation (reads only the n column, nothing cached)
+    val cap = conf.localQueryBlocks
+    if (cap > 0) {
+      val got = postingBlocks(term).mapPartitions(_.take(cap + 1)).collect()
+      if (got.length <= cap) {
+        val bs = got.sortBy(_.firstDoc)
+        cachePut(term, bs)
+        return bs.foldLeft(0L)(_ + _.n)
+      }
+    }
     val r = postingBlocks(term).agg(sum(col("n"))).collect()(0)
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
@@ -300,10 +312,9 @@ final class IndexReader(
 
   /** Serving-shaped top-k: the same exact BM25 result as [[bm25TopK]] (rank
     * identity spec-pinned) returned as materialized rows — what a query
-    * frontend actually sends back. Skips the final LocalRelation round-trip,
-    * so a warm small query is exactly ONE Spark job (the pruned block scan;
-    * label lookups hit the reader's hot cache) — the job-count is
-    * listener-asserted in ServeSpec.
+    * frontend actually sends back. With the block + label caches warm a
+    * query runs with ZERO Spark jobs (first touch pays ≤ 2: block fetch +
+    * label fetch) — listener-asserted in ServeSpec.
     */
   def bm25TopKRows(termsIn: Seq[String], k: Int, conjunctive: Boolean = false,
       mustNot: Seq[String] = Nil): Array[(String, Double)] = {
@@ -382,8 +393,14 @@ final class IndexReader(
         cachedArr(i) = bs
         cachePut(all(i), bs)
       }
-      missingIdx.foreach(i =>
-        if (cachedArr(i) == null) cachedArr(i) = Array.empty[PostingBlock])
+      // negative cache: a term with no postings caches its empty array too
+      // (zero bytes), so repeat queries on absent terms also skip the scan
+      missingIdx.foreach { i =>
+        if (cachedArr(i) == null) {
+          cachedArr(i) = Array.empty[PostingBlock]
+          cachePut(all(i), cachedArr(i))
+        }
+      }
     }
     val blocks = cachedArr
     val termBlocks = blocks.take(terms.length)

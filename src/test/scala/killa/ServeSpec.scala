@@ -111,8 +111,10 @@ class ServeSpec extends AnyFunSuite {
       assert(jobsFor("probe-topk") { r.bm25TopKRows(Seq("query", "filter"), 10); () } == 0)
       assert(jobsFor("probe-count") { r.membershipCount("query"); () } == 0,
         "cached term's count must come from the block cache")
-      // a term outside the block cache costs exactly ONE pruned scan job
+      // a term outside the block cache costs exactly ONE pruned scan job,
+      // which fetches-and-caches — the repeat is free
       assert(jobsFor("probe-cold") { r.membershipCount("uniq30_0"); () } == 1)
+      assert(jobsFor("probe-cold2") { r.membershipCount("uniq30_0"); () } == 0)
       // a first-touch top-k costs at most TWO jobs (block fetch + label
       // fetch for never-seen docIds), then zero once both caches hold it
       assert(jobsFor("probe-first") { r.bm25TopKRows(Seq("uniq30_0"), 5); () } <= 2)
