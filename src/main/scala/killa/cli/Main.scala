@@ -35,6 +35,7 @@ import killa.streaming.StreamOps
   *   watch <dir> [source] [mask...]   daemon: repeat ingestion passes until
   *                             <root>/watch.stop appears (FileSystemWatcher
   *                             persistence, FileAnalyzer.cs:144-168)
+  *   repl                      interactive verb loop (Program.cs:115-126)
   *   flush                     clear the index (StringIndex.cs:84-89)
   *   compact                   fold the docs/forward logs (GC analog)
   *   vacuum [keepLast]         expire old snapshots + dead segment dirs
@@ -137,7 +138,12 @@ object Main {
       else builder.master(s"local[$cpus]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, root, verb, rest)
-    finally spark.stop()
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage)
+        spark.stop()
+        sys.exit(2)
+    } finally spark.stop()
   }
 
   private[killa] def run(spark: SparkSession, root: String, verb: String, rest: Array[String]): Unit = {
@@ -193,8 +199,8 @@ object Main {
         val sources = readSources(spark, root)
         sources.get(source) match {
           case Some(sub) if sub.path != path =>
-            System.err.println(s"source $source already subscribed to ${sub.path}")
-            sys.exit(2)
+            throw new IllegalArgumentException(
+              s"source $source already subscribed to ${sub.path}")
           case Some(sub) if sub.masks.contains(mask) =>
             println(s"already subscribed $source $mask") // idempotent
           case existing =>
@@ -302,6 +308,23 @@ object Main {
         val keep = rest.headOption.map(_.toInt).getOrElse(1)
         val st = SegmentStore.vacuum(spark, root, keep)
         println(s"vacuumed: ${st.removedSnapshots} snapshots, ${st.removedDirs} dirs")
+      case "repl" =>
+        // the reference CLI's interactive loop (Program.cs:115-126): read
+        // verb lines from stdin until EOF or `exit`, dispatching each to the
+        // same handlers; one warm SparkSession serves every command
+        var line = scala.io.StdIn.readLine()
+        while (line != null && line.trim != "exit") {
+          val parts = line.trim.split("\\s+").filter(_.nonEmpty)
+          if (parts.nonEmpty) {
+            if (parts(0) == "repl") System.err.println("already in repl")
+            else
+              try run(spark, root, parts(0), parts.drop(1))
+              catch {
+                case e: Exception => System.err.println(s"error: ${e.getMessage}")
+              }
+          }
+          line = scala.io.StdIn.readLine()
+        }
       case "status" =>
         SegmentStore.latest(spark, root) match {
           case None => println("no index")
@@ -310,8 +333,9 @@ object Main {
               f"avgdl=${m.avgdl}%.2f buckets=${m.buckets.size}/${m.nBuckets} batchSeq=${m.batchSeq}")
         }
       case other =>
-        System.err.println(s"unknown verb: $other")
-        sys.exit(2)
+        // thrown, not sys.exit: main() maps it to exit code 2, the repl
+        // loop reports and continues (Program.cs prints and re-prompts)
+        throw new IllegalArgumentException(s"unknown verb: $other")
     }
   }
 

@@ -137,8 +137,12 @@ final class IndexReader(
   }
 
   /** Contains (StringIndex.cs:17): any posting for this term? */
-  def contains(term: String): Boolean =
-    term != null && term.nonEmpty && !postingBlocks(term).isEmpty
+  def contains(term: String): Boolean = {
+    if (term == null || term.isEmpty) return false
+    val cached = blockCache.get(term)
+    if (cached != null) cached.nonEmpty // covers the negative cache too
+    else !postingBlocks(term).isEmpty
+  }
 
   /** Prefix search — the reference's own top TODO (README.md:56-58 wants a
     * trie-based wildcard index): conversations containing ANY term starting

@@ -86,6 +86,34 @@ class CliSpec extends AnyFunSuite {
     assert(!members(root, "common").contains("beta3"))
   }
 
+  test("repl loop dispatches verbs from stdin until exit (Program.cs:115-126)") {
+    val root = TestSpark.freshDir("clirepl")
+    val data = TestSpark.freshDir("clirepldata")
+    mkData(data)
+    val script =
+      s"""sub $data s1 alpha*
+         |q ua1
+         |badverb
+         |index?
+         |q ub1
+         |exit
+         |""".stripMargin
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withIn(new java.io.StringReader(script)) {
+      Console.withOut(new java.io.PrintStream(out)) {
+        Main.run(spark, root, "repl", Array.empty)
+      }
+    }
+    val lines = out.toString.linesIterator.toSeq
+    assert(lines.contains("subscribed s1 alpha*"))
+    assert(lines.contains("alpha1"), s"q ua1 must print its owner: $lines")
+    // `index?` comes AFTER the unknown verb: its output proves the loop
+    // reported the error (to stderr) and kept going, Program.cs-style
+    assert(lines.contains("idle"))
+    // beta1 is outside the alpha* mask → q ub1 prints nothing
+    assert(!lines.contains("beta1"))
+  }
+
   test("watch daemon: repeated ingestion passes until the stop file (FileAnalyzer.cs:144-168)") {
     val root = TestSpark.freshDir("cliwatch")
     val watched = TestSpark.freshDir("cliwatched")
