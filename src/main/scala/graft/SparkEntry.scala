@@ -232,7 +232,30 @@ object SparkEntry {
       killa.streaming.StreamOps.sessionizedUserStats(s, s"$dir/events.parquet",
         gap = "10 minutes", s"graft_sessions_${math.abs(dir.hashCode)}")
         .withColumn("session_start", col("session_start").cast("timestamp"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+    // PRODUCTION form of sessionization under the driver gate: append-mode
+    // session_window + watermark streamed to parquet, read back. The engine
+    // emits exactly the sessions the final watermark closed — i.e. those
+    // with (last event + gap) < (max ts − watermark delay) — which the
+    // oracle recomputes relationally (probe-verified < vs ≤ at sf0.01)
+    "q_stream_sessions_append" -> ((s, dir) => {
+      val tag = math.abs(dir.hashCode)
+      val out = s"/root/repo/target/sessappend-$tag"
+      val ckpt = s"/root/repo/target/sessappend-ckpt-$tag"
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      Seq(out, ckpt).foreach { p =>
+        val f = new java.io.File(p); if (f.exists()) rm(f)
+      }
+      killa.streaming.StreamOps.sessionizedToPath(s, s"$dir/events.parquet", out, ckpt)
+      s.read.parquet(out)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp").as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    })
   )
 
   private def documents(s: SparkSession, dir: String): DataFrame =
@@ -460,6 +483,21 @@ object SparkEntry {
       " FROM o)" +
       " SELECT user_id, min(ts) AS session_start, count(*) AS n," +
       " round(sum(value), 4) AS sum_value" +
-      " FROM s GROUP BY user_id, sid ORDER BY user_id, session_start")
+      " FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    // append form: only sessions the final watermark (max ts − 10 min)
+    // strictly closed — session end = last event + the 10-min gap
+    "q_stream_sessions_append" -> ("WITH o AS (SELECT user_id, event_id, ts, value," +
+      " CASE WHEN lag(ts) OVER w IS NULL" +
+      " OR ts - lag(ts) OVER w > INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk" +
+      " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))" +
+      ", s AS (SELECT user_id, ts, value," +
+      " sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid" +
+      " FROM o)" +
+      ", g AS (SELECT user_id, sid, min(ts) AS session_start, max(ts) AS last_ts," +
+      " count(*) AS n, round(sum(value), 4) AS sum_value" +
+      " FROM s GROUP BY user_id, sid)" +
+      " SELECT user_id, session_start, n, sum_value FROM g" +
+      " WHERE last_ts + INTERVAL '10 minutes' < (SELECT max(ts) FROM events) - INTERVAL '10 minutes'" +
+      " ORDER BY user_id, session_start")
   )
 }
