@@ -176,6 +176,33 @@ object Harness {
       root
     })
 
+  /** Full index + positional index, then a multi-batch delete churn under a
+    * TIGHT auto-compaction threshold (compactLogDirs = 3): the batch that
+    * crosses the threshold folds the docs/forward logs AND reclaims the
+    * dead docs' position rows mid-sequence; a final explicit compact picks
+    * up the tail batch. Queries against the result must match the
+    * final-corpus (every-10th-conv-deleted) oracle exactly — the driver
+    * gate over VERDICT r3 missing #1 + #2.
+    */
+  def compactRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#cmp", {
+      val root = freshRoot(sfDir, "cmp")
+      val all = transcripts(spark, sfDir)
+      new IndexWriter(spark, root, conf).fullBuild(all, "b0")
+      new IndexWriter(spark, root, conf).buildPositions(all, "pos0")
+      val maint = new killa.maintain.IndexMaintainer(spark, root,
+        conf.copy(compactLogDirs = 3))
+      val victims = transcripts(spark, sfDir).select("conv_id").distinct()
+        .where(expr("CAST(substring(conv_id, 2) AS INT) % 10 = 0"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      // 4 delete batches — the third crosses the 3-dir threshold
+      victims.zipWithIndex.groupBy(_._2 % 4).toSeq.sortBy(_._1).foreach {
+        case (g, vs) => maint.remove(vs.map(_._1), s"d$g")
+      }
+      maint.compact("final")
+      root
+    })
+
   /** Full index, then rename c00001 → z99999 (Indexer.Switch rename path). */
   def incrRenameRoot(spark: SparkSession, sfDir: String): String =
     cache.getOrElseUpdate(s"$sfDir#ren", {

@@ -148,6 +148,12 @@ object Main {
 
   private[killa] def run(spark: SparkSession, root: String, verb: String, rest: Array[String]): Unit = {
     lazy val session = new QuerySession(spark, root, conf)
+    // fixed-arity verbs fail as clean usage errors (exit 2), not MatchError /
+    // NoSuchElementException stack traces (ADVICE r3)
+    val minArity = Map("build" -> 1, "posbuild" -> 1, "unsub" -> 1, "sub" -> 2, "ren" -> 2)
+    minArity.get(verb).filter(rest.length < _).foreach { n =>
+      throw new IllegalArgumentException(s"$verb requires at least $n argument(s)")
+    }
     verb match {
       case "q" =>
         session.search(rest.headOption.orNull).collect().foreach(r => println(r.getString(0)))

@@ -195,13 +195,17 @@ object SegmentStore {
       if (f.exists(p)) { f.delete(p, true); removedDirs += 1 }
     }
     // a posting/positions commit dir whose bkt_p children are all gone is an
-    // empty shell — drop it, but ONLY if truly empty (a remaining child may
-    // be an in-flight writer's not-yet-committed bucket)
+    // empty shell — drop it, but ONLY if no DIRECTORY children remain (a
+    // remaining dir may be an in-flight writer's not-yet-committed bucket;
+    // marker FILES like parquet's _SUCCESS survive the bkt_p vacuums and
+    // must not keep a dead shell alive forever — ADVICE r3)
     def childDirs(p: Path): Seq[Path] =
       if (f.exists(p)) f.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq else Nil
     Seq("data", "positions").foreach { sub =>
       childDirs(new Path(s"$root/$sub")).foreach { commit =>
-        if (f.exists(commit) && f.listStatus(commit).isEmpty) { f.delete(commit, true); () }
+        if (f.exists(commit) && !f.listStatus(commit).exists(_.isDirectory)) {
+          f.delete(commit, true); ()
+        }
       }
     }
     expired.foreach(v => f.delete(new Path(f"${snapshotsDir(root)}/v$v%06d.json"), false))

@@ -267,6 +267,86 @@ class MaintainSpec extends AnyFunSuite {
     assert(members(reader(root).phrase(Seq("p", "q"))) == Set("c", "d"))
   }
 
+  test("auto-compaction bounds log-dir growth across a 20-batch run (VERDICT r3 missing #1)") {
+    // tight threshold so the policy triggers several times in 20 batches
+    val acConf = conf.copy(compactLogDirs = 4)
+    val root = TestSpark.freshDir("autocompact")
+    new IndexWriter(spark, root, acConf).fullBuild(
+      mkTurns(("seed", 0, "base shared")), "b0")
+    val maint = new IndexMaintainer(spark, root, acConf)
+    var maxDocsDirs = 0
+    var maxFwdDirs = 0
+    (1 to 20).foreach { i =>
+      maint.applyChanges(mkTurns((s"c$i", 0, s"tok$i shared")), batchId = s"d$i")
+      val m = SegmentStore.latest(spark, root).get
+      maxDocsDirs = math.max(maxDocsDirs, m.docsDirs.size)
+      maxFwdDirs = math.max(maxFwdDirs, m.forwardDirs.size)
+    }
+    // the committed state NEVER exceeds threshold dirs: the batch that
+    // crosses it compacts before returning, so every post-batch read merges
+    // a bounded dir set no matter how long the maintenance history runs
+    assert(maxDocsDirs <= acConf.compactLogDirs,
+      s"docs log grew unbounded: $maxDocsDirs dirs")
+    assert(maxFwdDirs <= acConf.compactLogDirs,
+      s"forward log grew unbounded: $maxFwdDirs dirs")
+    // answers identical to a fresh build over the final corpus
+    val fin = mkTurns((("seed", 0, "base shared") +:
+      (1 to 20).map(i => (s"c$i", 0, s"tok$i shared"))): _*)
+    val r = new IndexReader(spark, root, acConf)
+    assert(members(r.membership("shared")) ==
+      members(BruteForce.membership(fin, "shared")))
+    val got = r.bm25TopK(Seq("shared"), 25).collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    val exp = BruteForce.bm25(fin, Seq("shared"), 25).collect()
+      .map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(got == exp)
+    // disabled policy (compactLogDirs = 0) never auto-compacts
+    val root2 = TestSpark.freshDir("autocompact0")
+    val offConf = conf.copy(compactLogDirs = 0)
+    new IndexWriter(spark, root2, offConf).fullBuild(mkTurns(("seed", 0, "x")), "b0")
+    val m2 = new IndexMaintainer(spark, root2, offConf)
+    (1 to 6).foreach(i => m2.applyChanges(mkTurns((s"c$i", 0, s"y$i")), batchId = s"d$i"))
+    assert(SegmentStore.latest(spark, root2).get.docsDirs.size == 7)
+  }
+
+  test("compact reclaims dead-doc position rows; phrase parity holds (VERDICT r3 missing #2)") {
+    val posRows: String => Long = { root =>
+      val m = SegmentStore.latest(spark, root).get
+      val paths = m.posBuckets.keys.toSeq.flatMap(m.posPath).filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+      }
+      if (paths.isEmpty) 0L else spark.read.parquet(paths: _*).count()
+    }
+    val corpus = (0 until 12).map(i => (f"pc$i%02d", 0, s"ph$i q r shared"))
+    val root = build(mkTurns(corpus: _*))
+    new IndexWriter(spark, root, conf).buildPositions(mkTurns(corpus: _*), "pos1")
+    val maint = new IndexMaintainer(spark, root, conf)
+    val rowsBefore = posRows(root)
+    assert(rowsBefore > 0)
+    // delete half the corpus: positions stay (lazy), phrase filters via alive
+    val dead = (0 until 6).map(i => f"pc$i%02d")
+    maint.remove(dead, "del-half")
+    assert(posRows(root) == rowsBefore, "deletes must stay lazy for positions")
+    val phraseBefore = members(reader(root).phrase(Seq("q", "r")))
+    assert(phraseBefore == (6 until 12).map(i => f"pc$i%02d").toSet)
+    // compact: dead rows fold out, answers unchanged
+    maint.compact("c1")
+    val rowsAfter = posRows(root)
+    assert(rowsAfter < rowsBefore && rowsAfter > 0,
+      s"dead position rows not reclaimed: $rowsBefore -> $rowsAfter")
+    assert(members(reader(root).phrase(Seq("q", "r"))) == phraseBefore)
+    assert(members(reader(root).phrase(Seq("ph7", "q"))) == Set("pc07"))
+    assert(members(reader(root).phrase(Seq("ph2", "q"))).isEmpty, "dead doc gone")
+    // idempotent: a second compact with nothing to fold is a suppressed no-op
+    val v = SegmentStore.latest(spark, root).get.version
+    maint.compact("c2")
+    assert(SegmentStore.latest(spark, root).get.version == v,
+      "clean compact must not bump the version")
+    // maintenance continues to work over reclaimed positions
+    maint.applyChanges(mkTurns(("pcnew", 0, "q r fresh")), batchId = "add")
+    assert(members(reader(root).phrase(Seq("q", "r"))) == phraseBefore + "pcnew")
+  }
+
   test("snapshot isolation: a pinned reader never sees later batches (defensive-copy Get, StringIndex.cs:19-24)") {
     val root = build(mkTurns(("a", 0, "iso")))
     val pinned = reader(root) // pins the current latest version

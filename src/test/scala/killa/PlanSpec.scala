@@ -118,6 +118,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"IVF must not cross-join:\n$plan")
   }
 
+  test("LSH signature paths carry no UDF: hyperplane_sig is a native codegen expression") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+    // the two registered paths that carried the last Scala UDF (VERDICT r3 #2)
+    val topk = killa.ann.Ann.lshTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
+      nPlanes = 32, bands = 4)
+    val pairs = killa.ann.Ann.nearDupPairs(e, "vec_id", "embedding", 0.45)
+    Seq("lshTopK" -> topk, "nearDupPairs" -> pairs).foreach { case (name, df) =>
+      val plan = planOf(df)
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$name signature stage fell out of codegen:\n$plan")
+      assert(plan.contains("hyperplane_sig"),
+        s"$name must use the native signature expression:\n$plan")
+    }
+  }
+
   test("simhash pair pipeline carries no UDF (native bit_count hamming)") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
