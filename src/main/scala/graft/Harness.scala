@@ -38,18 +38,35 @@ object Harness {
       ", stats AS (SELECT (SELECT count(DISTINCT conv_id) FROM turns) AS n, " +
       "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl) / (SELECT count(DISTINCT conv_id) FROM turns) AS avgdl)"
 
+  /** Transcripts CTE restricted to assistant turns (doc_id % 2 = 1 under the
+    * deterministic role derivation below) — the field-index oracles' corpus:
+    * a per-field index computes BM25 stats over ITS corpus, so the oracle's
+    * tf/dl/N/avgdl must all derive from the filtered turns.
+    */
+  val TurnsAssistantCte: String =
+    "WITH turns AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, " +
+      "CAST(doc_id % 5 AS INT) AS turn_idx, text FROM documents WHERE doc_id % 2 = 1)"
+
   /** BM25 oracle SQL over the shared CTEs for a fixed term list. Mirrors
     * killa.query.Bm25 exactly (same formula shape, same constants).
+    *
+    * @param offset skip the first `offset` rows of the exact total order —
+    *               the oracle for cursor pagination (bm25TopKAfter): page
+    *               n+1 ≡ OFFSET n·k of the same (s desc, conv_id asc) order.
+    * @param turnsCte corpus CTE — [[TurnsCte]] (default) or a filtered
+    *               variant such as [[TurnsAssistantCte]] for field indexes.
     */
   def bm25OracleSql(terms: Seq[String], k: Int, conjunctive: Boolean,
-      mustNot: Seq[String] = Nil): String = {
+      mustNot: Seq[String] = Nil, offset: Int = 0,
+      turnsCte: String = TurnsCte): String = {
     val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
     val having = if (conjunctive) s" HAVING count(*) = ${terms.length}" else ""
     // boolean NOT: drop every conv holding any excluded term BEFORE top-k
     val exWhere = if (mustNot.isEmpty) "" else
       mustNot.map(t => s"'$t'").mkString(
         " WHERE conv_id NOT IN (SELECT DISTINCT conv_id FROM tf WHERE term IN (", ", ", "))")
-    TurnsCte + TfCtes +
+    val off = if (offset > 0) s" OFFSET $offset" else ""
+    turnsCte + TfCtes +
       s", q(term, tidx) AS (VALUES $vals)" +
       ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
       ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
@@ -57,9 +74,27 @@ object Harness {
       "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
       "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
       s", scored AS (SELECT conv_id, sum(c) AS s FROM contrib$exWhere GROUP BY conv_id$having)" +
-      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k$off)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
   }
+
+  /** More-like-this oracle: the SQL recomputation of
+    * IndexReader.moreLikeThis — term selection is integer-keyed
+    * (tf desc, df asc, term asc; stopword guard df·2 ≤ N) so both engines
+    * pick the identical term set, then standard BM25 excluding the source.
+    */
+  def mltOracleSql(convId: String, maxTerms: Int, k: Int, maxDfPct: Int = 50): String =
+    TurnsCte + TfCtes +
+      s", src AS (SELECT term, tf FROM tf WHERE conv_id = '$convId')" +
+      ", qdf0 AS (SELECT s.term, s.tf, count(*) AS df FROM src s JOIN tf ON tf.term = s.term GROUP BY 1, 2)" +
+      s", q AS (SELECT term, df FROM qdf0 WHERE df * 100 <= (SELECT n FROM stats) * $maxDfPct ORDER BY tf DESC, df ASC, term ASC LIMIT $maxTerms)" +
+      ", contrib AS (SELECT tf.conv_id, " +
+      "ln(1.0 + ((SELECT n FROM stats) - q.df + 0.5) / (q.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
+      "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+      "FROM tf JOIN q ON tf.term = q.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      s", scored AS (SELECT conv_id, sum(c) AS s FROM contrib WHERE conv_id <> '$convId' GROUP BY conv_id)" +
+      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
 
   /** Transcripts view over the driver's documents table (Spark side). */
   def transcripts(spark: SparkSession, sfDir: String): DataFrame =
@@ -202,6 +237,38 @@ object Harness {
       maint.compact("final")
       root
     })
+
+  /** Per-role field indexes (killa.build.FieldIndexes) over the transcripts:
+    * one sub-index per role value, each with its own restricted BM25 stats.
+    */
+  def fieldRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#fld", {
+      val root = freshRoot(sfDir, "fld")
+      killa.build.FieldIndexes.build(spark, root, transcripts(spark, sfDir), "role", conf)
+      root
+    })
+
+  /** Time-travel root: full build, version captured, then every 10th conv
+    * deleted — a reader pinned to the captured version must answer from the
+    * PRE-delete corpus (Iceberg snapshot-read semantics; the engine's
+    * manifest versions are exactly expire-able snapshots).
+    */
+  def ttRootVersion(spark: SparkSession, sfDir: String): (String, Int) = {
+    val key = s"$sfDir#tt"
+    val enc = cache.getOrElseUpdate(key, {
+      val root = freshRoot(sfDir, "tt")
+      new IndexWriter(spark, root, conf).fullBuild(transcripts(spark, sfDir), "b0")
+      val v0 = killa.store.SegmentStore.latestVersion(spark, root)
+        .getOrElse(sys.error(s"no committed snapshot at $root"))
+      val victims = transcripts(spark, sfDir).select("conv_id").distinct()
+        .where(expr("CAST(substring(conv_id, 2) AS INT) % 10 = 0"))
+        .collect().map(_.getString(0)).toSeq
+      new killa.maintain.IndexMaintainer(spark, root, conf).remove(victims, "d1")
+      s"$root|$v0"
+    })
+    val Array(root, v) = enc.split('|')
+    (root, v.toInt)
+  }
 
   /** Full index, then rename c00001 → z99999 (Indexer.Switch rename path). */
   def incrRenameRoot(spark: SparkSession, sfDir: String): String =

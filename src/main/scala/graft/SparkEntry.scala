@@ -139,6 +139,55 @@ object SparkEntry {
     "q_compact_phrase" -> ((s, dir) =>
       new killa.query.IndexReader(s, compactRoot(s, dir), conf)
         .phrase(Seq("batch", "agg")).orderBy("conv_id")),
+    // field-scoped search (killa.build.FieldIndexes): membership restricted
+    // to what the ASSISTANT said — a per-role sub-index with its own corpus
+    "q_field_membership" -> ((s, dir) =>
+      killa.build.FieldIndexes.reader(s, fieldRoot(s, dir), "role", "assistant", conf)
+        .membership("spark").orderBy("conv_id")),
+    // field-scoped BM25: ranking over the assistant-turn corpus, with the
+    // restricted corpus's own N/avgdl statistics (what field ranking means)
+    "q_field_bm25" -> ((s, dir) =>
+      present(killa.build.FieldIndexes.reader(s, fieldRoot(s, dir), "role", "assistant", conf)
+        .bm25TopK(Seq("query", "filter"), 10))),
+    // facet: per-role document counts for a term via each sub-index's
+    // block-metadata count fast path (no posting decode, no label join)
+    "q_facet_roles" -> ((s, dir) =>
+      killa.build.FieldIndexes.facetCounts(s, fieldRoot(s, dir), "role",
+        Seq("user", "assistant"), "spark", conf).orderBy("role")),
+    // snapshot time travel: a reader pinned to the pre-delete manifest
+    // version answers from the OLD corpus while the latest sees the deletes
+    // (Iceberg snapshot-read semantics over the manifest log)
+    "q_time_travel_membership" -> ((s, dir) => {
+      val (root, v0) = ttRootVersion(s, dir)
+      new killa.query.IndexReader(s, root, conf, pinVersion = Some(v0))
+        .membership("spark").orderBy("conv_id")
+    }),
+    // ordered proximity (phrase slop): terms in order, each gap ≤ 1 + slop
+    "q_phrase_slop" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .phrase(Seq("batch", "agg"), slop = 2).orderBy("conv_id")),
+    "q_phrase_slop_tri" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .phrase(Seq("part", "filter", "scan"), slop = 1).orderBy("conv_id")),
+    // cursor pagination (Lucene searchAfter analog): page 2 = exact top-k
+    // strictly after page 1's last (exact score, conv) cursor, admission
+    // inside the DAAT kernel — constant cost per page at any depth
+    "q_bm25_page2" -> ((s, dir) => {
+      val r = reader(s, dir)
+      val terms = Seq("query", "filter", "join")
+      val p1 = r.bm25TopKRows(terms, 10)
+      if (p1.isEmpty) present(r.bm25TopK(terms, 0))
+      else present(r.bm25TopKAfter(terms, 10, p1.last._1, p1.last._2))
+    }),
+    // more-like-this: deterministic characteristic-term selection from the
+    // FORWARD index (tf desc, df asc, term asc; df·2 ≤ N stopword guard),
+    // then BM25 over those terms excluding the source doc
+    // maxDfPct = 100 on the driver corpus: its synthetic vocabulary is tiny
+    // (median df = N), so the default half-corpus stopword guard would empty
+    // the selection — with the guard open, selection still ranks by
+    // (tf desc, df asc, term asc), deterministically on both sides
+    "q_more_like_this" -> ((s, dir) =>
+      present(reader(s, dir).moreLikeThis("c00007", maxTerms = 5, k = 10, maxDfPct = 100))),
     // term facet: top-N terms by document frequency, read from the committed
     // posting blocks (df is stored in every block — no posting decode)
     "q_top_terms" -> ((s, dir) => {
@@ -175,6 +224,15 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       killa.dedup.Dedup.exactGroups(documents(s, dir), "doc_id", "text")
         .orderBy("text_md5")),
+    // dedup as a pipeline step: corpus minus non-representative exact dups
+    "q_dedup_keep" -> ((s, dir) =>
+      killa.dedup.Dedup.dropExactDuplicates(documents(s, dir), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+    // deterministic content-hash sampling (reproducible train/val split):
+    // keep docs whose normalized-content md5 first byte < 0x34 (52/256 ≈ 20%)
+    "q_sample_hash" -> ((s, dir) =>
+      killa.dedup.Dedup.hashSample(documents(s, dir), "text", 52)
+        .select("doc_id").orderBy("doc_id")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       killa.dedup.Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text", 3, 0.8)
         .orderBy("a_id", "b_id")),
@@ -393,6 +451,38 @@ object SparkEntry {
       " SELECT DISTINCT a.conv_id AS conv_id FROM ppos2 a" +
       " JOIN ppos2 b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +
       " WHERE a.term = 'batch' AND b.term = 'agg' ORDER BY conv_id"),
+    // field-scoped: corpus = assistant turns only (doc_id % 2 = 1 under the
+    // deterministic role derivation); the field index's stats are restricted
+    // to that corpus, and so are the oracle's
+    "q_field_membership" -> (TurnsAssistantCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark' ORDER BY conv_id"),
+    "q_field_bm25" -> bm25OracleSql(Seq("query", "filter"), 10, conjunctive = false,
+      turnsCte = TurnsAssistantCte),
+    // facet: conversations containing the term, counted per role of the turn
+    // that contains it
+    "q_facet_roles" -> ("WITH rturns AS (SELECT printf('c%05d', doc_id // 5) AS conv_id," +
+      " CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, text FROM documents)" +
+      ", rt AS (SELECT conv_id, role, unnest(string_split(text, ' ')) AS term FROM rturns)" +
+      " SELECT role, count(DISTINCT conv_id) AS n_docs FROM rt WHERE term = 'spark'" +
+      " GROUP BY role ORDER BY role"),
+    // time travel: the pinned pre-delete snapshot answers from the FULL corpus
+    "q_time_travel_membership" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark' ORDER BY conv_id"),
+    // ordered proximity: gaps of at most 1 + slop between consecutive terms
+    "q_phrase_slop" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos > a.pos AND b.pos <= a.pos + 3" +
+      " WHERE a.term = 'batch' AND b.term = 'agg' ORDER BY conv_id"),
+    "q_phrase_slop_tri" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos > a.pos AND b.pos <= a.pos + 2" +
+      " JOIN ppos c ON a.conv_id = c.conv_id AND c.pos > b.pos AND c.pos <= b.pos + 2" +
+      " WHERE a.term = 'part' AND b.term = 'filter' AND c.term = 'scan'" +
+      " ORDER BY conv_id"),
+    // cursor pagination ≡ OFFSET k of the same exact total order
+    "q_bm25_page2" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
+      conjunctive = false, offset = 10),
+    "q_more_like_this" -> mltOracleSql("c00007", 5, 10, maxDfPct = 100),
     "q_top_terms" -> (TurnsCte + TfCtes +
       " SELECT term, count(*) AS df FROM tf GROUP BY term" +
       " ORDER BY df DESC, term ASC LIMIT 20"),
@@ -435,6 +525,13 @@ object SparkEntry {
     "q_dedup_exact" -> (DocToksCte +
       " SELECT md5(array_to_string(toks, ' ')) AS text_md5, count(*) AS cnt," +
       " min(doc_id) AS rep_id FROM w GROUP BY 1 ORDER BY 1"),
+    "q_dedup_keep" -> (DocToksCte +
+      ", k AS (SELECT min(doc_id) AS doc_id FROM w GROUP BY md5(array_to_string(toks, ' ')))" +
+      " SELECT doc_id FROM k ORDER BY doc_id"),
+    // deterministic sampling: first md5 hex byte < 0x34 ⇔ 52/256 of hash space
+    "q_sample_hash" -> (DocToksCte +
+      " SELECT doc_id FROM w WHERE substr(md5(array_to_string(toks, ' ')), 1, 2) < '34'" +
+      " ORDER BY doc_id"),
     "q_dedup_ngram_jaccard" -> (DocToksCte + ShinglesCte + JaccardSql),
     // simhash: independent recomputation of the EXACT signature family —
     // FNV-1a64 per token via a recursive byte-fold CTE (ASCII corpus ⇒

@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 import killa.Conf
 import killa.build.IndexWriter
 import killa.maintain.IndexMaintainer
+import killa.query.IndexReader
 import killa.session.QuerySession
 import killa.store.SegmentStore
 import killa.streaming.StreamOps
@@ -22,6 +23,10 @@ import killa.streaming.StreamOps
   *   qf <term> [maxDist]       fuzzy search (Levenshtein over terms)
   *   bm25 <k> <term>... [NOT <term>...]  top-k BM25, boolean NOT exclusions
   *   snip <parquet> <term> [w] keyword-in-context snippets for hits
+  *   slop <n> <term>...        ordered proximity phrase (each gap ≤ 1 + n)
+  *   page <k> <conv> <score> <term>...  cursor pagination (searchAfter)
+  *   mlt <conv> [k] [maxDfPct] more-like-this via forward-index term selection
+  *   qat <version> <term>      time-travel membership at a pinned snapshot
   *   sub <parquet> <source> [mask]   subscribe/add mask + backfill (Program.cs:67-79)
   *   unsub <source> [mask]     unsubscribe source or one mask + de-index (Program.cs:80-90)
   *   del <conv>...             delete event: de-index + drop conv-specific
@@ -150,7 +155,8 @@ object Main {
     lazy val session = new QuerySession(spark, root, conf)
     // fixed-arity verbs fail as clean usage errors (exit 2), not MatchError /
     // NoSuchElementException stack traces (ADVICE r3)
-    val minArity = Map("build" -> 1, "posbuild" -> 1, "unsub" -> 1, "sub" -> 2, "ren" -> 2)
+    val minArity = Map("build" -> 1, "posbuild" -> 1, "unsub" -> 1, "sub" -> 2, "ren" -> 2,
+      "slop" -> 2, "mlt" -> 1, "qat" -> 2, "page" -> 4)
     minArity.get(verb).filter(rest.length < _).foreach { n =>
       throw new IllegalArgumentException(s"$verb requires at least $n argument(s)")
     }
@@ -172,6 +178,22 @@ object Main {
       case "phrase" =>
         session.phrase(rest.toSeq).orderBy("conv_id").collect()
           .foreach(r => println(r.getString(0)))
+      case "slop" => // slop <n> <term>...: ordered proximity phrase
+        session.reader.phrase(rest.drop(1).toSeq, slop = rest.head.toInt)
+          .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
+      case "mlt" => // mlt <conv> [k] [maxDfPct]: more-like-this
+        val k = rest.lift(1).map(_.toInt).getOrElse(10)
+        val pct = rest.lift(2).map(_.toInt).getOrElse(50)
+        session.reader.moreLikeThis(rest.head, k = k, maxDfPct = pct).collect()
+          .foreach(r => println(s"${r.getString(0)}\t${r.getDouble(1)}"))
+      case "qat" => // qat <version> <term>: time-travel membership query
+        new IndexReader(spark, root, conf, pinVersion = Some(rest.head.toInt))
+          .membership(rest(1)).orderBy("conv_id").collect()
+          .foreach(r => println(r.getString(0)))
+      case "page" => // page <k> <afterConv> <afterScore> <term>...: searchAfter
+        session.reader.bm25TopKAfter(rest.drop(3).toSeq, rest.head.toInt,
+            rest(1), rest(2).toDouble).collect()
+          .foreach(r => println(s"${r.getString(0)}\t${r.getDouble(1)}"))
       case "qf" => // fuzzy search: qf <term> [maxDist]
         val d = rest.lift(1).map(_.toInt).getOrElse(1)
         session.searchFuzzy(rest.headOption.orNull, d)
@@ -182,7 +204,7 @@ object Main {
         val k = rest.head.toInt
         val (pos, neg) = rest.drop(1).toSeq.span(_ != "NOT")
         session.topK(pos, k, mustNot = neg.drop(1)).collect()
-          .foreach(r => println(f"${r.getString(0)}%s\t${r.getDouble(1)}%.6f"))
+          .foreach(r => println(s"${r.getString(0)}\t${r.getDouble(1)}"))
       case "snip" => // snip <parquet> <term> [width]: render hit contexts
         val width = rest.lift(2).map(_.toInt).getOrElse(3)
         val term = rest(1)

@@ -32,6 +32,29 @@ object Dedup {
       .groupBy("text_md5")
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("rep_id"))
 
+  /** The dedup PIPELINE step: drop every exact duplicate, keeping each
+    * group's min-id representative — what a training-data pipeline applies
+    * after [[exactGroups]] diagnoses. One digest shuffle (groupBy on the
+    * md5), then a semi-join back on the representative ids; both sides hash-
+    * partition on their keys, no row ever collects.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      exactGroups(df, idCol, textCol).select(col("rep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Deterministic content-hash sampling: keep rows whose normalized-content
+    * md5 falls in the first `numerator`/256 of hash space (first hex byte <
+    * numerator). The standard reproducible train/val split — stable across
+    * runs, partitionings and engines (the oracle recomputes it in SQL),
+    * unlike rand()-based sampling. Codegen'd md5 + substring; no shuffle.
+    */
+  def hashSample(df: DataFrame, textCol: String, numerator: Int): DataFrame = {
+    require(numerator >= 0 && numerator <= 256, "numerator is out of [0, 256]")
+    if (numerator >= 256) df // "100" is 3 hex chars — lexicographic < breaks
+    else df.where(substring(TextOps.fingerprintMd5(col(textCol)), 1, 2) < lit(f"$numerator%02x"))
+  }
+
   /** Distinct word-n-gram shingle set per doc: (id, s). */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(TextOps.shingleCol(col(textCol), n)).as("s"))

@@ -158,12 +158,22 @@ object Daat {
       lo: Long, hi: Long, k: Int,
       conjunctive: Boolean,
       k1: Double, b: Double, avgdl: Double,
-      excludeBlocks: Array[Array[PostingBlock]] = Array.empty): Iterator[(Long, Double)] = {
+      excludeBlocks: Array[Array[PostingBlock]] = Array.empty,
+      afterScore: Double = Double.PositiveInfinity,
+      afterDoc: Long = Long.MinValue): Iterator[(Long, Double)] = {
     val nT = termBlocks.length
     if (conjunctive && termBlocks.exists(_.isEmpty)) return Iterator.empty
     val cursors = termBlocks.map(new TermCursor(_, lo, hi))
     val exCursors = excludeBlocks.map(new TermCursor(_, lo, hi))
     val nEx = exCursors.length
+    // search-after cursor (deep pagination, the Lucene searchAfter analog):
+    // admit only docs strictly after (afterScore desc, afterDoc asc) in the
+    // result order. Skipped admission never loosens WAND pruning — the heap
+    // threshold stays a valid lower bound for the page's top-k, and a doc
+    // pruned by its upper bound can never belong to a later page's worth of
+    // this page either. Defaults (+Inf, MinValue) admit everything.
+    @inline def admitted(score: Double, doc: Long): Boolean =
+      score < afterScore || (score == afterScore && doc > afterDoc)
     def excluded(doc: Long): Boolean = {
       var e = 0
       while (e < nEx) {
@@ -199,7 +209,7 @@ object Daat {
               score += Bm25.contrib(weights(t), cursors(t).tf, cursors(t).dl, k1, b, avgdl)
               t += 1
             }
-            heap.offer(score, target)
+            if (admitted(score, target)) heap.offer(score, target)
           }
           t = 0
           while (t < nT) { cursors(t).next(); t += 1 }
@@ -249,7 +259,7 @@ object Daat {
               }
               t += 1
             }
-            heap.offer(score, cand)
+            if (admitted(score, cand)) heap.offer(score, cand)
           }
           t = 0
           while (t < nT) {

@@ -210,7 +210,18 @@ final class IndexReader(
     * Duplicate phrase terms are handled (each slot looks up its own term's
     * list).
     */
-  def phrase(termsIn: Seq[String]): DataFrame = {
+  def phrase(termsIn: Seq[String]): DataFrame = phrase(termsIn, 0)
+
+  /** [[phrase]] generalized to ordered proximity: the terms must occur in
+    * order, each at most `slop` positions beyond strictly-consecutive —
+    * i.e. positions p₁ < p₂ < … with pᵢ₊₁ ≤ pᵢ + 1 + slop. slop = 0 is the
+    * exact phrase. Matching is the full reachable-position chain (NOT a
+    * greedy walk, which is incomplete for slop > 0): candidate positions of
+    * term i+1 are those reachable from ANY kept position of term i, computed
+    * by a two-pointer merge over the sorted lists — O(Σ positions) per doc,
+    * and exactly the chained range-join semantics the SQL oracle uses.
+    */
+  def phrase(termsIn: Seq[String], slop: Int): DataFrame = {
     val terms = termsIn.filter(t => t != null && t.nonEmpty)
     if (terms.isEmpty || manifest.isEmpty) return emptyMembers
     if (terms.length == 1) return membership(terms.head)
@@ -223,6 +234,7 @@ final class IndexReader(
       .flatMap(m.posPath).filter(p => fs(p).exists(new Path(p)))
     if (posPaths.isEmpty) return emptyMembers
     val termSeq = terms // capture for closure
+    val slopV = math.max(0, slop)
     val posSchema = org.apache.spark.sql.Encoders.product[killa.model.PosRow].schema
     val matched = spark.read.schema(posSchema).parquet(posPaths: _*)
       .where(col("term").isin(distinctTerms: _*))
@@ -234,12 +246,25 @@ final class IndexReader(
         it.foreach { case (t, _, n, bin) => byTerm(t) = Delta.decode(bin, n) }
         if (!termSeq.forall(byTerm.contains)) Iterator.empty
         else {
+          // reachable-position chain: cand = positions of the current slot
+          // from which a valid chain of all previous slots ends. Position
+          // lists are sorted (encoder writes ascending), so one two-pointer
+          // pass per slot suffices: q matches iff some kept p satisfies
+          // q - 1 - slop ≤ p ≤ q - 1.
           var cand = byTerm(termSeq.head)
           var i = 1
           while (i < termSeq.length && cand.nonEmpty) {
             val next = byTerm(termSeq(i))
-            val off = i.toLong
-            cand = cand.filter(p => java.util.Arrays.binarySearch(next, p + off) >= 0)
+            val out = Array.newBuilder[Long]
+            var a = 0
+            var bIdx = 0
+            while (bIdx < next.length) {
+              val q = next(bIdx)
+              while (a < cand.length && cand(a) < q - 1 - slopV) a += 1
+              if (a < cand.length && cand(a) <= q - 1) out += q
+              bIdx += 1
+            }
+            cand = out.result()
             i += 1
           }
           if (cand.nonEmpty) Iterator.single(docId) else Iterator.empty
@@ -342,14 +367,99 @@ final class IndexReader(
     topKRowsImpl(terms, ex, k, conjunctive, m)
   }
 
+  /** Deep pagination — the Lucene `searchAfter` analog: the exact top-k of
+    * the documents ranking strictly AFTER the cursor `(afterScore,
+    * afterConv)` in the total order (score desc, conv_id asc). The cursor is
+    * the last row of the previous page (its EXACT unrounded score, as
+    * returned by [[bm25TopKRows]]); the admission check runs inside the DAAT
+    * kernel, so block-max pruning stays exact and no oversized fetch-then-
+    * drop ever happens — constant cost per page at any depth, unlike
+    * offset-style pagination which re-scores the whole prefix.
+    *
+    * An unknown cursor conv_id (e.g. deleted between pages) degrades to a
+    * score-only cursor: every doc with a strictly smaller score qualifies.
+    */
+  def bm25TopKAfter(termsIn: Seq[String], k: Int,
+      afterConv: String, afterScore: Double,
+      conjunctive: Boolean = false, mustNot: Seq[String] = Nil): DataFrame = {
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
+    val m = manifest.get
+    if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
+    // docId-rank order ≡ conv_id order for every doc of the same build
+    // generation (Dict assigns docId = rank of conv_id), which is the only
+    // order the cursor comparison needs inside one snapshot
+    // unknown cursor conv (deleted between pages): Long.MaxValue makes the
+    // equal-score branch admit nothing — strictly-smaller scores only, per
+    // the contract above
+    val afterDoc = docsView.where(col("convId") === afterConv)
+      .select("docId").collect().headOption.map(_.getLong(0))
+      .getOrElse(Long.MaxValue)
+    hitsDf(topKRowsImpl(terms, ex, k, conjunctive, m, Some((afterScore, afterDoc))))
+  }
+
+  /** More-like-this: rank documents similar to `convId` by running a BM25
+    * disjunction of its most characteristic terms. Selection is fully
+    * deterministic and integer-keyed (Lucene's MLT uses tf·idf floats; ours
+    * orders by (tf desc, df asc, term asc) with a df·2 ≤ N stopword guard) so
+    * an independent SQL oracle reproduces it exactly. Reads the doc's terms
+    * from the FORWARD index log (the reference's forward map — Indexer.cs:19)
+    * and their global df from one pruned (term, df)-only block scan; the
+    * source doc itself is excluded from the result.
+    */
+  def moreLikeThis(convId: String, maxTerms: Int = 5, k: Int = 10,
+      maxDfPct: Int = 50): DataFrame = {
+    if (convId == null || convId.isEmpty || maxTerms <= 0 || k <= 0 || manifest.isEmpty)
+      return emptyHits
+    val m = manifest.get
+    if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
+    val idRow = docsView.where(col("convId") === convId).select("docId").collect()
+    if (idRow.isEmpty) return emptyHits
+    val docId = idRow(0).getLong(0)
+    val docTerms = killa.store.Logs.forward(spark, m)
+      .where(col("docId") === docId)
+      .select("term", "tf").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (docTerms.isEmpty) return emptyHits
+    // global df for exactly the doc's terms: one (term, df)-projected scan,
+    // bucket paths + row-group stats prune on the IN filter (df is stored in
+    // every block of a term, so max() per term is exact)
+    val paths = manifest.get.buckets.keys.toSeq.sorted
+      .flatMap(m.bucketPath).filter(p => fs(p).exists(new Path(p)))
+    val dfMap: Map[String, Long] =
+      if (paths.isEmpty) Map.empty
+      else spark.read.schema(blockSchema).parquet(paths: _*)
+        .where(col("term").isin(docTerms.map(_._1).toSeq: _*))
+        .groupBy("term").agg(max(col("df")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = m.numDocs
+    // stopword guard: drop terms in more than maxDfPct% of docs (default
+    // half). Integer arithmetic so the SQL oracle mirrors it exactly; 100
+    // disables the guard — the right setting for tiny-vocabulary corpora
+    // where every term is hot.
+    val selected = docTerms
+      .map { case (t, tf) => (t, tf, dfMap.getOrElse(t, 1L)) }
+      .filter { case (_, _, df) => df * 100L <= n * maxDfPct.toLong }
+      .sortBy { case (t, tf, df) => (-tf, df, t) }
+      .take(maxTerms).map(_._1).toSeq
+    if (selected.isEmpty) return emptyHits
+    // top-(k+1) then drop self: exact, since removing one element of the
+    // top-(k+1) leaves at least the true top-k-excluding-self
+    val rows = topKRowsImpl(selected, Nil, k + 1, conjunctive = false, m)
+      .filterNot(_._1 == convId).take(k)
+    hitsDf(rows)
+  }
+
   /** Shared exact top-k resolution: local fast path, else ONE execution of
     * the distributed candidate pipeline resolved by [[finishRows]]. Both
     * public top-k surfaces ([[bm25TopK]], [[bm25TopKRows]]) are this.
     */
   private def topKRowsImpl(terms: Seq[String], ex: Seq[String], k: Int,
-      conjunctive: Boolean, m: Manifest): Array[(String, Double)] =
-    localTopK(terms, ex, k, conjunctive, m)
-      .getOrElse(finishRows(scoredCandidates(terms, ex, k, conjunctive, m), k))
+      conjunctive: Boolean, m: Manifest,
+      after: Option[(Double, Long)] = None): Array[(String, Double)] =
+    localTopK(terms, ex, k, conjunctive, m, after)
+      .getOrElse(finishRows(scoredCandidates(terms, ex, k, conjunctive, m, after), k))
 
   private def hitsDf(rows: Array[(String, Double)]): DataFrame =
     if (rows.isEmpty) emptyHits else rows.toSeq.toDF("conv_id", "score")
@@ -390,7 +500,8 @@ final class IndexReader(
     */
   private[killa] def localTopK(
       terms: Seq[String], mustNot: Seq[String], k: Int, conjunctive: Boolean,
-      m: Manifest): Option[Array[(String, Double)]] = {
+      m: Manifest, after: Option[(Double, Long)] = None): Option[Array[(String, Double)]] = {
+    val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     val cap = conf.localQueryBlocks
     if (cap <= 0) return None
     // exclusion terms ride the same probe: a hot mustNot term ("NOT the")
@@ -442,7 +553,7 @@ final class IndexReader(
     val hits: Array[(Long, Double)] =
       if (totalBlocks <= conf.localParBlocks)
         Daat.scoreRange(termBlocks, weights, -1L, Long.MaxValue, k,
-          conjunctive, conf.k1, conf.b, m.avgdl, exBlocks).toArray
+          conjunctive, conf.k1, conf.b, m.avgdl, exBlocks, afterScore, afterDoc).toArray
       else {
         // shared bounded daemon pool, not per-query threads: under
         // concurrent serving load per-query `new Thread` churned up to 32
@@ -457,7 +568,8 @@ final class IndexReader(
               val lo = r.toLong * stride - 1 // (lo, hi] — the fan-out's convention
               val hi = r.toLong * stride + stride - 1
               Daat.scoreRange(termBlocks, weights, lo, hi, k,
-                conjunctive, conf.k1, conf.b, m.avgdl, exBlocks).toArray
+                conjunctive, conf.k1, conf.b, m.avgdl, exBlocks,
+                afterScore, afterDoc).toArray
             }
           })
         }
@@ -472,7 +584,8 @@ final class IndexReader(
     */
   private[killa] def scoredCandidates(
       terms: Seq[String], mustNot: Seq[String], k: Int, conjunctive: Boolean,
-      m: Manifest): DataFrame = {
+      m: Manifest, after: Option[(Double, Long)] = None): DataFrame = {
+    val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     // exclusion terms tag on after the query terms and replicate to ranges
     // through the same fan-out; each range's kernel splits them back off
     val all = terms ++ mustNot
@@ -511,7 +624,7 @@ final class IndexReader(
         val lo = rangeId * stride - 1 // (lo, hi] convention
         val hi = rangeId * stride + stride - 1
         Daat.scoreRange(termBlocks, weights, lo, hi, k, conjunctive, k1, b, avgdl,
-          blocks.drop(nTerms))
+          blocks.drop(nTerms), afterScore, afterDoc)
       }
       .toDF("docId", "score")
     scored

@@ -148,4 +148,42 @@ class CliSpec extends AnyFunSuite {
     watcher.join(120000)
     assert(!watcher.isAlive, "watch verb did not stop on the stop file")
   }
+
+  test("round-4 verbs: slop / page / mlt / qat dispatch and print hits") {
+    val root = TestSpark.freshDir("clir4")
+    val data = TestSpark.freshDir("clir4data")
+    Seq(
+      Turn("cA", 0, "user", "alpha beta gap gap gamma shared", "", new Timestamp(0L)),
+      Turn("cB", 0, "user", "alpha gamma shared shared", "", new Timestamp(0L)),
+      Turn("cC", 0, "user", "other words here", "", new Timestamp(0L))
+    ).toDS().toDF().write.mode("overwrite").parquet(data)
+    Main.run(spark, root, "build", Array(data))
+    Main.run(spark, root, "posbuild", Array(data))
+
+    def capture(verb: String, args: Array[String]): Seq[String] = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Main.run(spark, root, verb, args) }
+      out.toString.split("\n").filter(_.nonEmpty).toSeq
+    }
+
+    // slop 3 admits the alpha..gamma gap in cA and the adjacent pair in cB
+    assert(capture("slop", Array("3", "alpha", "gamma")) == Seq("cA", "cB"))
+    assert(capture("slop", Array("0", "alpha", "gamma")) == Seq("cB"))
+    // page: cursor after the first bm25 hit returns the next one
+    val p1 = capture("bm25", Array("1", "shared"))
+    val Array(conv1, score1) = p1.head.split("\t")
+    val p2 = capture("page", Array("1", conv1, score1, "shared"))
+    assert(p2.nonEmpty && p2.head.split("\t")(0) != conv1)
+    // mlt: similar docs for cA exclude cA itself
+    val mlt = capture("mlt", Array("cA", "5", "100"))
+    assert(mlt.nonEmpty && mlt.forall(!_.startsWith("cA")))
+    // qat: pinned pre-delete version still sees the deleted conv
+    val v0 = killa.store.SegmentStore.latestVersion(spark, root).get
+    Main.run(spark, root, "del", Array("cB"))
+    assert(capture("q", Array("gamma")) == Seq("cA"))
+    assert(capture("qat", Array(v0.toString, "gamma")) == Seq("cA", "cB"))
+    // fixed arity: missing args fail as clean usage errors
+    intercept[IllegalArgumentException](Main.run(spark, root, "page", Array("1", "cA")))
+    intercept[IllegalArgumentException](Main.run(spark, root, "qat", Array("1")))
+  }
 }
