@@ -559,8 +559,13 @@ final class IndexReader(
         // concurrent serving load per-query `new Thread` churned up to 32
         // threads per warm query (VERDICT r3 #7). Ranges are pure functions
         // of the snapshot → any interleaving of pool tasks yields identical
-        // results (rank-identity spec unchanged).
-        val nRanges = DaatPool.size
+        // results (rank-identity spec unchanged). Range count tracks the
+        // SESSION's configured parallelism (same source as the distributed
+        // kernel), not a JVM-startup core snapshot — a JVM whose affinity
+        // changes between sessions (the bench's two levels) must not freeze
+        // the first level's width into every later query.
+        val nRanges = math.max(1,
+          math.min(spark.sparkContext.defaultParallelism, DaatPool.maxSize))
         val stride = math.max(1L, (m.maxDocId + 2) / nRanges + 1)
         val futures = (0 until nRanges).map { r =>
           DaatPool.pool.submit(new java.util.concurrent.Callable[Array[(Long, Double)]] {
@@ -711,9 +716,18 @@ final class IndexReader(
   * spawning threads per query (VERDICT r3 #7).
   */
 private[query] object DaatPool {
-  val size: Int = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 32))
-  lazy val pool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(size,
+  /** Hard cap on driver-side DAAT threads, matching the pre-pool per-query
+    * cap. The pool is elastic UP TO this: threads are created on demand (one
+    * per queued range until the cap) and die after 60 s idle, so the live
+    * count tracks actual serving concurrency × range width, and a JVM whose
+    * first query runs under a narrow CPU affinity (the bench's local[2]
+    * level) doesn't freeze a 2-thread pool for the life of the process.
+    */
+  val maxSize: Int = 32
+  lazy val pool: java.util.concurrent.ExecutorService = {
+    val p = new java.util.concurrent.ThreadPoolExecutor(
+      maxSize, maxSize, 60L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger(0)
         def newThread(r: Runnable): Thread = {
@@ -722,4 +736,7 @@ private[query] object DaatPool {
           t
         }
       })
+    p.allowCoreThreadTimeOut(true)
+    p
+  }
 }
