@@ -96,6 +96,92 @@ object Harness {
       s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
 
+  /** Spell-suggest oracle: dictionary terms within levenshtein ≤ maxDist of
+    * the probe (probe itself excluded), ranked df desc then term asc — the
+    * SQL recomputation of IndexReader.suggest.
+    */
+  def suggestOracleSql(term: String, maxDist: Int, n: Int): String =
+    TurnsCte + TfCtes +
+      ", dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)" +
+      s" SELECT term, df FROM dfs WHERE abs(length(term) - ${term.length}) <= $maxDist" +
+      s" AND levenshtein(term, '$term') <= $maxDist AND term <> '$term'" +
+      s" ORDER BY df DESC, term ASC LIMIT $n"
+
+  /** Window-rescore oracle (recency decay): top-`window` of the exact BM25
+    * order, each hit's score multiplied by the rational decay
+    * halfLife/(halfLife + ageSecs) where age = corpus max ts − conv min ts
+    * (= doc_id seconds under the deterministic ts derivation — rational
+    * arithmetic only, so both engines compute bit-identical factors; exp()
+    * is deliberately avoided: IEEE does not pin its rounding).
+    */
+  def rescoreOracleSql(terms: Seq[String], k: Int, window: Int,
+      halfLifeSecs: Long): String = {
+    val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    TurnsCte + TfCtes +
+      s", q(term, tidx) AS (VALUES $vals)" +
+      ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
+      ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
+      "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
+      "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+      "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)" +
+      s", win AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $window)" +
+      ", convt0 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, min(doc_id) AS t0 FROM documents GROUP BY 1)" +
+      ", anchor AS (SELECT max(doc_id) AS tmax FROM documents)" +
+      s", resc AS (SELECT w.conv_id, w.s * (CAST($halfLifeSecs AS DOUBLE) / ($halfLifeSecs + (SELECT tmax FROM anchor) - c.t0)) AS s " +
+      "FROM win w JOIN convt0 c ON w.conv_id = c.conv_id)" +
+      s", top AS (SELECT conv_id, s FROM resc ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
+  /** The per-role scored-CTE family with suffixed names, so two corpora can
+    * coexist in one oracle query (multi-field BM25).
+    */
+  private def roleScoredCtes(sfx: String, rolePred: String, terms: Seq[String]): String = {
+    val vals = terms.map(t => s"('$t')").mkString(", ")
+    s"turns$sfx AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, text FROM documents WHERE $rolePred), " +
+      s"toks$sfx AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM turns$sfx), " +
+      s"tok2$sfx AS (SELECT conv_id, term FROM toks$sfx WHERE term <> ''), " +
+      s"tf$sfx AS (SELECT conv_id, term, count(*) AS tf FROM tok2$sfx GROUP BY 1, 2), " +
+      s"dl$sfx AS (SELECT conv_id, sum(tf) AS dl FROM tf$sfx GROUP BY 1), " +
+      s"stats$sfx AS (SELECT (SELECT count(DISTINCT conv_id) FROM turns$sfx) AS n, " +
+      s"(SELECT CAST(sum(dl) AS DOUBLE) FROM dl$sfx) / (SELECT count(DISTINCT conv_id) FROM turns$sfx) AS avgdl), " +
+      s"q$sfx(term) AS (VALUES $vals), " +
+      s"qdf$sfx AS (SELECT q$sfx.term, count(tf$sfx.conv_id) AS df FROM q$sfx LEFT JOIN tf$sfx ON tf$sfx.term = q$sfx.term GROUP BY 1), " +
+      s"contrib$sfx AS (SELECT t.conv_id, " +
+      s"ln(1.0 + ((SELECT n FROM stats$sfx) - d.df + 0.5) / (d.df + 0.5)) * (1.2 + 1.0) * t.tf " +
+      s"/ (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (SELECT avgdl FROM stats$sfx))) AS c " +
+      s"FROM tf$sfx t JOIN qdf$sfx d ON t.term = d.term JOIN dl$sfx l ON t.conv_id = l.conv_id), " +
+      s"scored$sfx AS (SELECT conv_id, sum(c) AS s FROM contrib$sfx GROUP BY conv_id)"
+  }
+
+  /** Multi-field boosted BM25 oracle: each role corpus scores with its OWN
+    * N/avgdl/df, full scored sets union under the boosts, sum per conv,
+    * global top-k — the SQL recomputation of FieldIndexes.multiFieldBm25.
+    */
+  def multiFieldOracleSql(userBoost: Double, assistantBoost: Double,
+      terms: Seq[String], k: Int): String =
+    "WITH " + roleScoredCtes("_u", "doc_id % 2 = 0", terms) + ", " +
+      roleScoredCtes("_a", "doc_id % 2 = 1", terms) +
+      s", uni AS (SELECT conv_id, s * $userBoost AS s FROM scored_u " +
+      s"UNION ALL SELECT conv_id, s * $assistantBoost AS s FROM scored_a)" +
+      ", comb AS (SELECT conv_id, sum(s) AS s FROM uni GROUP BY conv_id)" +
+      s", top AS (SELECT conv_id, s FROM comb ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+
+  /** Date-histogram oracle: docs matching the term, bucketed by the conv's
+    * min ts truncated to the minute, counted — ts reproduced from the
+    * deterministic `2024-01-01 + doc_id seconds` derivation.
+    */
+  def dateHistogramOracleSql(term: String): String =
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", convts AS (SELECT conv_id, TIMESTAMP '2024-01-01 00:00:00' + to_seconds(min(doc_id)) AS ts FROM t2 GROUP BY 1)" +
+      " SELECT strftime(date_trunc('minute', c.ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS hits " +
+      "FROM hits h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1 ORDER BY 1"
+
   /** Transcripts view over the driver's documents table (Spark side). */
   def transcripts(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet").select(

@@ -188,6 +188,44 @@ object SparkEntry {
     // (tf desc, df asc, term asc), deterministically on both sides
     "q_more_like_this" -> ((s, dir) =>
       present(reader(s, dir).moreLikeThis("c00007", maxTerms = 5, k = 10, maxDfPct = 100))),
+    // spell-suggest (the ES term suggester): dictionary terms within edit
+    // distance 1 of the typo, ranked df desc then term asc — a (term, df)
+    // dictionary-column scan; posting payloads never decode
+    "q_suggest" -> ((s, dir) =>
+      reader(s, dir).suggest("sow", maxDist = 1, n = 5)),
+    // window rescore (the ES rescore / function-score pattern): exact BM25
+    // top-window, each hit multiplied by a rational recency decay
+    // halfLife/(halfLife+age) from the doc-values table, re-ranked, top-k.
+    // Rational (not exp) decay: IEEE pins +,/ rounding but not exp's, so
+    // both engines compute bit-identical factors
+    "q_rescore_recency" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+        .select(col("conv_id"), unix_timestamp(col("ts")).as("sec"))
+      val anchor = t.agg(max("sec")).collect()(0).getLong(0)
+      val hl = 120.0
+      val factors = t.groupBy("conv_id").agg(min(col("sec")).as("t0"))
+        .select(col("conv_id"),
+          (lit(hl) / (lit(hl) + (lit(anchor) - col("t0")))).as("factor"))
+      present(reader(s, dir).rescoreTopK(Seq("query", "filter", "join"), 10, 30, factors))
+    }),
+    // full scored export (scored scroll): EVERY matching doc with its exact
+    // BM25 score as a distributed frame — no top-k heap, no driver collect
+    "q_bm25_export" -> ((s, dir) =>
+      present(reader(s, dir).bm25ScoredAll(Seq("filter")))),
+    // multi-field boosted BM25 (the ES multi_match): per-role sub-indexes
+    // score with their OWN corpus stats, full scored sets union under the
+    // boosts, per-conv sum, global top-k
+    "q_bm25_multifield" -> ((s, dir) =>
+      present(killa.build.FieldIndexes.multiFieldBm25(s, fieldRoot(s, dir), "role",
+        Map("user" -> 1.0, "assistant" -> 2.0), Seq("query", "filter"), 10, conf))),
+    // date-histogram facet: docs matching the term bucketed by conv min-ts
+    // truncated to the minute — index for the match set, doc values (the
+    // source table) for the timestamp, one map-side-combinable groupBy
+    "q_date_histogram" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).dateHistogram("spark", meta, "conv_id", "ts", "minute")
+        .orderBy("bucket")
+    }),
     // term facet: top-N terms by document frequency, read from the committed
     // posting blocks (df is stored in every block — no posting decode)
     "q_top_terms" -> ((s, dir) => {
@@ -483,6 +521,13 @@ object SparkEntry {
     "q_bm25_page2" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
       conjunctive = false, offset = 10),
     "q_more_like_this" -> mltOracleSql("c00007", 5, 10, maxDfPct = 100),
+    "q_suggest" -> suggestOracleSql("sow", 1, 5),
+    "q_rescore_recency" -> rescoreOracleSql(Seq("query", "filter", "join"), 10, 30, 120L),
+    // export = the same exact total order with no top-k cut (LIMIT far above
+    // any possible match count)
+    "q_bm25_export" -> bm25OracleSql(Seq("filter"), 1000000, conjunctive = false),
+    "q_bm25_multifield" -> multiFieldOracleSql(1.0, 2.0, Seq("query", "filter"), 10),
+    "q_date_histogram" -> dateHistogramOracleSql("spark"),
     "q_top_terms" -> (TurnsCte + TfCtes +
       " SELECT term, count(*) AS df FROM tf GROUP BY term" +
       " ORDER BY df DESC, term ASC LIMIT 20"),

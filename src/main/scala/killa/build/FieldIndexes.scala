@@ -60,6 +60,36 @@ object FieldIndexes {
       conf: Conf): IndexReader =
     new IndexReader(spark, valueRoot(root, field, value), conf)
 
+  /** Multi-field boosted BM25 (the Elasticsearch `multi_match` with
+    * per-field boosts): combined score = Σ over fields of
+    * boost(field) · bm25_field(doc), where bm25_field uses the field
+    * corpus's OWN statistics (its N, avgdl, per-field df — what field-aware
+    * ranking means), and a document qualifies when it matches in ANY boosted
+    * field. Exact by construction: each sub-index contributes its FULL
+    * scored match set ([[killa.query.IndexReader.bm25ScoredAll]] — no
+    * per-field top-k window to truncate a cross-field winner), the weighted
+    * union folds in one map-side-combinable groupBy, and only the final
+    * global top-k materializes. Shape at scale: per-field pruned block
+    * scans → one shuffle over scored candidates → TakeOrdered(k).
+    *
+    * @param boosts field value → multiplier; values absent from the built
+    *               index contribute nothing (their reader sees no manifest).
+    * @return (conv_id, score) top-k, score desc then conv_id asc.
+    */
+  def multiFieldBm25(spark: SparkSession, root: String, field: String,
+      boosts: Map[String, Double], terms: Seq[String], k: Int, conf: Conf,
+      conjunctive: Boolean = false): DataFrame = {
+    val perField = boosts.toSeq.sortBy(_._1).map { case (v, w) =>
+      reader(spark, root, field, v, conf)
+        .bm25ScoredAll(terms, conjunctive)
+        .select(col("conv_id"), (col("score") * w).as("score"))
+    }
+    perField.reduce(_ union _)
+      .groupBy("conv_id").agg(sum(col("score")).as("score"))
+      .orderBy(col("score").desc, col("conv_id").asc)
+      .limit(k)
+  }
+
   /** Facet: per-field-value count of documents containing `term`, via each
     * sub-index's block-metadata count (no posting decode, no label join —
     * the membershipCount fast path per value). Values with zero hits drop,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import killa.Conf
-import killa.codec.Delta
+import killa.codec.{Delta, Varint}
 import killa.model.PostingBlock
 import killa.store.{Manifest, SegmentStore}
 import killa.util.Hashing
@@ -197,6 +197,52 @@ final class IndexReader(
     membershipWhere(lenBand && levenshtein(col("term"), lit(term)) <= maxDist,
       lenHint = Some((term.length - maxDist, term.length + maxDist)))
   }
+
+  /** Spell-suggest / did-you-mean (the Elasticsearch `term` suggester): the
+    * `n` dictionary terms within Levenshtein distance ≤ `maxDist` of the
+    * (possibly misspelled) input, ranked by document frequency desc then
+    * term asc — "most popular close spelling first". The input term itself
+    * is excluded (a suggester corrects, it doesn't echo). Same scan shape
+    * as [[membershipFuzzy]] — sidecar length-band bucket pruning, codegen'd
+    * length pre-filter ahead of the levenshtein residual — but it only reads
+    * the (term, df) dictionary columns: posting payloads never decode, so
+    * the scan is kilobytes per bucket at any corpus scale.
+    *
+    * @return (term, df) rows, df desc, term asc, ≤ n rows.
+    */
+  def suggest(term: String, maxDist: Int = 1, n: Int = 5): DataFrame = {
+    val empty = Seq.empty[(String, Long)].toDF("term", "df")
+    if (term == null || term.isEmpty || n <= 0 || manifest.isEmpty) return empty
+    if (maxDist <= 0) return empty
+    val paths = prunedBucketPaths(None,
+      Some((term.length - maxDist, term.length + maxDist)))
+    if (paths.isEmpty) return empty
+    val lenBand = abs(length(col("term")) - lit(term.length)) <= maxDist
+    spark.read.schema(blockSchema).parquet(paths: _*)
+      .where(lenBand && levenshtein(col("term"), lit(term)) <= maxDist &&
+        col("term") =!= term)
+      .groupBy("term").agg(max(col("df")).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(n)
+  }
+
+  /** Date-histogram facet (the Elasticsearch `date_histogram` aggregation):
+    * matching documents of `term` bucketed by their timestamp truncated to
+    * `unit`. The engine's index stores postings only — document field values
+    * live in the caller's doc-values table `meta` (one row per doc:
+    * `convCol`, `tsCol`), exactly the split a columnar lakehouse serving
+    * stack uses. Plan: pruned membership scan → equi-join to meta on the
+    * doc key → one map-side-combinable groupBy on the truncated bucket —
+    * no driver collect anywhere, scales to any match count.
+    *
+    * @return (bucket: string `yyyy-MM-dd HH:mm:ss`, hits: long) rows.
+    */
+  def dateHistogram(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String = "day"): DataFrame =
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"), col(tsCol).as("__ts")), "conv_id")
+      .groupBy(date_format(date_trunc(unit, col("__ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"))
+      .agg(count(lit(1)).as("hits"))
 
   /** Phrase search over the positional index (IndexWriter.buildPositions,
     * maintained incrementally by IndexMaintainer's positions step):
@@ -397,6 +443,92 @@ final class IndexReader(
       .select("docId").collect().headOption.map(_.getLong(0))
       .getOrElse(Long.MaxValue)
     hitsDf(topKRowsImpl(terms, ex, k, conjunctive, m, Some((afterScore, afterDoc))))
+  }
+
+  /** The FULL scored match set — every qualifying document with its exact
+    * BM25 score, as a distributed DataFrame (the scored-scroll / export
+    * surface: feeding a reranker, building a training set, bulk relevance
+    * dumps). No top-k heap and no driver collect anywhere: blocks decode in
+    * a flatMap, per-doc scores fold in ONE map-side-combinable groupBy, and
+    * the result stays an executor-side frame the caller can write/join at
+    * any match count. Scores are the same Bm25.contrib the DAAT kernel
+    * computes (identity spec-pinned to 1e-9 — relational fold order vs the
+    * kernel's term-order fold can differ in the last float ulp).
+    *
+    * @return (conv_id, score) rows, unordered (exports sort downstream).
+    */
+  def bm25ScoredAll(termsIn: Seq[String], conjunctive: Boolean = false,
+      mustNot: Seq[String] = Nil): DataFrame = {
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || manifest.isEmpty) return emptyHits
+    val m = manifest.get
+    if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
+    val k1 = conf.k1; val b = conf.b; val avgdl = m.avgdl; val n = m.numDocs
+    val nTerms = terms.length
+    val contribs = terms.map(postingBlocks).reduce(_ union _)
+      .flatMap { blk =>
+        val w = Bm25.weight(n, blk.df, k1)
+        val docs = Delta.decode(blk.docsBin, blk.n)
+        val tfs = Varint.decode(blk.tfsBin, blk.n)
+        val dls = Varint.decode(blk.dlsBin, blk.n)
+        (0 until blk.n).iterator.map { j =>
+          (docs(j), Bm25.contrib(w, tfs(j), dls(j), k1, b, avgdl))
+        }
+      }
+      .toDF("docId", "c")
+    // a (doc, term) pair lives in exactly one block, so conjunctive = "one
+    // contribution per query term" is a plain row count per doc
+    val grouped =
+      if (conjunctive)
+        contribs.groupBy("docId")
+          .agg(sum(col("c")).as("score"), count(lit(1)).as("__nt"))
+          .where(col("__nt") === nTerms).drop("__nt")
+      else contribs.groupBy("docId").agg(sum(col("c")).as("score"))
+    val kept =
+      if (ex.isEmpty) grouped
+      else {
+        val exDocs = ex.map(postingBlocks).reduce(_ union _)
+          .flatMap(blk => Delta.decode(blk.docsBin, blk.n))
+          .toDF("docId").distinct()
+        grouped.join(exDocs, Seq("docId"), "left_anti")
+      }
+    // the dictionary join also drops dead docs (deletes never rewrite blocks)
+    kept.join(docsView, "docId").select(col("convId").as("conv_id"), col("score"))
+  }
+
+  /** Window rescoring (the Elasticsearch `rescore` / function-score pattern):
+    * take the exact BM25 top-`window`, multiply each hit's score by a
+    * caller-supplied per-document factor, and return the top-`k` of the
+    * combined order. This is how production engines apply recency decay,
+    * popularity boosts, or a second-stage model without giving up index
+    * pruning: the expensive exact-top-window query keeps full block-max
+    * pruning, and the factor touches only `window` rows. Documents outside
+    * the window keep their base-score order (standard rescore-window
+    * semantics — `window` bounds how deep the factor can promote).
+    *
+    * @param factors doc-values frame with `convCol` (doc key) and
+    *                `factorCol` (double multiplier); docs absent from it
+    *                keep factor 1.0. Only the window's ≤ `window` keys are
+    *                ever looked up (one IN-pruned point query, same bounded
+    *                shape as the label lookups).
+    */
+  def rescoreTopK(terms: Seq[String], k: Int, window: Int, factors: DataFrame,
+      convCol: String = "conv_id", factorCol: String = "factor",
+      conjunctive: Boolean = false): DataFrame = {
+    if (k <= 0) return emptyHits
+    val base = bm25TopKRows(terms, math.max(k, window), conjunctive)
+    if (base.isEmpty) return emptyHits
+    val convs = base.map(_._1).toSeq
+    val fmap = factors
+      .where(col(convCol).isin(convs: _*))
+      .select(col(convCol).cast("string"), col(factorCol).cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rescored = base
+      .map { case (c, s) => (c, s * fmap.getOrElse(c, 1.0)) }
+      .sortBy { case (c, s) => (-s, c) }
+      .take(k)
+    hitsDf(rescored)
   }
 
   /** More-like-this: rank documents similar to `convId` by running a BM25
