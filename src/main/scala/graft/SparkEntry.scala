@@ -81,6 +81,10 @@ object SparkEntry {
     // fuzzy term search (Levenshtein ≤ 1 over the term dictionary)
     "q_membership_fuzzy" -> ((s, dir) =>
       reader(s, dir).membershipFuzzy("spark", 1).orderBy("conv_id")),
+    // regex term search (ES regexp query): anchored literal head pushes
+    // down as a prefix range, full pattern residual over the dictionary
+    "q_membership_regex" -> ((s, dir) =>
+      reader(s, dir).membershipRegex("^s[a-z]+k$").orderBy("conv_id")),
     // keyword-in-context snippets for the term's hit set: index finds the
     // conversations, the source table renders ±3 tokens of context around
     // the first occurrence
@@ -438,6 +442,9 @@ object SparkEntry {
       mustNot = Seq("spark")),
     "q_membership_fuzzy" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE levenshtein(term, 'spark') <= 1" +
+      " ORDER BY conv_id"),
+    "q_membership_regex" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE regexp_matches(term, '^s[a-z]+k$')" +
       " ORDER BY conv_id"),
     // snippets: first matching turn per conv (row_number over turn_idx),
     // 1-based first token position, ±3-token window — the SQL mirror of

@@ -22,6 +22,7 @@ import killa.streaming.StreamOps
   *   qp <prefix|glob>          prefix/wildcard search (reference README TODO)
   *   qf <term> [maxDist]       fuzzy search (Levenshtein over terms)
   *   suggest <term> [d] [n]    did-you-mean: close spellings by df desc
+  *   qr <pattern>              regex term search (anchor with ^...$)
   *   bm25 <k> <term>... [NOT <term>...]  top-k BM25, boolean NOT exclusions
   *   snip <parquet> <term> [w] keyword-in-context snippets for hits
   *   slop <n> <term>...        ordered proximity phrase (each gap ≤ 1 + n)
@@ -157,7 +158,8 @@ object Main {
     // fixed-arity verbs fail as clean usage errors (exit 2), not MatchError /
     // NoSuchElementException stack traces (ADVICE r3)
     val minArity = Map("build" -> 1, "posbuild" -> 1, "unsub" -> 1, "sub" -> 2, "ren" -> 2,
-      "slop" -> 2, "mlt" -> 1, "qat" -> 2, "page" -> 4, "suggest" -> 1)
+      "slop" -> 2, "mlt" -> 1, "qat" -> 2, "page" -> 4, "suggest" -> 1,
+      "qr" -> 1)
     minArity.get(verb).filter(rest.length < _).foreach { n =>
       throw new IllegalArgumentException(s"$verb requires at least $n argument(s)")
     }
@@ -195,6 +197,9 @@ object Main {
         session.reader.bm25TopKAfter(rest.drop(3).toSeq, rest.head.toInt,
             rest(1), rest(2).toDouble).collect()
           .foreach(r => println(s"${r.getString(0)}\t${r.getDouble(1)}"))
+      case "qr" => // qr <pattern>: regex term search (anchor with ^...$)
+        session.reader.membershipRegex(rest.head)
+          .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
       case "suggest" => // suggest <term> [maxDist] [n]: did-you-mean
         val d = rest.lift(1).map(_.toInt).getOrElse(1)
         val n = rest.lift(2).map(_.toInt).getOrElse(5)

@@ -183,6 +183,39 @@ final class IndexReader(
       prefixHint = if (pre.nonEmpty) Some(pre) else None)
   }
 
+  /** Regex term search (the Elasticsearch `regexp` query): conversations
+    * containing any dictionary term the pattern FINDS in (Java regex find
+    * semantics — anchor with ^...$ for a whole-term match, the same
+    * partial-match convention DuckDB's regexp_matches uses, so one oracle
+    * covers both engines). An anchored literal head pushes down as a
+    * prefix range over the sorted term column; the full pattern applies as
+    * a residual rlike. Payload columns never read.
+    */
+  def membershipRegex(pattern: String): DataFrame = {
+    if (pattern == null || pattern.isEmpty) return emptyMembers
+    val pre = regexLiteralPrefix(pattern)
+    val residual = col("term").rlike(pattern)
+    membershipWhere(
+      if (pre.nonEmpty) col("term").startsWith(pre) && residual else residual,
+      prefixHint = if (pre.nonEmpty) Some(pre) else None)
+  }
+
+  /** Longest literal prefix every match of an ANCHORED pattern must carry:
+    * the run of plain word characters after `^`, truncated by one if the
+    * run's last char is followed by a quantifier (`?`/`*`/`{`) that could
+    * erase it. Unanchored patterns have no usable prefix (a find can start
+    * anywhere). Conservative by construction — a wrong prefix could prune
+    * a true match, so anything doubtful returns "".
+    */
+  private def regexLiteralPrefix(pattern: String): String = {
+    if (!pattern.startsWith("^")) return ""
+    val body = pattern.drop(1)
+    val run = body.takeWhile(c => c.isLetterOrDigit || c == '_').length
+    val safe =
+      if (run < body.length && "?*{".contains(body(run))) run - 1 else run
+    body.take(math.max(0, safe))
+  }
+
   /** Fuzzy term search: conversations containing any term within Levenshtein
     * edit distance ≤ `maxDist` of `term`. The first edit can change the first
     * character, so no prefix range pushes down — like a leading-wildcard mask

@@ -65,6 +65,23 @@ class Round4bSpec extends AnyFunSuite {
     assert(reader.suggest(null, 1, 5).isEmpty && reader.suggest("x", 0, 5).isEmpty)
   }
 
+  // ---- regex term search ----
+
+  test("membershipRegex: parity with a brute token-level regex; prefix pushdown never over-prunes") {
+    val toks = turns
+      .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+    for (p <- Seq("^the$", "^sp[aeiou]rk$", "^sp?ark$", "^uniq[0-9]+_0$",
+        "ed_[0-9]$", "^shar", "^zzz")) {
+      val exp = toks.where(col("term").rlike(p)).select("conv_id").distinct()
+        .collect().map(_.getString(0)).toSet
+      val got = reader.membershipRegex(p).collect().map(_.getString(0)).toSet
+      assert(got == exp, s"pattern=$p")
+    }
+    // unanchored pattern finds mid-term (no prefix assumed)
+    assert(reader.membershipRegex("hared").collect().nonEmpty)
+    assert(reader.membershipRegex(null).isEmpty)
+  }
+
   // ---- full scored export ----
 
   test("bm25ScoredAll: full match set with exact scores, disjunctive/conjunctive/mustNot") {
