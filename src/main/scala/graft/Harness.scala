@@ -55,25 +55,37 @@ object Harness {
     *               n+1 ≡ OFFSET n·k of the same (s desc, conv_id asc) order.
     * @param turnsCte corpus CTE — [[TurnsCte]] (default) or a filtered
     *               variant such as [[TurnsAssistantCte]] for field indexes.
+    * @param filterT0 doc-values filter (bm25TopKFiltered's oracle): keep only
+    *               convs whose min ts — = min doc_id seconds under the
+    *               deterministic derivation — lies in [lo, hi]. Scoring
+    *               stats stay GLOBAL (ES filter-context semantics); the
+    *               filter applies before top-k selection.
     */
   def bm25OracleSql(terms: Seq[String], k: Int, conjunctive: Boolean,
       mustNot: Seq[String] = Nil, offset: Int = 0,
-      turnsCte: String = TurnsCte): String = {
+      turnsCte: String = TurnsCte,
+      filterT0: Option[(Long, Long)] = None): String = {
     val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
     val having = if (conjunctive) s" HAVING count(*) = ${terms.length}" else ""
-    // boolean NOT: drop every conv holding any excluded term BEFORE top-k
-    val exWhere = if (mustNot.isEmpty) "" else
-      mustNot.map(t => s"'$t'").mkString(
-        " WHERE conv_id NOT IN (SELECT DISTINCT conv_id FROM tf WHERE term IN (", ", ", "))")
+    val preds = Seq(
+      // boolean NOT: drop every conv holding any excluded term BEFORE top-k
+      if (mustNot.isEmpty) None else Some(mustNot.map(t => s"'$t'").mkString(
+        "conv_id NOT IN (SELECT DISTINCT conv_id FROM tf WHERE term IN (", ", ", "))")),
+      filterT0.map { case (fLo, fHi) =>
+        s"conv_id IN (SELECT conv_id FROM convt0f WHERE t0 BETWEEN $fLo AND $fHi)" }
+    ).flatten
+    val whereCl = if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")
+    val filterCte = if (filterT0.isEmpty) "" else
+      ", convt0f AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, min(doc_id) AS t0 FROM documents GROUP BY 1)"
     val off = if (offset > 0) s" OFFSET $offset" else ""
-    turnsCte + TfCtes +
+    turnsCte + TfCtes + filterCte +
       s", q(term, tidx) AS (VALUES $vals)" +
       ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
       ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
       "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
       "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
       "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
-      s", scored AS (SELECT conv_id, sum(c) AS s FROM contrib$exWhere GROUP BY conv_id$having)" +
+      s", scored AS (SELECT conv_id, sum(c) AS s FROM contrib$whereCl GROUP BY conv_id$having)" +
       s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k$off)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
   }
@@ -100,12 +112,18 @@ object Harness {
     * the probe (probe itself excluded), ranked df desc then term asc — the
     * SQL recomputation of IndexReader.suggest.
     */
-  def suggestOracleSql(term: String, maxDist: Int, n: Int): String =
+  def suggestOracleSql(term: String, maxDist: Int, n: Int,
+      boostPrefixLen: Int = 0): String = {
+    val order =
+      if (boostPrefixLen <= 0) "df DESC, term ASC"
+      else s"(substr(term, 1, $boostPrefixLen) = '${term.take(boostPrefixLen)}') DESC, " +
+        "df DESC, term ASC"
     TurnsCte + TfCtes +
       ", dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)" +
       s" SELECT term, df FROM dfs WHERE abs(length(term) - ${term.length}) <= $maxDist" +
       s" AND levenshtein(term, '$term') <= $maxDist AND term <> '$term'" +
-      s" ORDER BY df DESC, term ASC LIMIT $n"
+      s" ORDER BY $order LIMIT $n"
+  }
 
   /** Window-rescore oracle (recency decay): top-`window` of the exact BM25
     * order, each hit's score multiplied by the rational decay
@@ -331,6 +349,24 @@ object Harness {
     cache.getOrElseUpdate(s"$sfDir#fld", {
       val root = freshRoot(sfDir, "fld")
       killa.build.FieldIndexes.build(spark, root, transcripts(spark, sfDir), "role", conf)
+      root
+    })
+
+  /** Per-role field indexes built on a 3-of-5-turns subset, then brought to
+    * the full corpus via ONE maintenance batch routed through
+    * FieldIndexes.applyChanges (VERDICT r4 missing #1: field sub-indexes had
+    * no incremental path) — field-scoped queries against it must match the
+    * full-corpus assistant oracle exactly, with the sub-index's own
+    * incrementally-maintained stats.
+    */
+  def fieldIncrRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#fldincr", {
+      val root = freshRoot(sfDir, "fldincr")
+      val all = transcripts(spark, sfDir)
+      val values = killa.build.FieldIndexes.build(
+        spark, root, all.where(col("turn_idx") < 3), "role", conf)
+      killa.build.FieldIndexes.applyChanges(
+        spark, root, "role", values, all, batchId = "d1", conf = conf)
       root
     })
 

@@ -151,6 +151,15 @@ object Daat {
     *                      non-decreasing in both modes) and skipped blocks
     *                      never decode; skipping admission keeps the WAND
     *                      threshold conservative, so pruning stays exact.
+    * @param includeBlocks admission-time doc-values FILTER (the ES `bool` +
+    *                      `filter` context): when non-empty, only docs
+    *                      present in at least one include set (in practice
+    *                      exactly one — the filter's encoded docId blocks)
+    *                      reach the heap. The mirror image of exclusion:
+    *                      same forward-only seek, same never-decode skips,
+    *                      and skipped admission keeps the WAND threshold a
+    *                      conservative lower bound — so the k-th filtered
+    *                      result is exact, never a post-filtered hole.
     */
   def scoreRange(
       termBlocks: Array[Array[PostingBlock]],
@@ -160,12 +169,15 @@ object Daat {
       k1: Double, b: Double, avgdl: Double,
       excludeBlocks: Array[Array[PostingBlock]] = Array.empty,
       afterScore: Double = Double.PositiveInfinity,
-      afterDoc: Long = Long.MinValue): Iterator[(Long, Double)] = {
+      afterDoc: Long = Long.MinValue,
+      includeBlocks: Array[Array[PostingBlock]] = Array.empty): Iterator[(Long, Double)] = {
     val nT = termBlocks.length
     if (conjunctive && termBlocks.exists(_.isEmpty)) return Iterator.empty
     val cursors = termBlocks.map(new TermCursor(_, lo, hi))
     val exCursors = excludeBlocks.map(new TermCursor(_, lo, hi))
     val nEx = exCursors.length
+    val incCursors = includeBlocks.map(new TermCursor(_, lo, hi))
+    val nInc = incCursors.length
     // search-after cursor (deep pagination, the Lucene searchAfter analog):
     // admit only docs strictly after (afterScore desc, afterDoc asc) in the
     // result order. Skipped admission never loosens WAND pruning — the heap
@@ -178,6 +190,21 @@ object Daat {
       var e = 0
       while (e < nEx) {
         val c = exCursors(e)
+        if (!c.exhausted) {
+          c.seek(doc)
+          if (!c.exhausted && c.doc == doc) return true
+        }
+        e += 1
+      }
+      false
+    }
+    // no include sets = unfiltered; otherwise doc must appear in one of them
+    // (include cursors seek forward only — candidates are non-decreasing)
+    def included(doc: Long): Boolean = {
+      if (nInc == 0) return true
+      var e = 0
+      while (e < nInc) {
+        val c = incCursors(e)
         if (!c.exhausted) {
           c.seek(doc)
           if (!c.exhausted && c.doc == doc) return true
@@ -202,7 +229,7 @@ object Daat {
           t += 1
         }
         if (aligned) {
-          if (!excluded(target)) {
+          if (!excluded(target) && included(target)) {
             var score = 0.0
             t = 0
             while (t < nT) {
@@ -250,7 +277,7 @@ object Daat {
               bound += weights(t) * cursors(t).blockMaxImpact(k1, b, avgdl)
             t += 1
           }
-          if (bound >= heap.threshold && !excluded(cand)) {
+          if (bound >= heap.threshold && !excluded(cand) && included(cand)) {
             var score = 0.0
             t = 0
             while (t < nT) {
