@@ -60,13 +60,21 @@ object Harness {
     *               deterministic derivation — lies in [lo, hi]. Scoring
     *               stats stay GLOBAL (ES filter-context semantics); the
     *               filter applies before top-k selection.
+    * @param minMatch disjunctive minimum_should_match: keep only convs
+    *               matching at least this many query terms (one contrib row
+    *               per matched term ⇒ a HAVING count, the relational mirror
+    *               of the kernel's admission count).
     */
   def bm25OracleSql(terms: Seq[String], k: Int, conjunctive: Boolean,
       mustNot: Seq[String] = Nil, offset: Int = 0,
       turnsCte: String = TurnsCte,
-      filterT0: Option[(Long, Long)] = None): String = {
+      filterT0: Option[(Long, Long)] = None,
+      minMatch: Int = 1): String = {
     val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
-    val having = if (conjunctive) s" HAVING count(*) = ${terms.length}" else ""
+    val having =
+      if (conjunctive) s" HAVING count(*) = ${terms.length}"
+      else if (minMatch > 1) s" HAVING count(*) >= $minMatch"
+      else ""
     val preds = Seq(
       // boolean NOT: drop every conv holding any excluded term BEFORE top-k
       if (mustNot.isEmpty) None else Some(mustNot.map(t => s"'$t'").mkString(
@@ -151,6 +159,29 @@ object Harness {
       s", top AS (SELECT conv_id, s FROM resc ORDER BY s DESC, conv_id ASC LIMIT $k)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
   }
+
+  /** Significant-terms oracle: the SQL recomputation of
+    * IndexReader.significantTerms — fg df = distinct convs per term inside
+    * the query term's match set, bg df = global df, JLH score
+    * (fr − br)·(fr/br) over docs-rate doubles with the exact same operation
+    * order as the Spark expression (IEEE −,/,× are rounding-pinned, so both
+    * engines compute bit-identical scores). Selection on raw score
+    * (desc, term asc) like every BM25 surface; display rounds to 4dp.
+    */
+  def significantTermsOracleSql(term: String, n: Int): String =
+    TurnsCte + TfCtes +
+      s", fg AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", fgn AS (SELECT CAST(count(*) AS DOUBLE) AS fn FROM fg)" +
+      ", fgdf AS (SELECT tf.term, count(*) AS fg_df FROM tf JOIN fg ON tf.conv_id = fg.conv_id GROUP BY 1)" +
+      ", bgdf AS (SELECT term, count(*) AS bg_df FROM tf GROUP BY 1)" +
+      ", r AS (SELECT f.term, f.fg_df, b.bg_df," +
+      " CAST(f.fg_df AS DOUBLE) / (SELECT fn FROM fgn) AS fr," +
+      " CAST(b.bg_df AS DOUBLE) / CAST((SELECT n FROM stats) AS DOUBLE) AS br" +
+      s" FROM fgdf f JOIN bgdf b ON f.term = b.term WHERE f.term <> '$term')" +
+      ", s AS (SELECT term, fg_df, bg_df, (fr - br) * (fr / br) AS sc FROM r WHERE fr > br)" +
+      s", top AS (SELECT * FROM s ORDER BY sc DESC, term ASC LIMIT $n)" +
+      " SELECT term, fg_df, bg_df, round(sc, 4) AS score FROM top" +
+      " ORDER BY score DESC, term ASC"
 
   /** The per-role scored-CTE family with suffixed names, so two corpora can
     * coexist in one oracle query (multi-field BM25).

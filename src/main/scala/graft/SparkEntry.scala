@@ -89,6 +89,39 @@ object SparkEntry {
         .select("conv_id")
       present(reader(s, dir).bm25TopKFiltered(Seq("query", "filter", "join"), 10, flt))
     }),
+    // minimum_should_match (the ES m-of-n bool query): documents matching at
+    // least 2 of the 3 skew terms, BM25 over the matched terms — enforced
+    // admission-time inside the DAAT kernel, which also gains a live<m
+    // early-out plain WAND lacks. The skew terms make the constraint bite:
+    // 2 convs match only one term and drop, 25 match all three
+    "q_bm25_msm" -> ((s, dir) =>
+      present(reader(s, dir).bm25TopK(Seq("window", "big", "dup"), 10,
+        minShouldMatch = 2))),
+    // the full ES bool shape in ONE query: must (conjunctive terms) + filter
+    // (doc-values include cursor) + must_not (exclusion cursor) — all three
+    // admission-time inside one kernel pass, pruning exact throughout
+    "q_bm25_bool_full" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      val flt = meta.where(col("ts").between(
+          lit("2024-01-01 00:02:05"), lit("2024-01-01 00:05:50")))
+        .select("conv_id")
+      present(reader(s, dir).bm25TopKFiltered(Seq("query", "filter"), 10, flt,
+        conjunctive = true, mustNot = Seq("dup")))
+    }),
+    // multi-term OR membership (the ES terms query / query-time synonym set):
+    // one scan pruned to exactly the terms' bucket dirs; absent terms no-op;
+    // the union (100 convs) strictly exceeds each member set (99) here
+    "q_membership_synonyms" -> ((s, dir) =>
+      reader(s, dir).membershipAny(Seq("window", "big", "qqq_absent_term_zzz"))
+        .orderBy("conv_id")),
+    // significant terms (the ES significant_terms aggregation): terms
+    // over-represented in the 'dup' match set vs the whole corpus, JLH score
+    // (fr−br)·(fr/br) — forward-log semi-join for fg df, block-stamped global
+    // df for bg, selection on raw doubles, display rounded like BM25
+    "q_significant_terms" -> ((s, dir) =>
+      reader(s, dir).significantTerms("dup", 10)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("term").asc)),
     // scored export, conjunctive + boolean-NOT form: the export path's other
     // two branches under the oracle gate (they were spec-only in r4)
     "q_bm25_export_conj_not" -> ((s, dir) =>
@@ -493,6 +526,16 @@ object SparkEntry {
     // export = same exact order, no top-k cut; conjunctive + NOT branches
     "q_bm25_export_conj_not" -> bm25OracleSql(Seq("query", "filter"), 1000000,
       conjunctive = true, mustNot = Seq("batch")),
+    // minimum_should_match = a HAVING count over the per-term contrib rows
+    "q_bm25_msm" -> bm25OracleSql(Seq("window", "big", "dup"), 10,
+      conjunctive = false, minMatch = 2),
+    // must + filter + must_not composed in one oracle
+    "q_bm25_bool_full" -> bm25OracleSql(Seq("query", "filter"), 10,
+      conjunctive = true, mustNot = Seq("dup"), filterT0 = Some((125L, 350L))),
+    "q_membership_synonyms" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2" +
+      " WHERE term IN ('window', 'big', 'qqq_absent_term_zzz') ORDER BY conv_id"),
+    "q_significant_terms" -> significantTermsOracleSql("dup", 10),
     "q_membership_fuzzy" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE levenshtein(term, 'spark') <= 1" +
       " ORDER BY conv_id"),

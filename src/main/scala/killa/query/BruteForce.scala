@@ -21,7 +21,8 @@ object BruteForce {
       k: Int,
       conjunctive: Boolean = false,
       conf: Conf = Conf.default,
-      mustNot: Seq[String] = Nil): DataFrame = {
+      mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
@@ -59,7 +60,10 @@ object BruteForce {
         (acc, x) => acc + x.getField("c")).as("score"),
       count(lit(1)).as("nt"))
 
-    val filtered = if (conjunctive) scored.where(col("nt") === terms.size) else scored
+    val filtered =
+      if (conjunctive) scored.where(col("nt") === terms.size)
+      else if (minShouldMatch > 1) scored.where(col("nt") >= minShouldMatch)
+      else scored
     // boolean NOT: drop convs holding any excluded term before the top-k cut
     val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
     val notFiltered = if (ex.isEmpty) filtered

@@ -160,6 +160,18 @@ object Daat {
     *                      and skipped admission keeps the WAND threshold a
     *                      conservative lower bound — so the k-th filtered
     *                      result is exact, never a post-filtered hole.
+    * @param minMatch      disjunctive-mode minimum_should_match (the ES
+    *                      m-of-n bool query): a candidate is admitted only
+    *                      when ≥ minMatch query terms are positioned at it.
+    *                      Terms are distinct upstream, so the count of
+    *                      cursors at the candidate IS the matched-clause
+    *                      count. Pruning stays exact: skipping sub-m
+    *                      candidates only keeps the WAND threshold
+    *                      conservative, and once fewer than minMatch cursors
+    *                      remain live NO later doc can reach m matches — the
+    *                      scan terminates early (a prune plain WAND lacks).
+    *                      ≤ 1 = plain disjunction; ignored in conjunctive
+    *                      mode (all terms are required there).
     */
   def scoreRange(
       termBlocks: Array[Array[PostingBlock]],
@@ -170,7 +182,8 @@ object Daat {
       excludeBlocks: Array[Array[PostingBlock]] = Array.empty,
       afterScore: Double = Double.PositiveInfinity,
       afterDoc: Long = Long.MinValue,
-      includeBlocks: Array[Array[PostingBlock]] = Array.empty): Iterator[(Long, Double)] = {
+      includeBlocks: Array[Array[PostingBlock]] = Array.empty,
+      minMatch: Int = 1): Iterator[(Long, Double)] = {
     val nT = termBlocks.length
     if (conjunctive && termBlocks.exists(_.isEmpty)) return Iterator.empty
     val cursors = termBlocks.map(new TermCursor(_, lo, hi))
@@ -243,8 +256,11 @@ object Daat {
         }
       }
     } else {
+      val mm = math.max(1, minMatch)
       var live = cursors.count(!_.exhausted)
-      while (live > 0) {
+      // fewer than minMatch live cursors ⇒ no future doc can carry m distinct
+      // query terms — terminate (an early-out plain WAND doesn't have)
+      while (live >= mm) {
         // block-max WAND jump: if even the sum of ALL live cursors' current
         // block maxima can't reach the threshold, no doc before the nearest
         // block boundary can qualify — jump every cursor there (skipped
@@ -269,15 +285,19 @@ object Daat {
             if (!cursors(t).exhausted && cursors(t).doc < cand) cand = cursors(t).doc
             t += 1
           }
-          // per-candidate bound from the blocks actually positioned at cand
+          // per-candidate bound from the blocks actually positioned at cand;
+          // nAt counts the matched should-clauses for minimum_should_match
           var bound = 0.0
+          var nAt = 0
           t = 0
           while (t < nT) {
-            if (!cursors(t).exhausted && cursors(t).doc == cand)
+            if (!cursors(t).exhausted && cursors(t).doc == cand) {
               bound += weights(t) * cursors(t).blockMaxImpact(k1, b, avgdl)
+              nAt += 1
+            }
             t += 1
           }
-          if (bound >= heap.threshold && !excluded(cand) && included(cand)) {
+          if (nAt >= mm && bound >= heap.threshold && !excluded(cand) && included(cand)) {
             var score = 0.0
             t = 0
             while (t < nT) {

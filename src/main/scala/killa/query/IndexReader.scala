@@ -120,6 +120,28 @@ final class IndexReader(
     docIds.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 
+  /** Multi-term OR membership (the ES synonym / terms-query shape): the set
+    * of conversations containing ANY of the given terms — one scan pruned to
+    * exactly the terms' bucket dirs (term → bucket is a pure hash, the same
+    * path pruning phrase() and moreLikeThis use) with a pushed IN filter the
+    * sorted term column's row-group stats prune on; payload columns of
+    * non-matching terms are never read, and the per-doc distinct runs before
+    * the dictionary join so the label lookup sees each doc once.
+    */
+  def membershipAny(termsIn: Seq[String]): DataFrame = {
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || manifest.isEmpty) return emptyMembers
+    if (terms.length == 1) return membership(terms.head)
+    val paths = termBucketPaths(terms)
+    if (paths.isEmpty) return emptyMembers
+    val docIds = spark.read.schema(blockSchema).parquet(paths: _*)
+      .where(col("term").isin(terms: _*))
+      .select(col("n"), col("docsBin")).as[(Int, Array[Byte])]
+      .flatMap { case (n, bin) => Delta.decode(bin, n) }
+      .toDF("docId").distinct()
+    docIds.join(docsView, "docId").select(col("convId").as("conv_id"))
+  }
+
   /** Count-only membership fast path: |membership(term)| without decoding
     * posting payloads or resolving labels. Exact by construction: posting
     * blocks hold only alive docs (every delete/update rewrites its affected
@@ -307,6 +329,63 @@ final class IndexReader(
       .groupBy(date_format(date_trunc(unit, col("__ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"))
       .agg(count(lit(1)).as("hits"))
 
+  /** Significant terms (the Elasticsearch `significant_terms` aggregation):
+    * the terms most characteristic of the documents matching `term`, scored
+    * by JLH — (fgRate − bgRate) · (fgRate / bgRate), where fgRate is a
+    * term's document rate inside the match set and bgRate its rate in the
+    * whole corpus — keeping only genuinely over-represented terms
+    * (fgRate > bgRate) and excluding the query term itself (it is trivially
+    * significant in its own match set).
+    *
+    * Plan (everything distributed, no driver materialization of any term
+    * set): the match set's docIds come from the term's pruned posting scan;
+    * the per-term foreground df is ONE semi-join of the merged forward index
+    * (term-and-docId columns only — tf/dl payloads pruned away) against
+    * those docIds followed by a map-side-combinable count; background df is
+    * already materialized in every posting block, so the bg side is a
+    * dictionary-column scan that never decodes a posting. At corpus scale
+    * this is inherently a foreground-proportional analytic aggregation —
+    * exactly what ES's own significant_terms is; its standard cost control
+    * (the `sampler` aggregation) composes here as a filter on the match set
+    * before the semi-join.
+    *
+    * @return (term, fg_df, bg_df, score) rows, top-n by raw score desc then
+    *         term asc (selection on exact doubles; display rounding is the
+    *         caller's choice, mirroring the BM25 surfaces).
+    */
+  def significantTerms(term: String, n: Int = 10): DataFrame = {
+    val empty = Seq.empty[(String, Long, Long, Double)]
+      .toDF("term", "fg_df", "bg_df", "score")
+    if (term == null || term.isEmpty || n <= 0 || manifest.isEmpty) return empty
+    val m = manifest.get
+    if (m.numDocs == 0) return empty
+    val fgN = membershipCount(term)
+    if (fgN == 0) return empty
+    val fgIds = postingBlocks(term)
+      .select(col("n"), col("docsBin")).as[(Int, Array[Byte])]
+      .flatMap { case (nn, bin) => Delta.decode(bin, nn) }
+      .toDF("docId")
+    // one row per (doc, term) in the merged forward view ⇒ count = fg df
+    val fgDf = killa.store.Logs.forward(spark, m)
+      .select("term", "docId")
+      .join(fgIds, "docId")
+      .groupBy("term").agg(count(lit(1)).as("fg_df"))
+    // df is stamped globally into every block — max() is exact (same
+    // invariant suggest() rides); (term, df) only, payloads never read
+    val bgDf = allBlocks.toDF()
+      .groupBy("term").agg(max(col("df")).as("bg_df"))
+    val fgRate = col("fg_df").cast("double") / lit(fgN.toDouble)
+    val bgRate = col("bg_df").cast("double") / lit(m.numDocs.toDouble)
+    fgDf.join(bgDf, "term")
+      .where(col("term") =!= term)
+      .withColumn("__fr", fgRate).withColumn("__br", bgRate)
+      .where(col("__fr") > col("__br"))
+      .withColumn("score", (col("__fr") - col("__br")) * (col("__fr") / col("__br")))
+      .select("term", "fg_df", "bg_df", "score")
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(n)
+  }
+
   /** Phrase search over the positional index (IndexWriter.buildPositions,
     * maintained incrementally by IndexMaintainer's positions step):
     * conversations containing the terms at consecutive global positions.
@@ -447,17 +526,26 @@ final class IndexReader(
     *                same pruned block scans and is applied inside the DAAT
     *                kernel, so the k-th result is exact — never a
     *                post-filtered hole).
+    * @param minShouldMatch disjunctive-mode minimum_should_match (the ES
+    *                m-of-n bool query): only documents matching at least
+    *                this many of the query terms qualify. Enforced inside
+    *                the DAAT kernel (admission-time, pruning stays exact,
+    *                plus an extra early-out once fewer than m cursors remain
+    *                live). ES semantics at the edges: m ≤ 1 is the plain
+    *                disjunction, m > |terms| matches nothing, conjunctive
+    *                mode ignores it (every term is already required).
     */
   def bm25TopK(termsIn: Seq[String], k: Int, conjunctive: Boolean = false,
-      mustNot: Seq[String] = Nil): DataFrame = {
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1): DataFrame = {
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
     // a term both required and excluded stays excluded (t AND NOT t = ∅ in
     // conjunctive mode; disjunctive docs holding it drop) — plain boolean
     val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
     if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
+    if (!conjunctive && minShouldMatch > terms.length) return emptyHits
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
-    hitsDf(topKRowsImpl(terms, ex, k, conjunctive, m))
+    hitsDf(topKRowsImpl(terms, ex, k, conjunctive, m, minMatch = minShouldMatch))
   }
 
   /** Serving-shaped top-k: the same exact BM25 result as [[bm25TopK]] (rank
@@ -467,13 +555,14 @@ final class IndexReader(
     * label fetch) — listener-asserted in ServeSpec.
     */
   def bm25TopKRows(termsIn: Seq[String], k: Int, conjunctive: Boolean = false,
-      mustNot: Seq[String] = Nil): Array[(String, Double)] = {
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1): Array[(String, Double)] = {
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
     val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
     if (terms.isEmpty || k <= 0 || manifest.isEmpty) return Array.empty
+    if (!conjunctive && minShouldMatch > terms.length) return Array.empty
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return Array.empty
-    topKRowsImpl(terms, ex, k, conjunctive, m)
+    topKRowsImpl(terms, ex, k, conjunctive, m, minMatch = minShouldMatch)
   }
 
   /** Deep pagination — the Lucene `searchAfter` analog: the exact top-k of
@@ -553,14 +642,16 @@ final class IndexReader(
     * block-count probe as hot terms.
     */
   def bm25TopKFiltered(termsIn: Seq[String], k: Int, filterConvs: DataFrame,
-      conjunctive: Boolean = false, mustNot: Seq[String] = Nil): DataFrame = {
+      conjunctive: Boolean = false, mustNot: Seq[String] = Nil,
+      minShouldMatch: Int = 1): DataFrame = {
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
     val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
     if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
+    if (!conjunctive && minShouldMatch > terms.length) return emptyHits
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
     hitsDf(topKRowsImpl(terms, ex, k, conjunctive, m,
-      include = Some(filterBlocks(filterConvs))))
+      include = Some(filterBlocks(filterConvs)), minMatch = minShouldMatch))
   }
 
   /** Encode a conv_id filter set into sorted, non-overlapping docId blocks —
@@ -599,10 +690,11 @@ final class IndexReader(
     * @return (conv_id, score) rows, unordered (exports sort downstream).
     */
   def bm25ScoredAll(termsIn: Seq[String], conjunctive: Boolean = false,
-      mustNot: Seq[String] = Nil): DataFrame = {
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1): DataFrame = {
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
     val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
     if (terms.isEmpty || manifest.isEmpty) return emptyHits
+    if (!conjunctive && minShouldMatch > terms.length) return emptyHits
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
     val k1 = conf.k1; val b = conf.b; val avgdl = m.avgdl; val n = m.numDocs
@@ -619,12 +711,18 @@ final class IndexReader(
       }
       .toDF("docId", "c")
     // a (doc, term) pair lives in exactly one block, so conjunctive = "one
-    // contribution per query term" is a plain row count per doc
+    // contribution per query term" is a plain row count per doc; disjunctive
+    // minimum_should_match is the same count under ≥ m (ES m-of-n semantics,
+    // identical to the kernel's admission rule)
     val grouped =
       if (conjunctive)
         contribs.groupBy("docId")
           .agg(sum(col("c")).as("score"), count(lit(1)).as("__nt"))
           .where(col("__nt") === nTerms).drop("__nt")
+      else if (minShouldMatch > 1)
+        contribs.groupBy("docId")
+          .agg(sum(col("c")).as("score"), count(lit(1)).as("__nt"))
+          .where(col("__nt") >= minShouldMatch).drop("__nt")
       else contribs.groupBy("docId").agg(sum(col("c")).as("score"))
     val kept =
       if (ex.isEmpty) grouped
@@ -759,9 +857,11 @@ final class IndexReader(
   private def topKRowsImpl(terms: Seq[String], ex: Seq[String], k: Int,
       conjunctive: Boolean, m: Manifest,
       after: Option[(Double, Long)] = None,
-      include: Option[Dataset[PostingBlock]] = None): Array[(String, Double)] =
-    localTopK(terms, ex, k, conjunctive, m, after, include)
-      .getOrElse(finishRows(scoredCandidates(terms, ex, k, conjunctive, m, after, include), k))
+      include: Option[Dataset[PostingBlock]] = None,
+      minMatch: Int = 1): Array[(String, Double)] =
+    localTopK(terms, ex, k, conjunctive, m, after, include, minMatch)
+      .getOrElse(finishRows(
+        scoredCandidates(terms, ex, k, conjunctive, m, after, include, minMatch), k))
 
   private def hitsDf(rows: Array[(String, Double)]): DataFrame =
     if (rows.isEmpty) emptyHits else rows.toSeq.toDF("conv_id", "score")
@@ -803,7 +903,8 @@ final class IndexReader(
   private[killa] def localTopK(
       terms: Seq[String], mustNot: Seq[String], k: Int, conjunctive: Boolean,
       m: Manifest, after: Option[(Double, Long)] = None,
-      include: Option[Dataset[PostingBlock]] = None): Option[Array[(String, Double)]] = {
+      include: Option[Dataset[PostingBlock]] = None,
+      minMatch: Int = 1): Option[Array[(String, Double)]] = {
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     val cap = conf.localQueryBlocks
     if (cap <= 0) return None
@@ -868,7 +969,7 @@ final class IndexReader(
       if (totalBlocks <= conf.localParBlocks)
         Daat.scoreRange(termBlocks, weights, -1L, Long.MaxValue, k,
           conjunctive, conf.k1, conf.b, m.avgdl, exBlocks, afterScore, afterDoc,
-          incArr).toArray
+          incArr, minMatch).toArray
       else {
         // shared bounded daemon pool, not per-query threads: under
         // concurrent serving load per-query `new Thread` churned up to 32
@@ -889,7 +990,7 @@ final class IndexReader(
               val hi = r.toLong * stride + stride - 1
               Daat.scoreRange(termBlocks, weights, lo, hi, k,
                 conjunctive, conf.k1, conf.b, m.avgdl, exBlocks,
-                afterScore, afterDoc, incArr).toArray
+                afterScore, afterDoc, incArr, minMatch).toArray
             }
           })
         }
@@ -905,7 +1006,8 @@ final class IndexReader(
   private[killa] def scoredCandidates(
       terms: Seq[String], mustNot: Seq[String], k: Int, conjunctive: Boolean,
       m: Manifest, after: Option[(Double, Long)] = None,
-      include: Option[Dataset[PostingBlock]] = None): DataFrame = {
+      include: Option[Dataset[PostingBlock]] = None,
+      minMatch: Int = 1): DataFrame = {
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     // exclusion terms tag on after the query terms, and the (optional)
     // doc-values filter's encoded blocks after those; all replicate to
@@ -953,7 +1055,8 @@ final class IndexReader(
         val lo = rangeId * stride - 1 // (lo, hi] convention
         val hi = rangeId * stride + stride - 1
         Daat.scoreRange(termBlocks, weights, lo, hi, k, conjunctive, k1, b, avgdl,
-          blocks.slice(nTerms, nAll), afterScore, afterDoc, blocks.drop(nAll))
+          blocks.slice(nTerms, nAll), afterScore, afterDoc, blocks.drop(nAll),
+          minMatch)
       }
       .toDF("docId", "score")
     scored
