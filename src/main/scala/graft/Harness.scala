@@ -64,12 +64,19 @@ object Harness {
     *               matching at least this many query terms (one contrib row
     *               per matched term ⇒ a HAVING count, the relational mirror
     *               of the kernel's admission count).
+    * @param extraCtes additional CTE text appended after the shared CTEs
+    *               (e.g. the positional ppos family for a phrase filter).
+    * @param filterConvSql arbitrary doc-values filter: a SELECT yielding the
+    *               admissible conv_ids (the SQL mirror of any
+    *               bm25TopKFiltered filter frame). Composes with filterT0.
     */
   def bm25OracleSql(terms: Seq[String], k: Int, conjunctive: Boolean,
       mustNot: Seq[String] = Nil, offset: Int = 0,
       turnsCte: String = TurnsCte,
       filterT0: Option[(Long, Long)] = None,
-      minMatch: Int = 1): String = {
+      minMatch: Int = 1,
+      extraCtes: String = "",
+      filterConvSql: Option[String] = None): String = {
     val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
     val having =
       if (conjunctive) s" HAVING count(*) = ${terms.length}"
@@ -80,13 +87,14 @@ object Harness {
       if (mustNot.isEmpty) None else Some(mustNot.map(t => s"'$t'").mkString(
         "conv_id NOT IN (SELECT DISTINCT conv_id FROM tf WHERE term IN (", ", ", "))")),
       filterT0.map { case (fLo, fHi) =>
-        s"conv_id IN (SELECT conv_id FROM convt0f WHERE t0 BETWEEN $fLo AND $fHi)" }
+        s"conv_id IN (SELECT conv_id FROM convt0f WHERE t0 BETWEEN $fLo AND $fHi)" },
+      filterConvSql.map(sql => s"conv_id IN ($sql)")
     ).flatten
     val whereCl = if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")
     val filterCte = if (filterT0.isEmpty) "" else
       ", convt0f AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, min(doc_id) AS t0 FROM documents GROUP BY 1)"
     val off = if (offset > 0) s" OFFSET $offset" else ""
-    turnsCte + TfCtes + filterCte +
+    turnsCte + TfCtes + extraCtes + filterCte +
       s", q(term, tidx) AS (VALUES $vals)" +
       ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
       ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
@@ -158,6 +166,29 @@ object Harness {
       "FROM win w JOIN convt0 c ON w.conv_id = c.conv_id)" +
       s", top AS (SELECT conv_id, s FROM resc ORDER BY s DESC, conv_id ASC LIMIT $k)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
+  /** Range-facet oracle: docs matching the term, bucketed by which
+    * [from, to) interval of `bounds` the conv's min doc_id (= its min-ts
+    * seconds offset) falls in — ES range-agg labeling ("from-to", "*" at
+    * the open ends), empty buckets omitted.
+    */
+  def rangeFacetOracleSql(term: String, bounds: Seq[Double]): String = {
+    def lbl(d: Double) =
+      if (d == math.rint(d)) d.toLong.toString else d.toString
+    val edges: Seq[Option[Double]] = (None +: bounds.map(Option(_))) :+ None
+    val cases = edges.sliding(2).map {
+      case Seq(lo, hi) =>
+        val name = s"${lo.fold("*")(lbl)}-${hi.fold("*")(lbl)}"
+        val conds = lo.map(l => s"t0 >= $l").toSeq ++ hi.map(h => s"t0 < $h")
+        s"WHEN ${conds.mkString(" AND ")} THEN '$name'"
+    }.mkString(" ")
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", convt0 AS (SELECT conv_id, CAST(min(doc_id) AS DOUBLE) AS t0 FROM t2 GROUP BY 1)" +
+      s" SELECT CASE $cases END AS bucket, CAST(count(*) AS BIGINT) AS hits" +
+      " FROM hits h JOIN convt0 c ON h.conv_id = c.conv_id GROUP BY 1 ORDER BY 1"
   }
 
   /** Significant-terms oracle: the SQL recomputation of

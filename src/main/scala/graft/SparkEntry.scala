@@ -122,6 +122,25 @@ object SparkEntry {
       reader(s, dir).significantTerms("dup", 10)
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("term").asc)),
+    // phrase-filtered BM25 (the ES match_phrase-inside-bool shape): the
+    // positional index answers the phrase, its conv set rides bm25TopKFiltered
+    // as the include cursor — ranked top-k restricted to exact-phrase docs,
+    // a pure composition of two independently-gated surfaces
+    "q_bm25_phrase_filtered" -> ((s, dir) => {
+      val r = new killa.query.IndexReader(s, posRoot(s, dir), conf)
+      present(r.bm25TopKFiltered(Seq("query", "filter", "join"), 10,
+        r.phrase(Seq("batch", "agg"))))
+    }),
+    // numeric range facet (the ES range aggregation): docs matching the term
+    // bucketed by [from, to) intervals of their conv min-ts offset — index
+    // for the match set, doc values for the number, ES bucket labeling
+    "q_range_facet" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id")
+        .agg((min(unix_timestamp(col("ts"))) -
+          unix_timestamp(lit("2024-01-01 00:00:00"))).as("t0"))
+      reader(s, dir).rangeFacet("spark", meta, "conv_id", "t0", Seq(125.0, 350.0))
+        .orderBy("bucket")
+    }),
     // scored export, conjunctive + boolean-NOT form: the export path's other
     // two branches under the oracle gate (they were spec-only in r4)
     "q_bm25_export_conj_not" -> ((s, dir) =>
@@ -536,6 +555,14 @@ object SparkEntry {
       " SELECT DISTINCT conv_id FROM tok2" +
       " WHERE term IN ('window', 'big', 'qqq_absent_term_zzz') ORDER BY conv_id"),
     "q_significant_terms" -> significantTermsOracleSql("dup", 10),
+    // phrase filter = the ppos consecutive-position join feeding the same
+    // conv_id IN (...) predicate the engine's include cursor enforces
+    "q_bm25_phrase_filtered" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
+      conjunctive = false, extraCtes = PposCte,
+      filterConvSql = Some("SELECT DISTINCT a.conv_id FROM ppos a" +
+        " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +
+        " WHERE a.term = 'batch' AND b.term = 'agg'")),
+    "q_range_facet" -> rangeFacetOracleSql("spark", Seq(125.0, 350.0)),
     "q_membership_fuzzy" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE levenshtein(term, 'spark') <= 1" +
       " ORDER BY conv_id"),

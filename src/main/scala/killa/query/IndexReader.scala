@@ -329,6 +329,42 @@ final class IndexReader(
       .groupBy(date_format(date_trunc(unit, col("__ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"))
       .agg(count(lit(1)).as("hits"))
 
+  /** Numeric range facet (the Elasticsearch `range` aggregation): matching
+    * documents of `term` bucketed by which [from, to) interval of `bounds`
+    * their doc-values number falls in — ES convention: from inclusive, to
+    * exclusive, buckets labeled "from-to" with "*" at the open ends, docs
+    * below the first bound in the leading "*-b0" bucket. Same split as
+    * [[dateHistogram]]: the index answers the match set, the caller's
+    * doc-values frame carries the number; pruned membership scan → equi-join
+    * → one map-side-combinable groupBy. Empty buckets are omitted (a count
+    * facet, not a gauge row set).
+    *
+    * @param bounds ascending bucket boundaries (at least one).
+    * @return (bucket: string, hits: long) rows.
+    */
+  def rangeFacet(term: String, meta: DataFrame, convCol: String,
+      valCol: String, bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted, "bounds must be ascending")
+    val v = col("__v")
+    val edges = (Double.NegativeInfinity +: bounds) :+ Double.PositiveInfinity
+    def lbl(d: Double) =
+      if (d.isInfinite) "*"
+      else if (d == math.rint(d)) d.toLong.toString
+      else d.toString
+    val bucket = edges.sliding(2).foldLeft(lit(null).cast("string")) {
+      case (acc, Seq(lo, hi)) =>
+        val name = s"${lbl(lo)}-${lbl(hi)}"
+        val cond = (if (lo.isInfinite) lit(true) else v >= lit(lo)) &&
+          (if (hi.isInfinite) lit(true) else v < lit(hi))
+        when(acc.isNull && cond, lit(name)).otherwise(acc)
+    }
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"), col(valCol).cast("double").as("__v")),
+        "conv_id")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("hits"))
+  }
+
   /** Significant terms (the Elasticsearch `significant_terms` aggregation):
     * the terms most characteristic of the documents matching `term`, scored
     * by JLH — (fgRate − bgRate) · (fgRate / bgRate), where fgRate is a

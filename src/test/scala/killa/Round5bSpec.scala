@@ -197,6 +197,61 @@ class Round5bSpec extends AnyFunSuite {
     assert(!got.exists(t => Set("base", "filler", "words", "common")(t._1)))
   }
 
+  // ---- phrase-filtered BM25 + numeric range facet ----
+
+  test("phrase-as-filter composition: ranked top-k restricted to phrase docs") {
+    import org.apache.spark.sql.expressions.Window
+    val rootP = TestSpark.freshDir("r5b-pf")
+    new IndexWriter(spark, rootP, conf).fullBuild(turns, "b0")
+    new IndexWriter(spark, rootP, conf).buildPositions(turns, "pos0")
+    val rd = new IndexReader(spark, rootP, conf)
+    // a real corpus bigram matching SOME but not ALL convs, so the filter
+    // provably bites (EndToEndSpec's derive-the-bigram pattern)
+    val nConvs = turns.select("conv_id").distinct().count()
+    val ppos = turns.select(col("conv_id"), col("turn_idx"),
+        posexplode(Tokenize.termsCol(col("text"))).as(Seq("tp", "term")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("conv_id").orderBy("turn_idx", "tp")).cast("long") - 1L)
+    val big = ppos.as("a").join(ppos.as("b"),
+        col("a.conv_id") === col("b.conv_id") && col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(countDistinct(col("a.conv_id")).as("nc"))
+      .where(col("nc") < nConvs && col("nc") >= 5)
+      .orderBy(col("nc").desc, col("t1").asc, col("t2").asc).limit(1).collect()(0)
+    val (t1, t2) = (big.getString(0), big.getString(1))
+    val phraseConvs = rd.phrase(Seq(t1, t2))
+    val keep = phraseConvs.collect().map(_.getString(0)).toSet
+    assert(keep.nonEmpty && keep.size < nConvs, s"fixture vacuous: [$t1 $t2]")
+    val terms = Seq("query", "filter", "join")
+    val exp = hits(BruteForce.bm25(turns, terms, 100000, conf = conf))
+      .filter { case (c, _) => keep(c) }.take(10)
+    val got = hits(rd.bm25TopKFiltered(terms, 10, phraseConvs))
+    assert(exp.nonEmpty, "vacuous fixture — no phrase doc matches the terms")
+    assert(approxEq(got, exp))
+  }
+
+  test("rangeFacet: ES [from, to) buckets, open ends, boundary inclusive below") {
+    // doc-values: conv index as the number; bounds chosen so one conv sits
+    // EXACTLY on a bound (must land in the upper bucket — from-inclusive)
+    val meta = turns.select("conv_id").distinct()
+      .withColumn("v", expr("CAST(substring(conv_id, 5) AS DOUBLE)"))
+    val got = reader.rangeFacet("spark", meta, "conv_id", "v", Seq(10.0, 30.0))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // relational recomputation
+    val matchSet = BruteForce.membership(turns, "spark")
+      .collect().map(_.getString(0)).toSet
+    def v(c: String) = c.drop(4).toDouble
+    val exp = matchSet.groupBy { c =>
+      if (v(c) < 10.0) "*-10" else if (v(c) < 30.0) "10-30" else "30-*"
+    }.map { case (b, cs) => (b, cs.size.toLong) }
+    assert(got == exp, s"got $got exp $exp")
+    assert(got.size == 3, "fixture too small to fill all three buckets")
+    // from-inclusive boundary: the conv sitting exactly on a bound must be
+    // in the upper bucket — pinned by the relational oracle's < / >= split
+    assert(matchSet.exists(c => v(c) == 10.0 || v(c) == 30.0),
+      "no conv on a bound — boundary case unexercised")
+  }
+
   test("significantTerms edge cases: absent probe, empty input") {
     assert(reader.significantTerms("qq_absent_zz", 5).collect().isEmpty)
     assert(reader.significantTerms("", 5).collect().isEmpty)
