@@ -69,6 +69,11 @@ object Harness {
     * @param filterConvSql arbitrary doc-values filter: a SELECT yielding the
     *               admissible conv_ids (the SQL mirror of any
     *               bm25TopKFiltered filter frame). Composes with filterT0.
+    * @param boosts per-term boosts: each contrib multiplies by the term's
+    *               boost in the SAME left-associative position the engine
+    *               folds it ((idf·2.2)·boost)·tf/denom — bit-identical
+    *               doubles. Empty map leaves the SQL byte-identical to the
+    *               unboosted form.
     */
   def bm25OracleSql(terms: Seq[String], k: Int, conjunctive: Boolean,
       mustNot: Seq[String] = Nil, offset: Int = 0,
@@ -76,8 +81,13 @@ object Harness {
       filterT0: Option[(Long, Long)] = None,
       minMatch: Int = 1,
       extraCtes: String = "",
-      filterConvSql: Option[String] = None): String = {
-    val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+      filterConvSql: Option[String] = None,
+      boosts: Map[String, Double] = Map.empty): String = {
+    val hasBoost = boosts.nonEmpty
+    val vals = terms.zipWithIndex.map { case (t, i) =>
+      if (hasBoost) s"('$t', $i, CAST(${boosts.getOrElse(t, 1.0)} AS DOUBLE))"
+      else s"('$t', $i)"
+    }.mkString(", ")
     val having =
       if (conjunctive) s" HAVING count(*) = ${terms.length}"
       else if (minMatch > 1) s" HAVING count(*) >= $minMatch"
@@ -95,10 +105,12 @@ object Harness {
       ", convt0f AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, min(doc_id) AS t0 FROM documents GROUP BY 1)"
     val off = if (offset > 0) s" OFFSET $offset" else ""
     turnsCte + TfCtes + extraCtes + filterCte +
-      s", q(term, tidx) AS (VALUES $vals)" +
-      ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
+      s", q(term, tidx${if (hasBoost) ", boost" else ""}) AS (VALUES $vals)" +
+      s", qdf AS (SELECT q.term, q.tidx${if (hasBoost) ", q.boost" else ""}, " +
+      s"count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2${if (hasBoost) ", 3" else ""})" +
       ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
-      "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
+      "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * " +
+      s"${if (hasBoost) "qdf.boost * " else ""}tf.tf " +
       "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
       "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
       s", scored AS (SELECT conv_id, sum(c) AS s FROM contrib$whereCl GROUP BY conv_id$having)" +

@@ -97,6 +97,13 @@ object SparkEntry {
     "q_bm25_msm" -> ((s, dir) =>
       present(reader(s, dir).bm25TopK(Seq("window", "big", "dup"), 10,
         minShouldMatch = 2))),
+    // query-time per-term boosts (the ES term^boost syntax): boosts fold
+    // into the premultiplied weights, so block-max bounds scale with their
+    // term and WAND pruning stays exact — ranking shifts toward 'filter'
+    // hits and away from 'join' hits vs the unboosted q_bm25_multi
+    "q_bm25_boosted" -> ((s, dir) =>
+      present(reader(s, dir).bm25TopK(Seq("query", "filter", "join"), 10,
+        boosts = Map("filter" -> 2.0, "join" -> 0.5)))),
     // the full ES bool shape in ONE query: must (conjunctive terms) + filter
     // (doc-values include cursor) + must_not (exclusion cursor) — all three
     // admission-time inside one kernel pass, pruning exact throughout
@@ -545,6 +552,9 @@ object SparkEntry {
     // export = same exact order, no top-k cut; conjunctive + NOT branches
     "q_bm25_export_conj_not" -> bm25OracleSql(Seq("query", "filter"), 1000000,
       conjunctive = true, mustNot = Seq("batch")),
+    // per-term boosts multiply each contrib in the engine's exact fold spot
+    "q_bm25_boosted" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
+      conjunctive = false, boosts = Map("filter" -> 2.0, "join" -> 0.5)),
     // minimum_should_match = a HAVING count over the per-term contrib rows
     "q_bm25_msm" -> bm25OracleSql(Seq("window", "big", "dup"), 10,
       conjunctive = false, minMatch = 2),

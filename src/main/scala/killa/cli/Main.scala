@@ -159,7 +159,7 @@ object Main {
     // NoSuchElementException stack traces (ADVICE r3)
     val minArity = Map("build" -> 1, "posbuild" -> 1, "unsub" -> 1, "sub" -> 2, "ren" -> 2,
       "slop" -> 2, "mlt" -> 1, "qat" -> 2, "page" -> 4, "suggest" -> 1,
-      "qr" -> 1)
+      "qr" -> 1, "qany" -> 1, "sig" -> 1)
     minArity.get(verb).filter(rest.length < _).foreach { n =>
       throw new IllegalArgumentException(s"$verb requires at least $n argument(s)")
     }
@@ -210,12 +210,41 @@ object Main {
         session.searchFuzzy(rest.headOption.orNull, d)
           .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
       case "bm25" =>
-        // bm25 <k> <term>... [NOT <term>...] — terms after a literal NOT
-        // are boolean exclusions
+        // bm25 <k> <term[^boost]>... [MIN <m>] [NOT <term>...] — `^boost`
+        // suffixes are ES-style per-term boosts, `MIN m` is
+        // minimum_should_match, terms after a literal NOT are exclusions
         val k = rest.head.toInt
-        val (pos, neg) = rest.drop(1).toSeq.span(_ != "NOT")
-        session.topK(pos, k, mustNot = neg.drop(1)).collect()
+        val pos = List.newBuilder[String]
+        val neg = List.newBuilder[String]
+        val boosts = scala.collection.mutable.Map.empty[String, Double]
+        var minM = 1
+        var inNot = false
+        var i = 1
+        while (i < rest.length) {
+          rest(i) match {
+            case "NOT" => inNot = true
+            case "MIN" if i + 1 < rest.length => minM = rest(i + 1).toInt; i += 1
+            case t if inNot => neg += t
+            case t =>
+              val caret = t.lastIndexOf('^')
+              if (caret > 0) {
+                pos += t.take(caret)
+                boosts(t.take(caret)) = t.drop(caret + 1).toDouble
+              } else pos += t
+          }
+          i += 1
+        }
+        session.topK(pos.result(), k, mustNot = neg.result(),
+            minShouldMatch = minM, boosts = boosts.toMap).collect()
           .foreach(r => println(s"${r.getString(0)}\t${r.getDouble(1)}"))
+      case "qany" => // qany <term>...: OR membership (terms query / synonyms)
+        session.reader.membershipAny(rest.toSeq).orderBy("conv_id").collect()
+          .foreach(r => println(r.getString(0)))
+      case "sig" => // sig <term> [n]: significant terms of the match set (JLH)
+        val n = rest.lift(1).map(_.toInt).getOrElse(10)
+        session.reader.significantTerms(rest.head, n).collect()
+          .foreach(r => println(
+            s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getDouble(3)}"))
       case "snip" => // snip <parquet> <term> [width]: render hit contexts
         val width = rest.lift(2).map(_.toInt).getOrElse(3)
         val term = rest(1)

@@ -22,7 +22,8 @@ object BruteForce {
       conjunctive: Boolean = false,
       conf: Conf = Conf.default,
       mustNot: Seq[String] = Nil,
-      minShouldMatch: Int = 1): DataFrame = {
+      minShouldMatch: Int = 1,
+      boosts: Map[String, Double] = Map.empty): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
@@ -43,7 +44,7 @@ object BruteForce {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val q = terms.zipWithIndex.map { case (t, i) =>
-      (t, i, Bm25.weight(nDocs, dfMap.getOrElse(t, 0L), conf.k1))
+      (t, i, Bm25.weight(nDocs, dfMap.getOrElse(t, 0L), conf.k1) * boosts.getOrElse(t, 1.0))
     }.toDF("term", "tidx", "w")
 
     val contrib = tf.join(dl, "conv_id").join(broadcast(q), "term")

@@ -570,9 +570,18 @@ final class IndexReader(
     *                live). ES semantics at the edges: m ≤ 1 is the plain
     *                disjunction, m > |terms| matches nothing, conjunctive
     *                mode ignores it (every term is already required).
+    * @param boosts  query-time per-term boosts (the ES `term^boost` syntax):
+    *                each listed term's contribution multiplies by its boost;
+    *                absent terms keep 1.0. Boosts fold into the premultiplied
+    *                term weight, so every block-max bound scales with its
+    *                term and WAND pruning stays exact — which is also why
+    *                boosts must be > 0 (a non-positive boost would break the
+    *                bound's admissibility; ES makes the same restriction).
     */
   def bm25TopK(termsIn: Seq[String], k: Int, conjunctive: Boolean = false,
-      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1): DataFrame = {
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1,
+      boosts: Map[String, Double] = Map.empty): DataFrame = {
+    require(boosts.values.forall(_ > 0.0), "boosts must be > 0")
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
     // a term both required and excluded stays excluded (t AND NOT t = ∅ in
     // conjunctive mode; disjunctive docs holding it drop) — plain boolean
@@ -581,7 +590,8 @@ final class IndexReader(
     if (!conjunctive && minShouldMatch > terms.length) return emptyHits
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
-    hitsDf(topKRowsImpl(terms, ex, k, conjunctive, m, minMatch = minShouldMatch))
+    hitsDf(topKRowsImpl(terms, ex, k, conjunctive, m, minMatch = minShouldMatch,
+      boosts = boosts))
   }
 
   /** Serving-shaped top-k: the same exact BM25 result as [[bm25TopK]] (rank
@@ -591,14 +601,17 @@ final class IndexReader(
     * label fetch) — listener-asserted in ServeSpec.
     */
   def bm25TopKRows(termsIn: Seq[String], k: Int, conjunctive: Boolean = false,
-      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1): Array[(String, Double)] = {
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1,
+      boosts: Map[String, Double] = Map.empty): Array[(String, Double)] = {
+    require(boosts.values.forall(_ > 0.0), "boosts must be > 0")
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
     val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
     if (terms.isEmpty || k <= 0 || manifest.isEmpty) return Array.empty
     if (!conjunctive && minShouldMatch > terms.length) return Array.empty
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return Array.empty
-    topKRowsImpl(terms, ex, k, conjunctive, m, minMatch = minShouldMatch)
+    topKRowsImpl(terms, ex, k, conjunctive, m, minMatch = minShouldMatch,
+      boosts = boosts)
   }
 
   /** Deep pagination — the Lucene `searchAfter` analog: the exact top-k of
@@ -679,7 +692,9 @@ final class IndexReader(
     */
   def bm25TopKFiltered(termsIn: Seq[String], k: Int, filterConvs: DataFrame,
       conjunctive: Boolean = false, mustNot: Seq[String] = Nil,
-      minShouldMatch: Int = 1): DataFrame = {
+      minShouldMatch: Int = 1,
+      boosts: Map[String, Double] = Map.empty): DataFrame = {
+    require(boosts.values.forall(_ > 0.0), "boosts must be > 0")
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
     val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
     if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
@@ -687,7 +702,8 @@ final class IndexReader(
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
     hitsDf(topKRowsImpl(terms, ex, k, conjunctive, m,
-      include = Some(filterBlocks(filterConvs)), minMatch = minShouldMatch))
+      include = Some(filterBlocks(filterConvs)), minMatch = minShouldMatch,
+      boosts = boosts))
   }
 
   /** Encode a conv_id filter set into sorted, non-overlapping docId blocks —
@@ -726,7 +742,9 @@ final class IndexReader(
     * @return (conv_id, score) rows, unordered (exports sort downstream).
     */
   def bm25ScoredAll(termsIn: Seq[String], conjunctive: Boolean = false,
-      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1): DataFrame = {
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1,
+      boosts: Map[String, Double] = Map.empty): DataFrame = {
+    require(boosts.values.forall(_ > 0.0), "boosts must be > 0")
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
     val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
     if (terms.isEmpty || manifest.isEmpty) return emptyHits
@@ -735,9 +753,10 @@ final class IndexReader(
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
     val k1 = conf.k1; val b = conf.b; val avgdl = m.avgdl; val n = m.numDocs
     val nTerms = terms.length
+    val boostMap = boosts // stable reference for the closure
     val contribs = terms.map(postingBlocks).reduce(_ union _)
       .flatMap { blk =>
-        val w = Bm25.weight(n, blk.df, k1)
+        val w = Bm25.weight(n, blk.df, k1) * boostMap.getOrElse(blk.term, 1.0)
         val docs = Delta.decode(blk.docsBin, blk.n)
         val tfs = Varint.decode(blk.tfsBin, blk.n)
         val dls = Varint.decode(blk.dlsBin, blk.n)
@@ -894,10 +913,12 @@ final class IndexReader(
       conjunctive: Boolean, m: Manifest,
       after: Option[(Double, Long)] = None,
       include: Option[Dataset[PostingBlock]] = None,
-      minMatch: Int = 1): Array[(String, Double)] =
-    localTopK(terms, ex, k, conjunctive, m, after, include, minMatch)
+      minMatch: Int = 1,
+      boosts: Map[String, Double] = Map.empty): Array[(String, Double)] =
+    localTopK(terms, ex, k, conjunctive, m, after, include, minMatch, boosts)
       .getOrElse(finishRows(
-        scoredCandidates(terms, ex, k, conjunctive, m, after, include, minMatch), k))
+        scoredCandidates(terms, ex, k, conjunctive, m, after, include, minMatch,
+          boosts), k))
 
   private def hitsDf(rows: Array[(String, Double)]): DataFrame =
     if (rows.isEmpty) emptyHits else rows.toSeq.toDF("conv_id", "score")
@@ -940,7 +961,8 @@ final class IndexReader(
       terms: Seq[String], mustNot: Seq[String], k: Int, conjunctive: Boolean,
       m: Manifest, after: Option[(Double, Long)] = None,
       include: Option[Dataset[PostingBlock]] = None,
-      minMatch: Int = 1): Option[Array[(String, Double)]] = {
+      minMatch: Int = 1,
+      boosts: Map[String, Double] = Map.empty): Option[Array[(String, Double)]] = {
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     val cap = conf.localQueryBlocks
     if (cap <= 0) return None
@@ -994,8 +1016,11 @@ final class IndexReader(
     val blocks = cachedArr
     val termBlocks = blocks.take(terms.length)
     val exBlocks = blocks.drop(terms.length)
-    val weights = termBlocks.map(bs =>
-      if (bs.isEmpty) 0.0 else Bm25.weight(m.numDocs, bs(0).df, conf.k1))
+    // boosts fold into the premultiplied weight — every bound scales with it
+    val weights = termBlocks.zipWithIndex.map { case (bs, i) =>
+      if (bs.isEmpty) 0.0
+      else Bm25.weight(m.numDocs, bs(0).df, conf.k1) * boosts.getOrElse(terms(i), 1.0)
+    }
     // mid-size queries: the SAME docId-range decomposition as the
     // distributed kernel, on driver threads — identical results (per-range
     // DAAT + global tie-broken merge), none of the fan-out's shuffle/stage
@@ -1043,7 +1068,8 @@ final class IndexReader(
       terms: Seq[String], mustNot: Seq[String], k: Int, conjunctive: Boolean,
       m: Manifest, after: Option[(Double, Long)] = None,
       include: Option[Dataset[PostingBlock]] = None,
-      minMatch: Int = 1): DataFrame = {
+      minMatch: Int = 1,
+      boosts: Map[String, Double] = Map.empty): DataFrame = {
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     // exclusion terms tag on after the query terms, and the (optional)
     // doc-values filter's encoded blocks after those; all replicate to
@@ -1067,6 +1093,7 @@ final class IndexReader(
     val stride = math.max(1L, (m.maxDocId + 2) / nRanges + 1)
     val nTerms = terms.length
     val nAll = all.length
+    val boostArr = terms.map(t => boosts.getOrElse(t, 1.0)).toArray
     val scored = allBlocks
       .flatMap { case (ti, blk) =>
         val r0 = blk.firstDoc / stride
@@ -1087,7 +1114,11 @@ final class IndexReader(
         // term and stored in every block) — saves a whole driver round-trip;
         // a term with no blocks in this range contributes nothing here, and
         // in conjunctive mode correctly empties the range's intersection.
-        val weights = termBlocks.map(bs => if (bs.isEmpty) 0.0 else Bm25.weight(n, bs(0).df, k1))
+        // boostArr ships in the closure indexed by slot — same fold order as
+        // the driver-local path, so scores stay bit-identical across paths.
+        val weights = termBlocks.zipWithIndex.map { case (bs, i) =>
+          if (bs.isEmpty) 0.0 else Bm25.weight(n, bs(0).df, k1) * boostArr(i)
+        }
         val lo = rangeId * stride - 1 // (lo, hi] convention
         val hi = rangeId * stride + stride - 1
         Daat.scoreRange(termBlocks, weights, lo, hi, k, conjunctive, k1, b, avgdl,

@@ -33,8 +33,9 @@ final class QuerySession(spark: SparkSession, root: String, conf: Conf = Conf.de
   def delayedSearch(term: String): DataFrame = { refresh(); search(term) }
 
   def topK(terms: Seq[String], k: Int, conjunctive: Boolean = false,
-      mustNot: Seq[String] = Nil): DataFrame =
-    readerV.bm25TopK(terms, k, conjunctive, mustNot)
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1,
+      boosts: Map[String, Double] = Map.empty): DataFrame =
+    readerV.bm25TopK(terms, k, conjunctive, mustNot, minShouldMatch, boosts)
 
   def contains(term: String): Boolean = readerV.contains(term)
 

@@ -109,6 +109,37 @@ class Round5bSpec extends AnyFunSuite {
     assert(reader.bm25ScoredAll(terms, minShouldMatch = 4).collect().isEmpty)
   }
 
+  test("per-term boosts: ES term^boost semantics, exact on all three paths") {
+    val terms = Seq("query", "filter", "join")
+    val boosts = Map("filter" -> 2.5, "join" -> 0.5)
+    val exp = hits(BruteForce.bm25(turns, terms, 10, conf = conf, boosts = boosts))
+    val unboosted = reader.bm25TopKRows(terms, 10).toSeq
+    assert(exp.nonEmpty && exp != unboosted, "boosts did not bite — fixture vacuous")
+    val rLocal = new IndexReader(spark, root, conf)
+    val rPool = new IndexReader(spark, root, conf.copy(localParBlocks = 0))
+    val rDist = new IndexReader(spark, root, conf.copy(localQueryBlocks = 0))
+    for ((r, tag) <- Seq((rLocal, "local"), (rPool, "pool"), (rDist, "dist")))
+      assert(approxEq(r.bm25TopKRows(terms, 10, boosts = boosts).toSeq, exp), tag)
+    // all-1.0 boosts are the identity
+    assert(approxEq(
+      reader.bm25TopKRows(terms, 10, boosts = terms.map(_ -> 1.0).toMap).toSeq,
+      unboosted))
+    // composes with minimum_should_match and NOT
+    val exp2 = hits(BruteForce.bm25(turns, terms, 10, conf = conf,
+      mustNot = Seq("spark"), minShouldMatch = 2, boosts = boosts))
+    assert(exp2.nonEmpty)
+    assert(approxEq(reader.bm25TopKRows(terms, 10, mustNot = Seq("spark"),
+      minShouldMatch = 2, boosts = boosts).toSeq, exp2))
+    // scored export carries the same boosted scores
+    val expAll = hits(BruteForce.bm25(turns, terms, 1000000, conf = conf, boosts = boosts))
+    val gotAll = hits(reader.bm25ScoredAll(terms, boosts = boosts)
+      .orderBy(col("score").desc, col("conv_id").asc))
+    assert(approxEq(gotAll, expAll))
+    // non-positive boosts would break block-max admissibility — rejected
+    intercept[IllegalArgumentException](
+      reader.bm25TopK(terms, 10, boosts = Map("query" -> 0.0)))
+  }
+
   // ---- multi-term OR membership (terms query / synonym sets) ----
 
   test("membershipAny = union of the per-term membership sets") {
@@ -250,6 +281,27 @@ class Round5bSpec extends AnyFunSuite {
     // in the upper bucket — pinned by the relational oracle's < / >= split
     assert(matchSet.exists(c => v(c) == 10.0 || v(c) == 30.0),
       "no conv on a bound — boundary case unexercised")
+  }
+
+  test("CLI: bm25 ^boost/MIN/NOT grammar, qany and sig verbs") {
+    def capture(verb: String, args: Array[String]): Seq[String] = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        killa.cli.Main.run(spark, root, verb, args)
+      }
+      out.toString.split("\n").toSeq.filter(_.nonEmpty)
+    }
+    val exp = reader.bm25TopKRows(Seq("query", "filter", "join"), 5,
+        mustNot = Seq("spark"), minShouldMatch = 2, boosts = Map("filter" -> 2.5))
+      .toSeq.map { case (c, s) => s"$c\t$s" }
+    assert(exp.nonEmpty, "vacuous fixture")
+    assert(capture("bm25",
+      Array("5", "query", "filter^2.5", "join", "MIN", "2", "NOT", "spark")) == exp)
+    val expAny = reader.membershipAny(Seq("spark", "merge")).orderBy("conv_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(capture("qany", Array("spark", "merge")) == expAny)
+    val sig = capture("sig", Array("spark", "3"))
+    assert(sig.nonEmpty && sig.forall(_.split("\t").length == 4))
   }
 
   test("significantTerms edge cases: absent probe, empty input") {
