@@ -378,19 +378,21 @@ object Bench {
     val ratio = cpusHi.toDouble / cpusLo
     def effB = (hi.buildThroughput / lo.buildThroughput) / ratio
     def effQ = (hi.qps / lo.qps) / ratio
-    // weather-gated retry, once per level: a dirty hi level can only deflate
-    // both ratios (and the headline throughput), a dirty lo level can only
-    // inflate them — retry whichever level is dirty when any bar is missed.
-    // Clean-weather misses stand as measured.
+    // weather-gated retry, once per level, by ENVIRONMENT ONLY: ANY dirty
+    // level retries regardless of whether the bars passed. Conditioning the
+    // retry on a missed bar would be asymmetric — a dirty lo level INFLATES
+    // both ratios, so retrying dirty runs only when a bar is missed would
+    // keep inflated passes and reroll deflated misses, biasing the gated
+    // metrics upward. Clean-weather numbers stand as measured, pass or miss.
     val attempt1 = Map(
       "attempt1_scaling_efficiency_build" -> effB,
       "attempt1_scaling_efficiency_query_throughput" -> effQ,
       s"attempt1_build_turns_per_sec_local$cpusHi" -> hi.buildThroughput)
     var hiRetried = false; var loRetried = false
-    if ((effB < 0.8 || effQ < 0.8 || hi.buildThroughput < 240000) && hiW.dirty) {
+    if (hiW.dirty) {
       val r = level(cpusHi); hi = r._1; hiW = r._2; hiRetried = true
     }
-    if ((effB < 0.8 || effQ < 0.8) && loW.dirty) {
+    if (loW.dirty) {
       val r = level(cpusLo); lo = r._1; loW = r._2; loRetried = true
     }
     val effBuild = effB
@@ -402,7 +404,7 @@ object Bench {
     }
     val attempt1Repl = effRepl
     var replRetried = false
-    if (effRepl < 0.8 && replW.dirty) {
+    if (replW.dirty) {
       val r = weathered(quietWait) {
         replicationEfficiency(hi.lastRoot, nConvs, probeSecs, probeSamples)
       }

@@ -226,6 +226,64 @@ object Harness {
       " SELECT term, fg_df, bg_df, round(sc, 4) AS score FROM top" +
       " ORDER BY score DESC, term ASC"
 
+  /** Sort-by-doc-value search oracle: the match set ordered by conv min
+    * doc_id (= its min-ts seconds offset under the deterministic ts
+    * derivation), ties on conv_id — the SQL mirror of
+    * IndexReader.searchSorted.
+    */
+  def searchSortedOracleSql(term: String, k: Int, ascending: Boolean): String = {
+    val dir = if (ascending) "ASC" else "DESC"
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", convt0 AS (SELECT conv_id, CAST(min(doc_id) AS DOUBLE) AS t0 FROM t2 GROUP BY 1)" +
+      s", top AS (SELECT h.conv_id, c.t0 AS sort_val FROM hits h JOIN convt0 c ON h.conv_id = c.conv_id" +
+      s" ORDER BY c.t0 $dir, h.conv_id ASC LIMIT $k)" +
+      s" SELECT conv_id, sort_val FROM top ORDER BY sort_val $dir, conv_id ASC"
+  }
+
+  /** Field-collapsing oracle (top-1 per group of the exact scored set) —
+    * group = deterministic conv bucket 'g' + (conv ordinal mod nGroups),
+    * derivable identically on both engines from conv_id alone.
+    */
+  def collapseOracleSql(terms: Seq[String], nGroups: Int): String = {
+    val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    TurnsCte + TfCtes +
+      s", q(term, tidx) AS (VALUES $vals)" +
+      ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
+      ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
+      "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
+      "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+      "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)" +
+      s", grps AS (SELECT conv_id, 'g' || CAST(CAST(substr(conv_id, 2) AS INT) % $nGroups AS VARCHAR) AS grp FROM (SELECT DISTINCT conv_id FROM turns))" +
+      ", ranked AS (SELECT g.grp, s.conv_id, s.s, row_number() OVER (PARTITION BY g.grp ORDER BY s.s DESC, s.conv_id ASC) AS rn " +
+      "FROM scored s JOIN grps g ON s.conv_id = g.conv_id)" +
+      " SELECT grp, conv_id, round(s, 4) AS score FROM ranked WHERE rn = 1 ORDER BY grp ASC"
+  }
+
+  /** Synonym-group BM25 oracle: group tf = Σ member tfs per conv, group df =
+    * distinct convs holding any member — then the standard BM25 contrib in
+    * the engine's exact operation order (IEEE-pinned), top-k. The SQL
+    * recomputation of IndexReader.bm25SynonymsTopK.
+    */
+  def synonymsOracleSql(groups: Seq[Seq[String]], k: Int): String = {
+    val vals = groups.zipWithIndex.flatMap { case (g, gi) =>
+      g.map(t => s"('$t', $gi)")
+    }.mkString(", ")
+    TurnsCte + TfCtes +
+      s", gq(term, g) AS (VALUES $vals)" +
+      ", gtf AS (SELECT tf.conv_id, gq.g, sum(tf.tf) AS tf FROM tf JOIN gq ON tf.term = gq.term GROUP BY 1, 2)" +
+      ", gdf AS (SELECT g, count(*) AS df FROM gtf GROUP BY 1)" +
+      ", contrib AS (SELECT gtf.conv_id, " +
+      "ln(1.0 + ((SELECT n FROM stats) - gdf.df + 0.5) / (gdf.df + 0.5)) * (1.2 + 1.0) * gtf.tf " +
+      "/ (gtf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+      "FROM gtf JOIN gdf ON gtf.g = gdf.g JOIN dl ON gtf.conv_id = dl.conv_id)" +
+      ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)" +
+      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
   /** The per-role scored-CTE family with suffixed names, so two corpora can
     * coexist in one oracle query (multi-field BM25).
     */
@@ -413,6 +471,19 @@ object Harness {
         case (g, vs) => maint.remove(vs.map(_._1), s"d$g")
       }
       maint.compact("final")
+      root
+    })
+
+  /** Full index, then delete_by_query("spark"): every conv containing the
+    * term leaves the index via the distributed match-set removal — searches
+    * for any other term must match the spark-free corpus oracle exactly.
+    */
+  def dbqRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#dbq", {
+      val root = freshRoot(sfDir, "dbq")
+      new IndexWriter(spark, root, conf).fullBuild(transcripts(spark, sfDir), "b0")
+      new killa.maintain.IndexMaintainer(spark, root, conf)
+        .deleteByQuery(Seq("spark"), "d1")
       root
     })
 

@@ -153,6 +153,38 @@ object SparkEntry {
     "q_bm25_export_conj_not" -> ((s, dir) =>
       present(reader(s, dir).bm25ScoredAll(Seq("query", "filter"),
         conjunctive = true, mustNot = Seq("batch")))),
+    // sort-by-doc-value search (the ES sort clause): most recent matching
+    // convs — the index answers membership, the doc-values frame the order
+    "q_search_sorted" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id")
+        .agg((min(unix_timestamp(col("ts"))) -
+          unix_timestamp(lit("2024-01-01 00:00:00"))).as("t0"))
+      reader(s, dir).searchSorted("spark", meta, "conv_id", "t0",
+        ascending = false, k = 10)
+        .orderBy(col("sort_val").desc, col("conv_id").asc)
+    }),
+    // field collapsing (the ES collapse clause): the single best-scoring
+    // conv per doc-level group — full scored set, window top-1 per group
+    "q_collapse" -> ((s, dir) => {
+      val meta = transcripts(s, dir).select("conv_id").distinct()
+        .withColumn("grp",
+          expr("concat('g', CAST(CAST(substring(conv_id, 2) AS INT) % 7 AS STRING))"))
+      reader(s, dir).collapseTop(Seq("query", "filter"), meta, "conv_id", "grp")
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("grp")
+    }),
+    // synonym-group scoring (the ES synonym_graph shape): each group scores
+    // as ONE virtual term — tf sums across members, df is the union set —
+    // so the concept's idf, not its rarest spelling's, ranks the docs
+    "q_bm25_synonyms" -> ((s, dir) =>
+      present(reader(s, dir).bm25SynonymsTopK(
+        Seq(Seq("query", "scan"), Seq("filter")), 10))),
+    // delete-by-query (the ES _delete_by_query API): every conv matching
+    // 'spark' leaves via the distributed match-set removal; the surviving
+    // index must answer other terms over the spark-free corpus exactly
+    "q_delete_by_query" -> ((s, dir) =>
+      new killa.query.IndexReader(s, dbqRoot(s, dir), conf)
+        .membership("query").orderBy("conv_id")),
     // fuzzy term search (Levenshtein ≤ 1 over the term dictionary)
     "q_membership_fuzzy" -> ((s, dir) =>
       reader(s, dir).membershipFuzzy("spark", 1).orderBy("conv_id")),
@@ -552,6 +584,14 @@ object SparkEntry {
     // export = same exact order, no top-k cut; conjunctive + NOT branches
     "q_bm25_export_conj_not" -> bm25OracleSql(Seq("query", "filter"), 1000000,
       conjunctive = true, mustNot = Seq("batch")),
+    "q_search_sorted" -> searchSortedOracleSql("spark", 10, ascending = false),
+    "q_collapse" -> collapseOracleSql(Seq("query", "filter"), 7),
+    "q_bm25_synonyms" -> synonymsOracleSql(Seq(Seq("query", "scan"), Seq("filter")), 10),
+    // spark-free corpus: membership('query') minus convs holding 'spark'
+    "q_delete_by_query" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'query'" +
+      " AND conv_id NOT IN (SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark')" +
+      " ORDER BY conv_id"),
     // per-term boosts multiply each contrib in the engine's exact fold spot
     "q_bm25_boosted" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
       conjunctive = false, boosts = Map("filter" -> 2.0, "join" -> 0.5)),

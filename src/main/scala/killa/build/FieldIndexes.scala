@@ -91,12 +91,36 @@ object FieldIndexes {
     * One pass over the batch per value — field cardinality is bounded by
     * contract, and the batch frame is tiny next to the corpus, so this is
     * O(values · Δ), never O(corpus).
+    *
+    * A batch may INTRODUCE a field value no build has seen (a new role/tool
+    * joins the corpus): those turns must not be dropped silently, so every
+    * batch value absent from `values` gets a fresh sub-index built from the
+    * batch's turns for it — correct because a genuinely new value's entire
+    * corpus slice IS the batch (delete-wins: convs in the delete set are
+    * excluded; renames are no-ops against an empty tree).
+    *
+    * @return the complete value list after the batch (caller's `values`
+    *         plus any newly-introduced ones) — route the NEXT batch with it.
     */
   def applyChangesDf(spark: SparkSession, root: String, field: String,
       values: Seq[String], changedTurns: DataFrame,
       deletesDf: Option[DataFrame] = None,
       renames: Map[String, String] = Map.empty,
-      batchId: String = "delta", conf: Conf = Conf.default): Unit = {
+      batchId: String = "delta", conf: Conf = Conf.default): Seq[String] = {
+    val newVals = fieldValues(changedTurns, field).filterNot(values.toSet)
+    newVals.foreach { v =>
+      val vTurns = changedTurns.where(col(field) === v)
+      val alive = deletesDf match {
+        case Some(d) =>
+          vTurns.join(d.select(col("conv_id")), Seq("conv_id"), "left_anti")
+        case None => vTurns
+      }
+      // delete-wins can empty the slice (value introduced and deleted in one
+      // batch) — don't materialize an empty sub-index tree for it
+      if (!alive.isEmpty)
+        new IndexWriter(spark, valueRoot(root, field, v), conf)
+          .fullBuild(alive, buildId = s"$batchId-new-${md5hex8(v)}")
+    }
     val allChanged = changedTurns.select(col("conv_id")).distinct()
     values.sorted.foreach { v =>
       val vTurns = changedTurns.where(col(field) === v)
@@ -108,6 +132,7 @@ object FieldIndexes {
       new killa.maintain.IndexMaintainer(spark, valueRoot(root, field, v), conf)
         .applyChangesDf(vTurns, Some(dels), renames, batchId = s"$batchId-$v")
     }
+    (values ++ newVals).distinct.sorted
   }
 
   /** Convenience overload with a driver-side delete list (event-handler
@@ -116,7 +141,7 @@ object FieldIndexes {
   def applyChanges(spark: SparkSession, root: String, field: String,
       values: Seq[String], changedTurns: DataFrame,
       deletes: Seq[String] = Nil, renames: Map[String, String] = Map.empty,
-      batchId: String = "delta", conf: Conf = Conf.default): Unit = {
+      batchId: String = "delta", conf: Conf = Conf.default): Seq[String] = {
     import spark.implicits._
     applyChangesDf(spark, root, field, values, changedTurns,
       if (deletes.isEmpty) None else Some(deletes.toDF("conv_id")),
@@ -153,15 +178,22 @@ object FieldIndexes {
       .limit(k)
   }
 
-  // facet result cache: keyed by (root, field, term, each value's manifest
-  // version), so a maintenance commit on ANY sub-index invalidates the entry
-  // (the key stops matching) while repeat facet queries on an unchanged
-  // store run with ZERO Spark jobs. Bounded: insert-only up to a fixed
-  // entry cap (facet terms are a small hot set in practice; past the cap
-  // queries just pay the one-job path again — never unbounded, never wrong).
-  private val facetCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  // facet result cache: keyed by the STRUCTURED tuple (root, field, term,
+  // each value@version) — list equality, not a joined string, so corpus
+  // values containing the separator can never alias another query's key —
+  // and a maintenance commit on ANY sub-index invalidates the entry (its
+  // version component stops matching). Access-order LRU with a hard cap:
+  // version churn under long-lived serving inserts a new key per commit, so
+  // superseded keys must EVICT (an insert-only cap would fill with dead
+  // entries and then disable caching for the process lifetime).
   private val FacetCacheMax = 4096
+  private val facetCache: java.util.Map[List[String], Seq[(String, Long)]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[List[String], Seq[(String, Long)]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[List[String], Seq[(String, Long)]]): Boolean =
+          size() > FacetCacheMax
+      })
 
   /** Facet: per-field-value count of documents containing `term`, read from
     * block metadata only (the `n` column of each sub-index's pruned posting
@@ -179,9 +211,9 @@ object FieldIndexes {
     import spark.implicits._
     val vs = values.sorted
     val readers = vs.map(v => (v, reader(spark, root, field, v, conf)))
-    val key = (Seq(root, field, term) ++ readers.map { case (v, r) =>
-      s"$v@${r.manifest.map(_.version).getOrElse(-1)}"
-    }).mkString("|")
+    val key: List[String] = (Seq(root, field, term) ++ readers.flatMap {
+      case (v, r) => Seq(v, r.manifest.map(_.version).getOrElse(-1).toString)
+    }).toList
     val cached = facetCache.get(key)
     val rows: Seq[(String, Long)] =
       if (cached != null) cached
@@ -206,7 +238,7 @@ object FieldIndexes {
             .collect()
             .groupBy(_._1).view.mapValues(_.map(_._2).sum)
             .filter(_._2 > 0L).toSeq.sortBy(_._1)
-        if (facetCache.size() < FacetCacheMax) facetCache.put(key, computed)
+        facetCache.put(key, computed)
         computed
       }
     rows.toDF(field, "n_docs")

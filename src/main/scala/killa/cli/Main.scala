@@ -159,7 +159,7 @@ object Main {
     // NoSuchElementException stack traces (ADVICE r3)
     val minArity = Map("build" -> 1, "posbuild" -> 1, "unsub" -> 1, "sub" -> 2, "ren" -> 2,
       "slop" -> 2, "mlt" -> 1, "qat" -> 2, "page" -> 4, "suggest" -> 1,
-      "qr" -> 1, "qany" -> 1, "sig" -> 1)
+      "qr" -> 1, "qany" -> 1, "sig" -> 1, "qsyn" -> 2, "dbq" -> 1)
     minArity.get(verb).filter(rest.length < _).foreach { n =>
       throw new IllegalArgumentException(s"$verb requires at least $n argument(s)")
     }
@@ -223,8 +223,11 @@ object Main {
         while (i < rest.length) {
           rest(i) match {
             case "NOT" => inNot = true
-            case "MIN" if i + 1 < rest.length => minM = rest(i + 1).toInt; i += 1
+            // the inNot arm comes BEFORE the MIN keyword: a literal token
+            // "MIN" inside the NOT section is an excluded term, not the
+            // minimum_should_match keyword (MIN must precede NOT)
             case t if inNot => neg += t
+            case "MIN" if i + 1 < rest.length => minM = rest(i + 1).toInt; i += 1
             case t =>
               val caret = t.lastIndexOf('^')
               if (caret > 0) {
@@ -240,6 +243,14 @@ object Main {
       case "qany" => // qany <term>...: OR membership (terms query / synonyms)
         session.reader.membershipAny(rest.toSeq).orderBy("conv_id").collect()
           .foreach(r => println(r.getString(0)))
+      case "qsyn" => // qsyn <k> <grp,grp,...>...: synonym-group scored BM25
+        session.reader.bm25SynonymsTopK(
+            rest.drop(1).map(_.split(",").toSeq).toSeq, rest.head.toInt)
+          .collect().foreach(r => println(s"${r.getString(0)}\t${r.getDouble(1)}"))
+      case "dbq" => // dbq <term>...: delete-by-query (match set leaves index)
+        new killa.maintain.IndexMaintainer(spark, root, conf)
+          .deleteByQuery(rest.toSeq)
+        println("deleted")
       case "sig" => // sig <term> [n]: significant terms of the match set (JLH)
         val n = rest.lift(1).map(_.toInt).getOrElse(10)
         session.reader.significantTerms(rest.head, n).collect()

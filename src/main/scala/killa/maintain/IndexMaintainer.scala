@@ -413,6 +413,17 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
   def removeConvs(convs: DataFrame, batchId: String = "remove"): Manifest =
     applyChangesDf(emptyTurns, Some(convs), batchId = batchId)
 
+  /** Delete-by-query (the Elasticsearch `_delete_by_query` API): remove
+    * every live doc matching ANY of the query terms — the match set comes
+    * from the index's own pruned posting scan ([[killa.query.IndexReader
+    * .membershipAny]]) and rides [[removeConvs]] as a distributed frame, so
+    * a million-doc deletion never materializes on the driver.
+    */
+  def deleteByQuery(terms: Seq[String], batchId: String = "dbq"): Manifest =
+    removeConvs(
+      new killa.query.IndexReader(spark, root, conf).membershipAny(terms),
+      batchId)
+
   /** Unsubscribe de-index (FileAnalyzer.cs:199-220): remove every live doc
     * of `source`; post-unsubscribe searches return empty for its docs
     * (FileAnalyzerTests.cs:1026-1049).

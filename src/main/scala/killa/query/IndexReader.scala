@@ -134,7 +134,13 @@ final class IndexReader(
     if (terms.length == 1) return membership(terms.head)
     val paths = termBucketPaths(terms)
     if (paths.isEmpty) return emptyMembers
-    val docIds = spark.read.schema(blockSchema).parquet(paths: _*)
+    // per-bucket frames come from bucketDfCache (same as single-term
+    // membership): repeat synonym-set queries must not re-list dirs and
+    // re-read parquet footers — the dominant repeat cost under load
+    val docIds = paths
+      .map(p => bucketDfCache.computeIfAbsent(p,
+        path => spark.read.schema(blockSchema).parquet(path)))
+      .reduce(_ unionByName _)
       .where(col("term").isin(terms: _*))
       .select(col("n"), col("docsBin")).as[(Int, Array[Byte])]
       .flatMap { case (n, bin) => Delta.decode(bin, n) }
@@ -361,8 +367,116 @@ final class IndexReader(
     membership(term)
       .join(meta.select(col(convCol).as("conv_id"), col(valCol).cast("double").as("__v")),
         "conv_id")
+      // ES range-agg semantics: docs missing the field (null, or NaN after
+      // the cast) are ignored, never emitted as a spurious null bucket
+      .where(v.isNotNull && !isnan(v))
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("hits"))
+  }
+
+  /** Sort-by-doc-value search (the Elasticsearch `sort` clause): the top-k
+    * conversations matching `term`, ordered by a caller-supplied doc value
+    * (timestamp, size, …) instead of relevance — "the most recent matching
+    * conversations", the second most common real query shape after scored
+    * top-k. Docs missing the sort value (null, or NaN after the cast) are
+    * ignored, mirroring ES `missing`-less sort semantics; ties break on
+    * conv_id so the order is total.
+    *
+    * Shape at scale: pruned posting scan → one semi-join against the
+    * doc-values frame → TakeOrdered(k). No score computation at all — the
+    * index contributes only the match set.
+    *
+    * @return (conv_id, sort_val) rows, sort_val cast to double.
+    */
+  def searchSorted(term: String, meta: DataFrame, convCol: String,
+      valCol: String, ascending: Boolean = false, k: Int = 10): DataFrame = {
+    val v = col("sort_val")
+    val joined = membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("sort_val")), "conv_id")
+      .where(v.isNotNull && !isnan(v))
+    joined.orderBy(if (ascending) v.asc else v.desc, col("conv_id").asc).limit(k)
+  }
+
+  /** Field collapsing (the Elasticsearch `collapse` clause): the single
+    * best-scoring conversation per value of a caller-supplied doc-level
+    * group column — "the top hit per team / per source shard". Exact by
+    * construction: the FULL scored match set ([[bm25ScoredAll]] — no top-k
+    * window to truncate a group's winner) joins the group values once, and
+    * a per-group window keeps row 1 of (score desc, conv_id asc).
+    *
+    * Shape at scale: per-term pruned scans → one scored-set shuffle keyed by
+    * group → window top-1. Group cardinality does not bound the shuffle —
+    * the window is map-side-combinable in spirit (rank-1 rows only survive).
+    *
+    * @return (grp, conv_id, score) rows, one per group with ≥ 1 match.
+    */
+  def collapseTop(terms: Seq[String], meta: DataFrame, convCol: String,
+      groupCol: String, conjunctive: Boolean = false,
+      mustNot: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("conv_id").asc)
+    bm25ScoredAll(terms, conjunctive, mustNot)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(groupCol).cast("string").as("grp")), "conv_id")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .select(col("grp"), col("conv_id"), col("score"))
+  }
+
+  /** Synonym-group scored BM25 (the Elasticsearch `synonym_graph` query-time
+    * scoring): each group of terms scores as ONE virtual term — group tf =
+    * Σ member tfs in the doc, group df = |union of member match sets| — so
+    * a doc saying "car" twice and "automobile" once scores exactly like one
+    * saying a single synonym three times, and the group's idf reflects how
+    * rare the CONCEPT is, not its rarest spelling. Disjunctive across
+    * groups, standard BM25 otherwise (same constants, same contrib shape as
+    * every other surface; a singleton group is score-identical to the plain
+    * term — spec-pinned).
+    *
+    * Plan: two pruned scans over the groups' posting blocks — one merging
+    * member postings per (group, doc) and counting group dfs (a bounded
+    * |groups|-row collect, same class as the IVF centroid sums), one
+    * computing contributions with the premultiplied group weights — then
+    * one groupBy(doc) sum and TakeOrdered(k). No driver materialization of
+    * any match set.
+    *
+    * @return (conv_id, score) top-k, score desc then conv_id asc.
+    */
+  def bm25SynonymsTopK(groups: Seq[Seq[String]], k: Int): DataFrame = {
+    val gs = groups.map(_.filter(t => t != null && t.nonEmpty).distinct)
+      .filter(_.nonEmpty)
+    if (gs.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
+    val m = manifest.get
+    if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
+    val k1 = conf.k1; val b = conf.b; val avgdl = m.avgdl; val n = m.numDocs
+    // (group, doc) rows with merged tf: members' postings union per group;
+    // a (doc, term) pair lives in exactly one block so the sum is exact,
+    // and dl is a per-doc constant (min is a no-op merge)
+    def groupRows: DataFrame = gs.zipWithIndex.map { case (g, gi) =>
+      g.map(postingBlocks).reduce(_ union _).flatMap { blk =>
+        val docs = Delta.decode(blk.docsBin, blk.n)
+        val tfs = Varint.decode(blk.tfsBin, blk.n)
+        val dls = Varint.decode(blk.dlsBin, blk.n)
+        (0 until blk.n).iterator.map(j => (gi, docs(j), tfs(j), dls(j)))
+      }.toDF("g", "docId", "tf", "dl")
+    }.reduce(_ unionByName _)
+      .groupBy(col("g"), col("docId"))
+      .agg(sum(col("tf")).as("tf"), min(col("dl")).as("dl"))
+    val dfs: Map[Int, Long] = groupRows.groupBy("g")
+      .agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val weights = gs.indices.map(gi =>
+      Bm25.weight(n, dfs.getOrElse(gi, 0L), k1)).toArray
+    val contribs = groupRows.as[(Int, Long, Long, Long)]
+      .map { case (g, doc, tf, dl) =>
+        (doc, Bm25.contrib(weights(g), tf, dl, k1, b, avgdl))
+      }
+      .toDF("docId", "c")
+      .groupBy("docId").agg(sum(col("c")).as("score"))
+    contribs.join(docsView, "docId")
+      .select(col("convId").as("conv_id"), col("score"))
+      .orderBy(col("score").desc, col("conv_id").asc).limit(k)
   }
 
   /** Significant terms (the Elasticsearch `significant_terms` aggregation):
@@ -966,17 +1080,6 @@ final class IndexReader(
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     val cap = conf.localQueryBlocks
     if (cap <= 0) return None
-    // per-query filter blocks are NEVER cached (they are not store content);
-    // a filter too big for the driver routes the query to the distributed
-    // path exactly like a beyond-cap term. limit(cap+1) bounds the fetch:
-    // within-cap filters arrive whole in this one job.
-    val incArr: Array[Array[PostingBlock]] = include match {
-      case None => Array.empty
-      case Some(ds) =>
-        val bs = ds.limit(cap + 1).collect()
-        if (bs.length > cap) return None
-        Array(bs.sortBy(_.firstDoc))
-    }
     // exclusion terms ride the same probe: a hot mustNot term ("NOT the")
     // pushes the query to the distributed path just like a hot query term
     val all = terms ++ mustNot
@@ -1012,6 +1115,20 @@ final class IndexReader(
           cachePut(all(i), cachedArr(i))
         }
       }
+    }
+    // the per-query filter collects ONLY after the terms decide the query
+    // stays local — a hot term routing to the distributed path must not pay
+    // (and then re-pay, in the fan-out) the filter-encoding job first. Filter
+    // blocks are NEVER cached (they are not store content); a filter too big
+    // for the driver routes the query exactly like a beyond-cap term, with
+    // the terms' just-fetched blocks already cached for the fan-out's reuse.
+    // limit(cap+1) bounds the fetch: within-cap filters arrive whole here.
+    val incArr: Array[Array[PostingBlock]] = include match {
+      case None => Array.empty
+      case Some(ds) =>
+        val bs = ds.limit(cap + 1).collect()
+        if (bs.length > cap) return None
+        Array(bs.sortBy(_.firstDoc))
     }
     val blocks = cachedArr
     val termBlocks = blocks.take(terms.length)
