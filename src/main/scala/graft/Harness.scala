@@ -284,6 +284,116 @@ object Harness {
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
   }
 
+  /** The plain disjunctive full-scored-set CTE chain (q→qdf→contrib→scored),
+    * shared by the function-score-family oracles.
+    */
+  private def plainScoredCtes(terms: Seq[String]): String = {
+    val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    s", q(term, tidx) AS (VALUES $vals)" +
+      ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
+      ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
+      "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
+      "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+      "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)"
+  }
+
+  /** Per-conv doc value under the deterministic ts derivation: t0 = min
+    * doc_id = seconds since the corpus epoch (the same value the Spark side
+    * computes as min(unix_timestamp(ts)) − epoch).
+    */
+  val ConvT0Cte: String =
+    ", convt0 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, " +
+      "CAST(min(doc_id) AS DOUBLE) AS t0 FROM documents GROUP BY 1)"
+
+  /** Stats-aggregation oracle: count/min/max/sum/avg of t0 over the match
+    * set — the SQL mirror of IndexReader.statsAgg.
+    */
+  def statsAggOracleSql(term: String): String =
+    TurnsCte + TfCtes + ConvT0Cte +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      " SELECT CAST(count(*) AS BIGINT) AS n, min(t0) AS min_v, max(t0) AS max_v, " +
+      "round(sum(t0), 4) AS sum_v, round(avg(t0), 4) AS avg_v" +
+      " FROM hits h JOIN convt0 c ON h.conv_id = c.conv_id"
+
+  /** Percentiles oracle: exact linear-interpolated quantiles (quantile_cont
+    * ≡ Spark `percentile`) of t0 over the match set.
+    */
+  def percentilesOracleSql(term: String, pcts: Seq[Double]): String =
+    TurnsCte + TfCtes + ConvT0Cte +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", j AS (SELECT t0 FROM hits h JOIN convt0 c ON h.conv_id = c.conv_id) " +
+      pcts.map(p =>
+        s"SELECT CAST($p AS DOUBLE) AS pct, round(quantile_cont(t0, $p), 4) AS value FROM j")
+        .mkString(" UNION ALL ") +
+      " ORDER BY pct"
+
+  /** Cardinality oracle: exact distinct count of the turn-level `source`
+    * values across the matching conversations.
+    */
+  def cardinalityOracleSql(term: String): String =
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, source, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      " SELECT CAST(count(DISTINCT t.source) AS BIGINT) AS n_distinct" +
+      " FROM t2 t JOIN hits h ON t.conv_id = h.conv_id"
+
+  /** Decay-scored oracle (function_score gauss/exp/linear, boost_mode
+    * multiply). The decay constants are computed HERE in the JVM and
+    * embedded as double literals, so both engines multiply by the identical
+    * constant (shortest-roundtrip repr re-parses to the same double) — the
+    * only cross-engine float seam left is exp()'s final ulp, absorbed by the
+    * 4-digit display rounding.
+    */
+  def decayOracleSql(terms: Seq[String], k: Int, origin: Double, scale: Double,
+      offset: Double, decay: Double, fn: String): String = {
+    val mult = fn match {
+      case "gauss" => s"exp(d.d * d.d * ${math.log(decay) / (scale * scale)})"
+      case "exp" => s"exp(d.d * ${math.log(decay) / scale})"
+      case "linear" =>
+        s"greatest(CAST(0.0 AS DOUBLE), 1.0 - d.d * ${(1.0 - decay) / scale})"
+      case other => throw new IllegalArgumentException(s"unknown decay fn: $other")
+    }
+    TurnsCte + TfCtes + plainScoredCtes(terms) + ConvT0Cte +
+      s", dd AS (SELECT conv_id, greatest(CAST(0.0 AS DOUBLE), abs(t0 - $origin) - $offset) AS d FROM convt0)" +
+      s", dmul AS (SELECT s.conv_id, s.s * $mult AS s FROM scored s JOIN dd d ON s.conv_id = d.conv_id)" +
+      s", top AS (SELECT conv_id, s FROM dmul ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
+  /** Field-value-factor oracle: score × ln(1 + factor · t0), the SQL mirror
+    * of IndexReader.fieldValueFactorTopK(modifier = "ln1p").
+    */
+  def fieldValueFactorOracleSql(terms: Seq[String], k: Int, factor: Double): String =
+    TurnsCte + TfCtes + plainScoredCtes(terms) + ConvT0Cte +
+      s", fmul AS (SELECT s.conv_id, s.s * ln(1.0 + c.t0 * $factor) AS s FROM scored s JOIN convt0 c ON s.conv_id = c.conv_id)" +
+      s", top AS (SELECT conv_id, s FROM fmul ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+
+  /** Boosting-query oracle: positive full scored set, negative matches
+    * multiplied by negativeBoost (demotion, not exclusion).
+    */
+  def boostingOracleSql(positive: Seq[String], negative: Seq[String],
+      negativeBoost: Double, k: Int): String = {
+    val negIn = negative.map(t => s"'$t'").mkString(", ")
+    TurnsCte + TfCtes + plainScoredCtes(positive) +
+      s", negset AS (SELECT DISTINCT conv_id FROM tok2 WHERE term IN ($negIn))" +
+      s", dem AS (SELECT s.conv_id, CASE WHEN n.conv_id IS NOT NULL THEN s.s * $negativeBoost ELSE s.s END AS s" +
+      " FROM scored s LEFT JOIN negset n ON s.conv_id = n.conv_id)" +
+      s", top AS (SELECT conv_id, s FROM dem ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
+  /** Collapse-with-inner-hits oracle: top-n per group of the exact scored
+    * set, with the in-group rank emitted.
+    */
+  def collapseTopNOracleSql(terms: Seq[String], nGroups: Int, n: Int): String =
+    TurnsCte + TfCtes + plainScoredCtes(terms) +
+      s", grps AS (SELECT conv_id, 'g' || CAST(CAST(substr(conv_id, 2) AS INT) % $nGroups AS VARCHAR) AS grp FROM (SELECT DISTINCT conv_id FROM turns))" +
+      ", ranked AS (SELECT g.grp, s.conv_id, s.s, row_number() OVER (PARTITION BY g.grp ORDER BY s.s DESC, s.conv_id ASC) AS rn " +
+      "FROM scored s JOIN grps g ON s.conv_id = g.conv_id)" +
+      s" SELECT grp, CAST(rn AS INT) AS rn, conv_id, round(s, 4) AS score FROM ranked WHERE rn <= $n ORDER BY grp ASC, rn ASC"
+
   /** The per-role scored-CTE family with suffixed names, so two corpora can
     * coexist in one oracle query (multi-field BM25).
     */
@@ -331,6 +441,15 @@ object Harness {
       " SELECT strftime(date_trunc('minute', c.ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +
       "CAST(count(*) AS BIGINT) AS hits " +
       "FROM hits h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1 ORDER BY 1"
+
+  /** Per-conv doc-values frame: t0 = seconds since the corpus epoch of the
+    * conv's first turn (= min doc_id under the deterministic ts derivation —
+    * the Spark mirror of [[ConvT0Cte]]).
+    */
+  def t0Meta(spark: SparkSession, sfDir: String): DataFrame =
+    transcripts(spark, sfDir).groupBy("conv_id")
+      .agg((min(unix_timestamp(col("ts"))) -
+        unix_timestamp(lit("2024-01-01 00:00:00"))).cast("double").as("t0"))
 
   /** Transcripts view over the driver's documents table (Spark side). */
   def transcripts(spark: SparkSession, sfDir: String): DataFrame =

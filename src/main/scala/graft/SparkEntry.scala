@@ -185,6 +185,54 @@ object SparkEntry {
     "q_delete_by_query" -> ((s, dir) =>
       new killa.query.IndexReader(s, dbqRoot(s, dir), conf)
         .membership("query").orderBy("conv_id")),
+    // metric aggregations over the match set (the ES stats / percentiles /
+    // cardinality aggregations) — the index contributes the match set, the
+    // doc-values frame the metric; percentiles are EXACT interpolated
+    // (Spark percentile ≡ SQL percentile_cont), not ES's TDigest sketch
+    "q_stats_agg" -> ((s, dir) =>
+      reader(s, dir).statsAgg("spark", t0Meta(s, dir), "conv_id", "t0")
+        .select(col("n"), col("min_v"), col("max_v"),
+          round(col("sum_v"), 4).as("sum_v"), round(col("avg_v"), 4).as("avg_v"))),
+    "q_percentiles_agg" -> ((s, dir) =>
+      reader(s, dir).percentilesAgg("spark", t0Meta(s, dir), "conv_id", "t0",
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .withColumn("value", round(col("value"), 4)).orderBy("pct")),
+    "q_cardinality_agg" -> ((s, dir) =>
+      reader(s, dir).cardinalityAgg("spark",
+        transcripts(s, dir).select("conv_id", "tool"), "conv_id", "tool")),
+    // function_score family: decay recency ranking and doc-value boosts
+    // multiply into the FULL scored set (a multiplier ≤ 1 can demote any
+    // windowed top, so exactness forbids pre-multiply top-k pruning)
+    "q_function_score_gauss" -> ((s, dir) =>
+      present(reader(s, dir).decayScoredTopK(Seq("query", "filter"), 10,
+        t0Meta(s, dir), "conv_id", "t0", origin = 0.0, scale = 200.0))),
+    "q_field_value_factor" -> ((s, dir) =>
+      present(reader(s, dir).fieldValueFactorTopK(Seq("query", "filter"), 10,
+        t0Meta(s, dir), "conv_id", "t0", factor = 0.01))),
+    // boosting query: negative matches DEMOTE (score × negativeBoost), the
+    // middle ground between plain disjunction and mustNot exclusion
+    "q_boosting" -> ((s, dir) =>
+      present(reader(s, dir).boostingTopK(Seq("query", "filter"),
+        Seq("batch"), 0.5, 10))),
+    // collapse with inner hits: top-2 per group with in-group ranks
+    "q_collapse_topn" -> ((s, dir) => {
+      val meta = transcripts(s, dir).select("conv_id").distinct()
+        .withColumn("grp",
+          expr("concat('g', CAST(CAST(substring(conv_id, 2) AS INT) % 7 AS STRING))"))
+      reader(s, dir).collapseTopN(Seq("query", "filter"), meta, "conv_id", "grp", 2)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("grp", "rn")
+    }),
+    // match_phrase_prefix: "batch s…" — exact first slot, prefix-expanded
+    // last slot, ONE positional pass with the expansion as a slot set
+    "q_phrase_prefix" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .phrasePrefix(Seq("batch"), "s").orderBy("conv_id")),
+    // span_first: the term's first occurrence inside the doc's leading 50
+    // positions ("mentioned in the opening")
+    "q_span_first" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .spanFirst("spark", 50).orderBy("conv_id")),
     // fuzzy term search (Levenshtein ≤ 1 over the term dictionary)
     "q_membership_fuzzy" -> ((s, dir) =>
       reader(s, dir).membershipFuzzy("spark", 1).orderBy("conv_id")),
@@ -591,6 +639,23 @@ object SparkEntry {
     "q_delete_by_query" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'query'" +
       " AND conv_id NOT IN (SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark')" +
+      " ORDER BY conv_id"),
+    "q_stats_agg" -> statsAggOracleSql("spark"),
+    "q_percentiles_agg" -> percentilesOracleSql("spark", Seq(0.25, 0.5, 0.75, 0.95)),
+    "q_cardinality_agg" -> cardinalityOracleSql("spark"),
+    "q_function_score_gauss" -> decayOracleSql(Seq("query", "filter"), 10,
+      origin = 0.0, scale = 200.0, offset = 0.0, decay = 0.5, fn = "gauss"),
+    "q_field_value_factor" -> fieldValueFactorOracleSql(Seq("query", "filter"), 10,
+      factor = 0.01),
+    "q_boosting" -> boostingOracleSql(Seq("query", "filter"), Seq("batch"), 0.5, 10),
+    "q_collapse_topn" -> collapseTopNOracleSql(Seq("query", "filter"), 7, 2),
+    // exact first slot, any dictionary term with the prefix in the second
+    "q_phrase_prefix" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +
+      " WHERE a.term = 'batch' AND b.term LIKE 's%' ORDER BY conv_id"),
+    "q_span_first" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT conv_id FROM ppos WHERE term = 'spark' AND pos < 50" +
       " ORDER BY conv_id"),
     // per-term boosts multiply each contrib in the engine's exact fold spot
     "q_bm25_boosted" -> bm25OracleSql(Seq("query", "filter", "join"), 10,

@@ -479,6 +479,198 @@ final class IndexReader(
       .orderBy(col("score").desc, col("conv_id").asc).limit(k)
   }
 
+  /** Metric stats over the match set (the Elasticsearch `stats` aggregation):
+    * count / min / max / sum / avg of a caller-supplied doc value across the
+    * documents matching `term`. ES null semantics: docs missing the value
+    * (null, or NaN after the double cast) are ignored — they contribute to
+    * none of the five metrics, and an all-missing match set returns the
+    * SQL-standard nulls with count 0.
+    *
+    * Shape at scale: pruned posting scan → one semi-join against the
+    * doc-values frame → a single partial-aggregable global agg (one row out,
+    * map-side combine does all the work). */
+  def statsAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String): DataFrame = {
+    val v = col("__v")
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), "conv_id")
+      .where(v.isNotNull && !isnan(v))
+      .agg(count(lit(1)).as("n"), min(v).as("min_v"), max(v).as("max_v"),
+        sum(v).as("sum_v"), avg(v).as("avg_v"))
+  }
+
+  /** Percentiles over the match set (the Elasticsearch `percentiles`
+    * aggregation) — EXACT linear-interpolated quantiles (Spark's
+    * `percentile`, = SQL `percentile_cont`), not ES's TDigest sketch: the
+    * approximation is a memory bound ES needs because its per-shard data
+    * structure is bounded; Spark's sort-based exact percentile distributes,
+    * so at any scale the exact answer is affordable here and strictly
+    * dominates a sketch. Missing values ignored (ES semantics).
+    *
+    * @return (pct, value) rows in the caller's percentile order.
+    */
+  def percentilesAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String, pcts: Seq[Double]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p <= 1.0),
+      "percentiles must be in [0, 1]")
+    val v = col("__v")
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), "conv_id")
+      .where(v.isNotNull && !isnan(v))
+      .agg(expr(s"percentile(__v, array(${pcts.mkString(", ")}))").as("__vs"))
+      .select(posexplode(col("__vs")).as(Seq("__i", "value")))
+      .withColumn("pct", element_at(typedLit(pcts), col("__i") + 1))
+      .select(col("pct"), col("value"))
+  }
+
+  /** Cardinality of a doc value over the match set (the Elasticsearch
+    * `cardinality` aggregation), EXACT: distinct count distributes as one
+    * two-level agg, so unlike ES (whose HLL is forced by its per-shard reply
+    * size) the exact answer is the default. Null values ignored.
+    * [[cardinalityApprox]] is the HLL++ form for when an estimate is enough
+    * at extreme group counts. `meta` may be turn-level (several rows per
+    * conv) — distinctness is over values, not rows. */
+  def cardinalityAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String): DataFrame =
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"), col(valCol).as("__v")),
+        "conv_id")
+      .where(col("__v").isNotNull)
+      .agg(countDistinct(col("__v")).as("n_distinct"))
+
+  /** HLL++ estimate of [[cardinalityAgg]] (the literal ES implementation
+    * choice): one pass, bounded sketch per partition, `rsd` relative error.
+    */
+  def cardinalityApprox(term: String, meta: DataFrame, convCol: String,
+      valCol: String, rsd: Double = 0.05): DataFrame =
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"), col(valCol).as("__v")),
+        "conv_id")
+      .where(col("__v").isNotNull)
+      .agg(approx_count_distinct(col("__v"), rsd).as("n_distinct"))
+
+  /** Decay-scored top-k (the Elasticsearch `function_score` decay functions,
+    * `boost_mode: multiply`): each hit's BM25 score multiplies by a decay of
+    * its distance from `origin` on a caller-supplied doc value — recency
+    * ranking ("relevant AND recent") without a hard cutoff. The three ES
+    * shapes, each pinned so decay(scale) = `decay` exactly:
+    *  - gauss:  exp(d² · ln(decay) / scale²)
+    *  - exp:    exp(d  · ln(decay) / scale)
+    *  - linear: max(0, 1 − d · (1 − decay) / scale)
+    * with d = max(0, |v − origin| − offset). Docs missing the value keep
+    * multiplier 1.0 (ES decay-on-missing semantics).
+    *
+    * Exactness requires the FULL scored match set — a multiplier ≤ 1 can
+    * demote any windowed top into the tail, so no top-k pruning is sound
+    * before the multiply (ES itself scores every function_score match).
+    * Shape at scale: [[bm25ScoredAll]]'s one map-side-combinable fold → one
+    * join with the doc-values frame → TakeOrdered(k). For a cheap windowed
+    * approximation use [[rescoreTopK]] with the decay as the factor frame.
+    */
+  def decayScoredTopK(terms: Seq[String], k: Int, meta: DataFrame,
+      convCol: String, valCol: String, origin: Double, scale: Double,
+      offset: Double = 0.0, decay: Double = 0.5, fn: String = "gauss",
+      conjunctive: Boolean = false): DataFrame = {
+    require(scale > 0.0, "scale must be > 0")
+    require(decay > 0.0 && decay < 1.0, "decay must be in (0, 1)")
+    if (k <= 0) return emptyHits
+    val v = col("__v")
+    val d = greatest(lit(0.0), abs(v - lit(origin)) - lit(offset))
+    val mult = fn match {
+      case "gauss" => exp(d * d * lit(math.log(decay) / (scale * scale)))
+      case "exp" => exp(d * lit(math.log(decay) / scale))
+      case "linear" =>
+        greatest(lit(0.0), lit(1.0) - d * lit((1.0 - decay) / scale))
+      case other =>
+        throw new IllegalArgumentException(s"unknown decay fn: $other")
+    }
+    bm25ScoredAll(terms, conjunctive)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), Seq("conv_id"), "left")
+      .select(col("conv_id"), (col("score") *
+        when(v.isNull || isnan(v), lit(1.0)).otherwise(mult)).as("score"))
+      .orderBy(col("score").desc, col("conv_id").asc).limit(k)
+  }
+
+  /** Field-value-factor top-k (the Elasticsearch `field_value_factor`
+    * function, `boost_mode: multiply`): score × modifier(factor · value) —
+    * popularity/size boosts from a doc value. Modifiers: `ln1p` (ES log1p,
+    * the safe default), `sqrt`, `none`. Docs missing the value use the
+    * `missing` substitute (ES parameter of the same name). Full-scored-set
+    * exactness for the same reason as [[decayScoredTopK]].
+    */
+  def fieldValueFactorTopK(terms: Seq[String], k: Int, meta: DataFrame,
+      convCol: String, valCol: String, factor: Double = 1.0,
+      modifier: String = "ln1p", missing: Double = 1.0,
+      conjunctive: Boolean = false): DataFrame = {
+    if (k <= 0) return emptyHits
+    val v = col("__v")
+    val raw = coalesce(when(isnan(v), lit(missing)).otherwise(v), lit(missing)) *
+      lit(factor)
+    val mult = modifier match {
+      case "ln1p" => log1p(raw)
+      case "sqrt" => sqrt(raw)
+      case "none" => raw
+      case other =>
+        throw new IllegalArgumentException(s"unknown modifier: $other")
+    }
+    bm25ScoredAll(terms, conjunctive)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), Seq("conv_id"), "left")
+      .select(col("conv_id"), (col("score") * mult).as("score"))
+      .orderBy(col("score").desc, col("conv_id").asc).limit(k)
+  }
+
+  /** Boosting query (the Elasticsearch `boosting` query): hits score by the
+    * positive terms as usual, but any hit ALSO matching a negative term has
+    * its score multiplied by `negativeBoost` — demotion, not exclusion (the
+    * mustNot form). negativeBoost = 0 keeps demoted docs ranked last but
+    * present; 1 is a no-op (spec-pinned identities).
+    *
+    * Shape at scale: full scored set → left join against the negative
+    * membership (pruned posting scans, distinct conv set) → TakeOrdered(k).
+    */
+  def boostingTopK(positive: Seq[String], negative: Seq[String],
+      negativeBoost: Double, k: Int, conjunctive: Boolean = false): DataFrame = {
+    require(negativeBoost >= 0.0 && negativeBoost <= 1.0,
+      "negativeBoost must be in [0, 1]")
+    if (k <= 0) return emptyHits
+    val scored = bm25ScoredAll(positive, conjunctive)
+    val neg = negative.filter(t => t != null && t.nonEmpty).distinct
+    val demoted =
+      if (neg.isEmpty) scored
+      else scored.join(
+          membershipAny(neg).withColumn("__neg", lit(1)), Seq("conv_id"), "left")
+        .select(col("conv_id"),
+          when(col("__neg").isNotNull, col("score") * lit(negativeBoost))
+            .otherwise(col("score")).as("score"))
+    demoted.orderBy(col("score").desc, col("conv_id").asc).limit(k)
+  }
+
+  /** [[collapseTop]] generalized to inner hits (the Elasticsearch
+    * `collapse.inner_hits` shape): the top-`n` conversations per group, with
+    * each hit's in-group rank. Same exact-by-construction full-scored-set +
+    * per-group window; only rank-≤-n rows survive the window.
+    *
+    * @return (grp, rn, conv_id, score) rows, rn = 1-based in-group rank by
+    *         (score desc, conv_id asc).
+    */
+  def collapseTopN(terms: Seq[String], meta: DataFrame, convCol: String,
+      groupCol: String, n: Int, conjunctive: Boolean = false,
+      mustNot: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("conv_id").asc)
+    bm25ScoredAll(terms, conjunctive, mustNot)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(groupCol).cast("string").as("grp")), "conv_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .select(col("grp"), col("rn"), col("conv_id"), col("score"))
+  }
+
   /** Significant terms (the Elasticsearch `significant_terms` aggregation):
     * the terms most characteristic of the documents matching `term`, scored
     * by JLH — (fgRate − bgRate) · (fgRate / bgRate), where fgRate is a
@@ -563,15 +755,83 @@ final class IndexReader(
     val terms = termsIn.filter(t => t != null && t.nonEmpty)
     if (terms.isEmpty || manifest.isEmpty) return emptyMembers
     if (terms.length == 1) return membership(terms.head)
+    phraseSlots(terms.map(Seq(_)), slop)
+  }
+
+  /** Match-phrase-prefix (the Elasticsearch `match_phrase_prefix` query):
+    * an exact phrase whose LAST slot matches any dictionary term carrying
+    * `prefix` — the search-as-you-type shape. Expansion follows the ES rule
+    * exactly: the first `maxExpansions` matching terms in term-dictionary
+    * (lexicographic) order, so the cap is deterministic. The expansion is a
+    * sidecar-pruned dictionary-column scan (payloads never read) and the
+    * phrase itself is ONE positional pass with the expansion as a slot set —
+    * never |expansion| separate phrase queries.
+    */
+  def phrasePrefix(termsIn: Seq[String], prefix: String,
+      maxExpansions: Int = 50, slop: Int = 0): DataFrame = {
+    if (prefix == null || prefix.isEmpty || maxExpansions <= 0 || manifest.isEmpty)
+      return emptyMembers
+    val terms = termsIn.filter(t => t != null && t.nonEmpty)
+    val paths = prunedBucketPaths(Some(prefix), None)
+    if (paths.isEmpty) return emptyMembers
+    val expanded = spark.read.schema(blockSchema).parquet(paths: _*)
+      .where(col("term").startsWith(prefix))
+      .select("term").distinct().orderBy("term").limit(maxExpansions)
+      .as[String].collect().toSeq
+    if (expanded.isEmpty) return emptyMembers
+    if (terms.isEmpty) return membershipAny(expanded) // bare-prefix degenerate
+    phraseSlots(terms.map(Seq(_)) :+ expanded, slop)
+  }
+
+  /** Span-first (the Elasticsearch `span_first` query): conversations whose
+    * FIRST occurrence of `term` falls inside the document's leading `limit`
+    * positions (document-global, 0-based — "mentioned in the opening").
+    * One pruned positional-bucket scan; position lists are delta-coded
+    * ascending, so element 0 IS the first occurrence.
+    */
+  def spanFirst(term: String, limit: Int): DataFrame = {
+    if (term == null || term.isEmpty || limit <= 0 || manifest.isEmpty)
+      return emptyMembers
     val m = manifest.get
     if (m.posBuckets.isEmpty)
       throw new IllegalStateException(
         "no positional index at this snapshot — run IndexWriter.buildPositions once" )
-    val distinctTerms = terms.distinct
+    val posPaths = Seq(Hashing.termBucket(term, m.nBuckets))
+      .flatMap(m.posPath).filter(p => fs(p).exists(new Path(p)))
+    if (posPaths.isEmpty) return emptyMembers
+    val limitV = limit.toLong
+    val posSchema = org.apache.spark.sql.Encoders.product[killa.model.PosRow].schema
+    val matched = spark.read.schema(posSchema).parquet(posPaths: _*)
+      .where(col("term") === term)
+      .select("docId", "np", "posBin").as[(Long, Int, Array[Byte])]
+      .flatMap { case (docId, n, bin) =>
+        if (n > 0 && Delta.decode(bin, n)(0) < limitV) Iterator.single(docId)
+        else Iterator.empty
+      }
+      .toDF("docId").distinct()
+    matched.join(docsView, "docId").select(col("convId").as("conv_id"))
+  }
+
+  /** The generalized phrase kernel: slot i of the phrase matches ANY term of
+    * `slotsIn(i)` (singleton slots ⇒ the plain phrase; a multi-term last
+    * slot ⇒ match_phrase_prefix). A slot's position list is the sorted union
+    * of its members' lists — sound because one document position holds
+    * exactly one token, so distinct terms' lists are disjoint and the union
+    * stays strictly ascending after one merge-sort.
+    */
+  private def phraseSlots(slotsIn: Seq[Seq[String]], slop: Int): DataFrame = {
+    val slots = slotsIn.map(_.filter(t => t != null && t.nonEmpty).distinct)
+    if (slots.isEmpty || slots.exists(_.isEmpty) || manifest.isEmpty)
+      return emptyMembers
+    val m = manifest.get
+    if (m.posBuckets.isEmpty)
+      throw new IllegalStateException(
+        "no positional index at this snapshot — run IndexWriter.buildPositions once" )
+    val distinctTerms = slots.flatten.distinct
     val posPaths = distinctTerms.map(t => Hashing.termBucket(t, m.nBuckets)).distinct
       .flatMap(m.posPath).filter(p => fs(p).exists(new Path(p)))
     if (posPaths.isEmpty) return emptyMembers
-    val termSeq = terms // capture for closure
+    val slotsV: Array[Array[String]] = slots.map(_.toArray).toArray // closure capture
     val slopV = math.max(0, slop)
     val posSchema = org.apache.spark.sql.Encoders.product[killa.model.PosRow].schema
     val matched = spark.read.schema(posSchema).parquet(posPaths: _*)
@@ -582,17 +842,27 @@ final class IndexReader(
       .flatMapGroups { (docId, it) =>
         val byTerm = scala.collection.mutable.Map.empty[String, Array[Long]]
         it.foreach { case (t, _, n, bin) => byTerm(t) = Delta.decode(bin, n) }
-        if (!termSeq.forall(byTerm.contains)) Iterator.empty
+        // merged positions per slot (single-member slots pass through)
+        val slotPos: Array[Array[Long]] = slotsV.map { st =>
+          val lists = st.flatMap(byTerm.get)
+          if (lists.isEmpty) Array.empty[Long]
+          else if (lists.length == 1) lists(0)
+          else {
+            val all = Array.concat(lists.toIndexedSeq: _*)
+            java.util.Arrays.sort(all); all
+          }
+        }
+        if (slotPos.exists(_.isEmpty)) Iterator.empty
         else {
           // reachable-position chain: cand = positions of the current slot
           // from which a valid chain of all previous slots ends. Position
           // lists are sorted (encoder writes ascending), so one two-pointer
           // pass per slot suffices: q matches iff some kept p satisfies
           // q - 1 - slop ≤ p ≤ q - 1.
-          var cand = byTerm(termSeq.head)
+          var cand = slotPos(0)
           var i = 1
-          while (i < termSeq.length && cand.nonEmpty) {
-            val next = byTerm(termSeq(i))
+          while (i < slotPos.length && cand.nonEmpty) {
+            val next = slotPos(i)
             val out = Array.newBuilder[Long]
             var a = 0
             var bIdx = 0
