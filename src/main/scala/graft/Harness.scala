@@ -338,6 +338,52 @@ object Harness {
       " SELECT CAST(count(DISTINCT t.source) AS BIGINT) AS n_distinct" +
       " FROM t2 t JOIN hits h ON t.conv_id = h.conv_id"
 
+  /** Terms-aggregation oracle: per `source` value, how many matching convs
+    * carry it (conv counted once per value), top-`size` by count desc then
+    * value asc.
+    */
+  def termsAggOracleSql(term: String, size: Int): String =
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, source, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", pairs AS (SELECT DISTINCT t.conv_id, t.source AS value FROM t2 t JOIN hits h ON t.conv_id = h.conv_id)" +
+      " SELECT value, CAST(count(*) AS BIGINT) AS n_docs FROM pairs GROUP BY 1" +
+      s" ORDER BY n_docs DESC, value ASC LIMIT $size"
+
+  /** Fixed-interval histogram oracle over t0. */
+  def histogramOracleSql(term: String, interval: Double): String =
+    TurnsCte + TfCtes + ConvT0Cte +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      s" SELECT floor(c.t0 / $interval) * $interval AS bucket, CAST(count(*) AS BIGINT) AS hits" +
+      " FROM hits h JOIN convt0 c ON h.conv_id = c.conv_id GROUP BY 1 ORDER BY 1"
+
+  /** Composite-aggregation oracle: (role, source) doc counts in key order
+    * with optional after-key pagination — role derived per turn from the
+    * deterministic doc_id % 2 rule, a conv counted once per distinct pair.
+    */
+  def compositeOracleSql(term: String, size: Int,
+      after: Option[(String, String)]): String = {
+    val afterPred = after match {
+      case Some((a1, a2)) =>
+        s" WHERE k1 > '$a1' OR (k1 = '$a1' AND k2 > '$a2')"
+      case None => ""
+    }
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, source, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", pairs AS (SELECT DISTINCT t.conv_id, t.role AS k1, t.source AS k2 FROM t2 t JOIN hits h ON t.conv_id = h.conv_id)" +
+      s", paged AS (SELECT * FROM pairs$afterPred)" +
+      " SELECT k1, k2, CAST(count(*) AS BIGINT) AS n_docs FROM paged GROUP BY 1, 2" +
+      s" ORDER BY k1 ASC, k2 ASC LIMIT $size"
+  }
+
+  /** Turn-level (conv_id, role, tool) doc-values frame for the composite
+    * aggregation.
+    */
+  def roleToolMeta(spark: SparkSession, sfDir: String): DataFrame =
+    transcripts(spark, sfDir).select("conv_id", "role", "tool")
+
   /** Decay-scored oracle (function_score gauss/exp/linear, boost_mode
     * multiply). The decay constants are computed HERE in the JVM and
     * embedded as double literals, so both engines multiply by the identical

@@ -200,6 +200,23 @@ object SparkEntry {
     "q_cardinality_agg" -> ((s, dir) =>
       reader(s, dir).cardinalityAgg("spark",
         transcripts(s, dir).select("conv_id", "tool"), "conv_id", "tool")),
+    // generic terms aggregation over a doc value (facet by ANY meta column,
+    // not just index-backed fields) — exact at any shard count
+    "q_terms_agg" -> ((s, dir) =>
+      reader(s, dir).termsAgg("spark",
+        transcripts(s, dir).select("conv_id", "tool"), "conv_id", "tool", 5)),
+    // fixed-interval numeric histogram over the match set
+    "q_histogram_agg" -> ((s, dir) =>
+      reader(s, dir).histogramAgg("spark", t0Meta(s, dir), "conv_id", "t0", 120.0)
+        .orderBy("bucket")),
+    // composite aggregation: (role, tool) buckets in key order, and the
+    // after-key page that makes agg pagination constant-cost at any depth
+    "q_composite_agg" -> ((s, dir) =>
+      reader(s, dir).compositeAgg("spark", roleToolMeta(s, dir),
+        "conv_id", "role", "tool", 5)),
+    "q_composite_agg_page2" -> ((s, dir) =>
+      reader(s, dir).compositeAgg("spark", roleToolMeta(s, dir),
+        "conv_id", "role", "tool", 5, after = Some(("assistant", "src17")))),
     // function_score family: decay recency ranking and doc-value boosts
     // multiply into the FULL scored set (a multiplier ≤ 1 can demote any
     // windowed top, so exactness forbids pre-multiply top-k pruning)
@@ -640,6 +657,10 @@ object SparkEntry {
       " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'query'" +
       " AND conv_id NOT IN (SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark')" +
       " ORDER BY conv_id"),
+    "q_terms_agg" -> termsAggOracleSql("spark", 5),
+    "q_histogram_agg" -> histogramOracleSql("spark", 120.0),
+    "q_composite_agg" -> compositeOracleSql("spark", 5, None),
+    "q_composite_agg_page2" -> compositeOracleSql("spark", 5, Some(("assistant", "src17"))),
     "q_stats_agg" -> statsAggOracleSql("spark"),
     "q_percentiles_agg" -> percentilesOracleSql("spark", Seq(0.25, 0.5, 0.75, 0.95)),
     "q_cardinality_agg" -> cardinalityOracleSql("spark"),

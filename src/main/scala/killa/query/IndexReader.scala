@@ -540,6 +540,80 @@ final class IndexReader(
       .where(col("__v").isNotNull)
       .agg(countDistinct(col("__v")).as("n_distinct"))
 
+  /** Terms aggregation over a doc value (the Elasticsearch `terms`
+    * aggregation on a doc-values field — the generic companion to the
+    * index-backed [[killa.build.FieldIndexes.facetCounts]]): the top-`size`
+    * values by how many MATCHING conversations carry them, ties on value
+    * asc. `meta` may be turn-level; a conversation counts once per value it
+    * carries (ES doc-count semantics). Nulls ignored.
+    *
+    * Shape at scale: pruned posting scan → semi-join → one distinct +
+    * combinable count keyed by value → TakeOrdered(size). Unlike ES this is
+    * EXACT at any shard count (no per-shard size truncation error — the
+    * shuffle sees every value).
+    */
+  def termsAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String, size: Int = 10): DataFrame = {
+    require(size >= 1, "size must be >= 1")
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("string").as("value")), "conv_id")
+      .where(col("value").isNotNull)
+      .select("conv_id", "value").distinct()
+      .groupBy("value").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("value").asc).limit(size)
+  }
+
+  /** Fixed-interval numeric histogram over the match set (the Elasticsearch
+    * `histogram` aggregation): bucket key = floor(v / interval) · interval,
+    * one (bucket, hits) row per non-empty bucket (ES `min_doc_count: 1`
+    * convention, same as [[dateHistogram]]). Missing values ignored.
+    */
+  def histogramAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String, interval: Double): DataFrame = {
+    require(interval > 0.0, "interval must be > 0")
+    val v = col("__v")
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), "conv_id")
+      .where(v.isNotNull && !isnan(v))
+      .groupBy((floor(v / interval) * interval).as("bucket"))
+      .agg(count(lit(1)).as("hits"))
+  }
+
+  /** Composite aggregation (the Elasticsearch `composite` aggregation): doc
+    * counts bucketed by a TUPLE of doc-value sources, streamed in key order
+    * with after-key pagination — the ES-sanctioned way to page through an
+    * unbounded bucket space (a `terms` agg materializes its whole top list;
+    * composite pages in (k1, k2) order at constant cost per page). Buckets
+    * strictly after `after` (lexicographic on the string key pair) are
+    * returned, `size` at a time; a conversation counts once per distinct
+    * key pair it carries. Null keys ignored (ES default, no missing_bucket).
+    *
+    * Shape at scale: semi-join → distinct → combinable count keyed by the
+    * pair → TakeOrdered(size) under the key order. The after-filter pushes
+    * into the aggregation input, so deep pages never rescan emitted buckets'
+    * rows on the way out.
+    */
+  def compositeAgg(term: String, meta: DataFrame, convCol: String,
+      key1Col: String, key2Col: String, size: Int = 10,
+      after: Option[(String, String)] = None): DataFrame = {
+    require(size >= 1, "size must be >= 1")
+    val base = membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(key1Col).cast("string").as("k1"),
+        col(key2Col).cast("string").as("k2")), "conv_id")
+      .where(col("k1").isNotNull && col("k2").isNotNull)
+    val paged = after match {
+      case Some((a1, a2)) =>
+        base.where(col("k1") > a1 || (col("k1") === a1 && col("k2") > a2))
+      case None => base
+    }
+    paged.select("conv_id", "k1", "k2").distinct()
+      .groupBy("k1", "k2").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("k1").asc, col("k2").asc).limit(size)
+  }
+
   /** HLL++ estimate of [[cardinalityAgg]] (the literal ES implementation
     * choice): one pass, bounded sketch per partition, `rsd` relative error.
     */

@@ -91,6 +91,51 @@ class Round5dSpec extends AnyFunSuite {
     assert(math.abs(approx - exp).toDouble <= math.max(1.0, 0.25 * exp))
   }
 
+  test("termsAgg: conv counted once per value, top-size by (count desc, value asc)") {
+    val m = turns.select(col("conv_id"), col("role").as("v"))
+    val exp = turns.where(col("conv_id").isin(matchSet.toSeq: _*))
+      .select("conv_id", "role").distinct()
+      .groupBy("role").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (v, n) => (-n, v) }.take(3).toSeq
+    val got = reader.termsAgg("the", m, "conv_id", "v", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exp)
+  }
+
+  test("histogramAgg: floor-interval buckets, missing values ignored") {
+    val nullConv = matchSet.toSeq.min
+    val poisoned = meta.withColumn("t0",
+      when(col("conv_id") === nullConv, lit(null)).otherwise(col("t0")))
+    val exp = matchSet.toSeq.filter(_ != nullConv).map(valOf)
+      .groupBy(v => math.floor(v / 7.0) * 7.0).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val got = reader.histogramAgg("the", poisoned, "conv_id", "t0", 7.0)
+      .orderBy("bucket").collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got == exp)
+  }
+
+  test("compositeAgg: key-ordered buckets; after-key pages tile the space exactly") {
+    val m = turns.select(col("conv_id"), col("role").as("k1"), col("tool").as("k2"))
+    val all = turns.where(col("conv_id").isin(matchSet.toSeq: _*))
+      .select(col("conv_id"), col("role"), col("tool"))
+      .where(col("role").isNotNull && col("tool").isNotNull)
+      .distinct()
+      .groupBy("role", "tool").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (a, b, _) => (a, b) }.toSeq
+    val size = math.max(1, all.length / 2)
+    val p1 = reader.compositeAgg("the", m, "conv_id", "k1", "k2", size)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(p1 == all.take(size))
+    val afterKey = (p1.last._1, p1.last._2)
+    val p2 = reader.compositeAgg("the", m, "conv_id", "k1", "k2", size,
+        after = Some(afterKey))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(p2 == all.slice(size, 2 * size))
+    assert((p1 ++ p2) == all.take(2 * size), "pages tile with no gap or overlap")
+  }
+
   // ---- function_score family ----
 
   test("decayScoredTopK gauss: decay(scale) = decay exactly; missing value keeps 1.0") {
