@@ -652,6 +652,33 @@ object Harness {
       root
     })
 
+  /** Full index, then update_by_query("spark" → token rewrite to "meteor"):
+    * every matching conv re-indexes through the minimal-diff update path;
+    * searches on the mutated root must match the rewritten-corpus oracle.
+    */
+  def ubqRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#ubq", {
+      val root = freshRoot(sfDir, "ubq")
+      new IndexWriter(spark, root, conf).fullBuild(transcripts(spark, sfDir), "b0")
+      new killa.maintain.IndexMaintainer(spark, root, conf)
+        .updateByQuery(Seq("spark"), transcripts(spark, sfDir),
+          expr("array_join(transform(split(text, ' '), x -> CASE WHEN x = 'spark' THEN 'meteor' ELSE x END), ' ')"),
+          "u1")
+      root
+    })
+
+  /** Transcripts CTE with the update-by-query token rewrite applied to the
+    * matching convs — the corpus [[ubqRoot]]'s index must answer from.
+    */
+  val TurnsUbqCte: String =
+    "WITH t0 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, " +
+      "CAST(doc_id % 5 AS INT) AS turn_idx, text FROM documents)" +
+      ", htoks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t0)" +
+      ", hitconvs AS (SELECT DISTINCT conv_id FROM htoks WHERE term = 'spark')" +
+      ", turns AS (SELECT conv_id, turn_idx, CASE WHEN conv_id IN (SELECT conv_id FROM hitconvs)" +
+      " THEN array_to_string(list_transform(string_split(text, ' '), x -> CASE WHEN x = 'spark' THEN 'meteor' ELSE x END), ' ')" +
+      " ELSE text END AS text FROM t0)"
+
   /** Per-role field indexes (killa.build.FieldIndexes) over the transcripts:
     * one sub-index per role value, each with its own restricted BM25 stats.
     */

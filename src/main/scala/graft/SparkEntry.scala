@@ -185,6 +185,29 @@ object SparkEntry {
     "q_delete_by_query" -> ((s, dir) =>
       new killa.query.IndexReader(s, dbqRoot(s, dir), conf)
         .membership("query").orderBy("conv_id")),
+    // update-by-query (the ES _update_by_query API): matching convs get a
+    // token rewrite (spark → meteor) and re-index through the minimal-diff
+    // path; the mutated index answers membership AND scored queries over
+    // the rewritten corpus exactly
+    "q_update_by_query" -> ((s, dir) =>
+      new killa.query.IndexReader(s, ubqRoot(s, dir), conf)
+        .membership("meteor").orderBy("conv_id")),
+    "q_update_by_query_bm25" -> ((s, dir) =>
+      present(new killa.query.IndexReader(s, ubqRoot(s, dir), conf)
+        .bm25TopK(Seq("meteor", "filter"), 10))),
+    // percolate (reverse search): a batch of documents probes a broadcast
+    // table of registered queries — the ES alerting shape
+    "q_percolate" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        ("alert_any_agg_scan", Seq("agg", "scan"), false),
+        ("alert_batch", Seq("batch"), false),
+        ("alert_missing", Seq("spark", "zzz_nonexistent"), true),
+        ("alert_spark_query", Seq("spark", "query"), true)
+      ).toDF("query_id", "terms", "conjunctive")
+      killa.query.Percolate.percolate(transcripts(s, dir), qs)
+        .orderBy("conv_id", "query_id")
+    }),
     // metric aggregations over the match set (the ES stats / percentiles /
     // cardinality aggregations) — the index contributes the match set, the
     // doc-values frame the metric; percentiles are EXACT interpolated
@@ -657,6 +680,23 @@ object SparkEntry {
       " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'query'" +
       " AND conv_id NOT IN (SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark')" +
       " ORDER BY conv_id"),
+    // rewritten corpus: membership('meteor') = original spark convs; BM25
+    // recomputes over the rewritten text with its own df/dl/stats
+    "q_update_by_query" -> (TurnsUbqCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'meteor' ORDER BY conv_id"),
+    "q_update_by_query_bm25" -> bm25OracleSql(Seq("meteor", "filter"), 10,
+      conjunctive = false, turnsCte = TurnsUbqCte),
+    "q_percolate" -> (TurnsCte + TfCtes +
+      ", dterms AS (SELECT DISTINCT conv_id, term FROM tok2)" +
+      ", pq(query_id, term, nt, conj) AS (VALUES" +
+      " ('alert_any_agg_scan', 'agg', 2, false), ('alert_any_agg_scan', 'scan', 2, false)," +
+      " ('alert_batch', 'batch', 1, false)," +
+      " ('alert_missing', 'spark', 2, true), ('alert_missing', 'zzz_nonexistent', 2, true)," +
+      " ('alert_spark_query', 'spark', 2, true), ('alert_spark_query', 'query', 2, true))" +
+      ", pj AS (SELECT d.conv_id, pq.query_id, count(*) AS nhit, min(pq.nt) AS nt, bool_and(pq.conj) AS conj" +
+      " FROM dterms d JOIN pq ON d.term = pq.term GROUP BY 1, 2)" +
+      " SELECT conv_id, query_id FROM pj WHERE (NOT conj) OR nhit = nt" +
+      " ORDER BY conv_id, query_id"),
     "q_terms_agg" -> termsAggOracleSql("spark", 5),
     "q_histogram_agg" -> histogramOracleSql("spark", 120.0),
     "q_composite_agg" -> compositeOracleSql("spark", 5, None),

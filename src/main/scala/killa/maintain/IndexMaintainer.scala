@@ -424,6 +424,27 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
       new killa.query.IndexReader(spark, root, conf).membershipAny(terms),
       batchId)
 
+  /** Update-by-query (the Elasticsearch `_update_by_query` API): apply a
+    * text transform to every live doc matching ANY of the query terms and
+    * re-index exactly those docs through the normal minimal-diff update
+    * path. The match set comes from the index's own pruned posting scan and
+    * stays a distributed frame end-to-end; `source` supplies the current
+    * turn rows (the engine indexes, it does not store raw text — same
+    * contract as snippets).
+    *
+    * @param transform new value for the `text` column, e.g.
+    *                  `regexp_replace(col("text"), "spark", "meteor")`.
+    */
+  def updateByQuery(terms: Seq[String], source: DataFrame,
+      transform: org.apache.spark.sql.Column,
+      batchId: String = "ubq"): Manifest = {
+    val matches = new killa.query.IndexReader(spark, root, conf)
+      .membershipAny(terms)
+    val changed = source.join(matches, "conv_id")
+      .withColumn("text", transform)
+    applyChangesDf(changed, None, batchId = batchId)
+  }
+
   /** Unsubscribe de-index (FileAnalyzer.cs:199-220): remove every live doc
     * of `source`; post-unsubscribe searches return empty for its docs
     * (FileAnalyzerTests.cs:1026-1049).
