@@ -584,6 +584,36 @@ object SparkEntry {
     // emits exactly the sessions the final watermark closed — i.e. those
     // with (last event + gap) < (max ts − watermark delay) — which the
     // oracle recomputes relationally (probe-verified < vs ≤ at sf0.01)
+    // streaming percolate: the same registered-query table probed by the
+    // transcripts arriving as a stream (AvailableNow over a staged dir, one
+    // file = full conversation content per the ingest contract) — alerts
+    // must equal the batch percolate over the same corpus exactly
+    "q_stream_percolate" -> ((s, dir) => {
+      import s.implicits._
+      val tag = math.abs(dir.hashCode)
+      val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/")
+      val src = s"$tmp/killa-perc-src-$tag"
+      val out = s"$tmp/killa-perc-out-$tag"
+      val ckpt = s"$tmp/killa-perc-ckpt-$tag"
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete(); ()
+      }
+      Seq(src, out, ckpt).foreach { p =>
+        val f = new java.io.File(p); if (f.exists()) rm(f)
+      }
+      // stage the corpus as ONE arriving file (full conv content per file)
+      transcripts(s, dir).coalesce(1).write.parquet(src)
+      val qs = Seq(
+        ("alert_any_agg_scan", Seq("agg", "scan"), false),
+        ("alert_batch", Seq("batch"), false),
+        ("alert_missing", Seq("spark", "zzz_nonexistent"), true),
+        ("alert_spark_query", Seq("spark", "query"), true)
+      ).toDF("query_id", "terms", "conjunctive")
+      killa.streaming.StreamOps.percolateTranscripts(s, src, qs, out, ckpt)
+      s.read.parquet(out).select("conv_id", "query_id")
+        .orderBy("conv_id", "query_id")
+    }),
     "q_stream_sessions_append" -> ((s, dir) => {
       // scratch lives under java.io.tmpdir, NOT the repo tree: a registered
       // query must not mutate the checkout (read-only checkouts, parallel
@@ -630,6 +660,22 @@ object SparkEntry {
     * the stable (turn_idx, within-turn ordinal) order — the DuckDB mirror of
     * IndexWriter.buildPositions.
     */
+  /** Percolate oracle: the registered-query VALUES table joined against the
+    * distinct (conv, term) pairs; a conjunctive query is satisfied when its
+    * distinct-term hit count reaches the query's term count.
+    */
+  private val PercolateOracleSql: String = TurnsCte + TfCtes +
+    ", dterms AS (SELECT DISTINCT conv_id, term FROM tok2)" +
+    ", pq(query_id, term, nt, conj) AS (VALUES" +
+    " ('alert_any_agg_scan', 'agg', 2, false), ('alert_any_agg_scan', 'scan', 2, false)," +
+    " ('alert_batch', 'batch', 1, false)," +
+    " ('alert_missing', 'spark', 2, true), ('alert_missing', 'zzz_nonexistent', 2, true)," +
+    " ('alert_spark_query', 'spark', 2, true), ('alert_spark_query', 'query', 2, true))" +
+    ", pj AS (SELECT d.conv_id, pq.query_id, count(*) AS nhit, min(pq.nt) AS nt, bool_and(pq.conj) AS conj" +
+    " FROM dterms d JOIN pq ON d.term = pq.term GROUP BY 1, 2)" +
+    " SELECT conv_id, query_id FROM pj WHERE (NOT conj) OR nhit = nt" +
+    " ORDER BY conv_id, query_id"
+
   private val PposCte =
     ", ptoks AS (SELECT conv_id, turn_idx, unnest(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), (x, i) -> struct_pack(term := x, ord := i))) AS t FROM turns)" +
       ", ppos AS (SELECT conv_id, t.term AS term, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, t.ord) - 1 AS pos FROM ptoks)"
@@ -686,17 +732,10 @@ object SparkEntry {
       " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'meteor' ORDER BY conv_id"),
     "q_update_by_query_bm25" -> bm25OracleSql(Seq("meteor", "filter"), 10,
       conjunctive = false, turnsCte = TurnsUbqCte),
-    "q_percolate" -> (TurnsCte + TfCtes +
-      ", dterms AS (SELECT DISTINCT conv_id, term FROM tok2)" +
-      ", pq(query_id, term, nt, conj) AS (VALUES" +
-      " ('alert_any_agg_scan', 'agg', 2, false), ('alert_any_agg_scan', 'scan', 2, false)," +
-      " ('alert_batch', 'batch', 1, false)," +
-      " ('alert_missing', 'spark', 2, true), ('alert_missing', 'zzz_nonexistent', 2, true)," +
-      " ('alert_spark_query', 'spark', 2, true), ('alert_spark_query', 'query', 2, true))" +
-      ", pj AS (SELECT d.conv_id, pq.query_id, count(*) AS nhit, min(pq.nt) AS nt, bool_and(pq.conj) AS conj" +
-      " FROM dterms d JOIN pq ON d.term = pq.term GROUP BY 1, 2)" +
-      " SELECT conv_id, query_id FROM pj WHERE (NOT conj) OR nhit = nt" +
-      " ORDER BY conv_id, query_id"),
+    "q_percolate" -> PercolateOracleSql,
+    // the stream processes the identical corpus in one AvailableNow batch,
+    // so its alert set equals the batch percolate exactly
+    "q_stream_percolate" -> PercolateOracleSql,
     "q_terms_agg" -> termsAggOracleSql("spark", 5),
     "q_histogram_agg" -> histogramOracleSql("spark", 120.0),
     "q_composite_agg" -> compositeOracleSql("spark", 5, None),

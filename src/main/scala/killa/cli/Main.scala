@@ -159,7 +159,8 @@ object Main {
     // NoSuchElementException stack traces (ADVICE r3)
     val minArity = Map("build" -> 1, "posbuild" -> 1, "unsub" -> 1, "sub" -> 2, "ren" -> 2,
       "slop" -> 2, "mlt" -> 1, "qat" -> 2, "page" -> 4, "suggest" -> 1,
-      "qr" -> 1, "qany" -> 1, "sig" -> 1, "qsyn" -> 2, "dbq" -> 1)
+      "qr" -> 1, "qany" -> 1, "sig" -> 1, "qsyn" -> 2, "dbq" -> 1,
+      "qpp" -> 1, "qsf" -> 2)
     minArity.get(verb).filter(rest.length < _).foreach { n =>
       throw new IllegalArgumentException(s"$verb requires at least $n argument(s)")
     }
@@ -183,6 +184,14 @@ object Main {
           .foreach(r => println(r.getString(0)))
       case "slop" => // slop <n> <term>...: ordered proximity phrase
         session.reader.phrase(rest.drop(1).toSeq, slop = rest.head.toInt)
+          .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
+      case "qpp" => // qpp <term>... <prefix>: match_phrase_prefix (last arg
+        // is the incomplete word — "qpp batch s" matches "batch s…")
+        session.reader.phrasePrefix(rest.dropRight(1).toSeq, rest.last)
+          .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
+      case "qsf" => // qsf <term> <limit>: span_first (first occurrence
+        // inside the doc's leading <limit> positions)
+        session.reader.spanFirst(rest.head, rest(1).toInt)
           .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
       case "mlt" => // mlt <conv> [k] [maxDfPct]: more-like-this
         val k = rest.lift(1).map(_.toInt).getOrElse(10)

@@ -189,6 +189,42 @@ object StreamOps {
     * replacement, so a conversation's turns split across two files/batches
     * would have the second batch REPLACE the first, not extend it.
     */
+  /** Streaming percolate (the Elasticsearch alerting pattern): every
+    * arriving transcript batch probes the registered-query table BEFORE
+    * anything merges into an index — matched (conv_id, query_id, batch_id)
+    * alert rows append to `alertsDir`. Same ingest contract as
+    * [[ingestTranscripts]]: one arriving file carries the FULL content of
+    * every conversation it touches, so a conjunctive query sees the whole
+    * document in one batch. The query table broadcasts inside each batch
+    * (killa.query.Percolate), so the stream's per-batch cost is one
+    * tokenize+join scan of the batch — no index, no state store.
+    *
+    * @return number of non-empty batches processed.
+    */
+  def percolateTranscripts(spark: SparkSession, transcriptsDir: String,
+      queries: DataFrame, alertsDir: String, checkpointDir: String): Long = {
+    val schema = spark.read.parquet(transcriptsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(transcriptsDir)
+    var batches = 0L
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          killa.query.Percolate.percolate(batch, queries)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(alertsDir)
+          batches += 1
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    batches
+  }
+
   def ingestTranscripts(spark: SparkSession, transcriptsDir: String, indexRoot: String,
       conf: Conf = Conf.default, source: String = "stream",
       masks: Seq[String] = Seq("*")): Long = {

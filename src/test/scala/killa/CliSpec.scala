@@ -186,4 +186,29 @@ class CliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Main.run(spark, root, "page", Array("1", "cA")))
     intercept[IllegalArgumentException](Main.run(spark, root, "qat", Array("1")))
   }
+
+  test("round-5 verbs: qpp (match_phrase_prefix) / qsf (span_first) dispatch") {
+    val root = TestSpark.freshDir("clir5")
+    val data = TestSpark.freshDir("clir5data")
+    Seq(
+      Turn("cP", 0, "user", "run scan now", "", new Timestamp(0L)),
+      Turn("cQ", 0, "user", "run sort here", "", new Timestamp(0L)),
+      Turn("cR", 0, "user", "scan run", "", new Timestamp(0L))
+    ).toDS().toDF().write.mode("overwrite").parquet(data)
+    Main.run(spark, root, "build", Array(data))
+    Main.run(spark, root, "posbuild", Array(data))
+
+    def capture(verb: String, args: Array[String]): Seq[String] = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Main.run(spark, root, verb, args) }
+      out.toString.split("\n").filter(_.nonEmpty).toSeq
+    }
+
+    // "run s…" matches cP (run scan) and cQ (run sort), not cR (wrong order)
+    assert(capture("qpp", Array("run", "s")) == Seq("cP", "cQ"))
+    // span_first: scan at position 0 only in cR; window 2 also admits cP
+    assert(capture("qsf", Array("scan", "1")) == Seq("cR"))
+    assert(capture("qsf", Array("scan", "2")) == Seq("cP", "cR"))
+    intercept[IllegalArgumentException](Main.run(spark, root, "qsf", Array("scan")))
+  }
 }

@@ -54,6 +54,22 @@ class Round5eSpec extends AnyFunSuite {
     assert(got == Seq("x"))
   }
 
+  test("percolateTranscripts: arriving files alert against the registered queries") {
+    val src = TestSpark.freshDir("r5eperc-src")
+    val out = TestSpark.freshDir("r5eperc-out")
+    val ckpt = TestSpark.freshDir("r5eperc-ckpt")
+    mkTurns(("pa", 0, "hit one"), ("pb", 0, "nothing here"))
+      .write.mode("append").parquet(src)
+    mkTurns(("pc", 0, "another hit arrives"))
+      .write.mode("append").parquet(src)
+    val queries = Seq(("watch_hit", Seq("hit"), false)).toDF("query_id", "terms", "conjunctive")
+    val batches = killa.streaming.StreamOps.percolateTranscripts(spark, src, queries, out, ckpt)
+    assert(batches >= 1)
+    val alerts = spark.read.parquet(out).select("conv_id", "query_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(alerts == Set(("pa", "watch_hit"), ("pc", "watch_hit")))
+  }
+
   // ---- update-by-query ----
 
   test("updateByQuery: mutated index is rank-identical to a fresh build of the rewritten corpus") {
