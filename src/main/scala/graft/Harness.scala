@@ -652,6 +652,25 @@ object Harness {
       root
     })
 
+  /** Resharding layout for the reindex gate: twice the buckets, much
+    * smaller ranges/blocks than [[conf]] — every layout knob changes, so an
+    * accidental dependence on the source layout cannot pass.
+    */
+  val reindexConf: Conf = conf.copy(nBuckets = 16, rangeDocs = 8, blockSize = 16)
+
+  /** The plain corpus reindexed into [[reindexConf]] from the forward log
+    * alone (no source table) — queries on the new root must match the
+    * plain-corpus oracles exactly.
+    */
+  def reindexRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#reidx", {
+      val src = indexRoot(spark, sfDir)
+      val dst = freshRoot(sfDir, "reidx")
+      new killa.maintain.IndexMaintainer(spark, src, conf)
+        .reindexTo(dst, reindexConf)
+      dst
+    })
+
   /** Full index, then update_by_query("spark" → token rewrite to "meteor"):
     * every matching conv re-indexes through the minimal-diff update path;
     * searches on the mutated root must match the rewritten-corpus oracle.

@@ -185,6 +185,23 @@ object SparkEntry {
     "q_delete_by_query" -> ((s, dir) =>
       new killa.query.IndexReader(s, dbqRoot(s, dir), conf)
         .membership("query").orderBy("conv_id")),
+    // score explanation (the ES _explain API): per-term BM25 breakdown for
+    // one (query, doc) pair — tf, dl, df, idf, contribution, matched
+    // clauses only, every value identical to what the kernel folds
+    "q_explain" -> ((s, dir) =>
+      reader(s, dir).bm25Explain("c00007", Seq("query", "filter", "spark"))
+        .withColumn("idf", round(col("idf"), 4))
+        .withColumn("contrib", round(col("contrib"), 4))
+        .orderBy("term")),
+    // reindex (the ES _reindex API): live content rebuilt from the forward
+    // log alone into a resharded layout (2× buckets, smaller ranges+blocks);
+    // membership and scored queries must answer identically to the source
+    "q_reindex_membership" -> ((s, dir) =>
+      new killa.query.IndexReader(s, reindexRoot(s, dir), reindexConf)
+        .membership("spark").orderBy("conv_id")),
+    "q_reindex_bm25" -> ((s, dir) =>
+      present(new killa.query.IndexReader(s, reindexRoot(s, dir), reindexConf)
+        .bm25TopK(Seq("query", "filter", "join"), 10))),
     // update-by-query (the ES _update_by_query API): matching convs get a
     // token rewrite (spark → meteor) and re-index through the minimal-diff
     // path; the mutated index answers membership AND scored queries over
@@ -726,6 +743,22 @@ object SparkEntry {
       " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'query'" +
       " AND conv_id NOT IN (SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark')" +
       " ORDER BY conv_id"),
+    // matched clauses of the probe doc with the engine's exact inputs
+    "q_explain" -> (TurnsCte + TfCtes +
+      ", q(term) AS (VALUES ('filter'), ('query'), ('spark'))" +
+      ", qdf AS (SELECT q.term, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1)" +
+      " SELECT q.term, t.tf, CAST(l.dl AS BIGINT) AS dl, qdf.df, " +
+      "round(ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)), 4) AS idf, " +
+      "round(ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * t.tf " +
+      "/ (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (SELECT avgdl FROM stats))), 4) AS contrib" +
+      " FROM q JOIN tf t ON t.term = q.term AND t.conv_id = 'c00007'" +
+      " JOIN qdf ON qdf.term = q.term JOIN dl l ON l.conv_id = 'c00007'" +
+      " ORDER BY q.term"),
+    // the resharded index answers from the SAME corpus — plain oracles
+    "q_reindex_membership" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark' ORDER BY conv_id"),
+    "q_reindex_bm25" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
+      conjunctive = false),
     // rewritten corpus: membership('meteor') = original spark convs; BM25
     // recomputes over the rewritten text with its own df/dl/stats
     "q_update_by_query" -> (TurnsUbqCte + TfCtes +

@@ -160,7 +160,7 @@ object Main {
     val minArity = Map("build" -> 1, "posbuild" -> 1, "unsub" -> 1, "sub" -> 2, "ren" -> 2,
       "slop" -> 2, "mlt" -> 1, "qat" -> 2, "page" -> 4, "suggest" -> 1,
       "qr" -> 1, "qany" -> 1, "sig" -> 1, "qsyn" -> 2, "dbq" -> 1,
-      "qpp" -> 1, "qsf" -> 2)
+      "qpp" -> 1, "qsf" -> 2, "explain" -> 2)
     minArity.get(verb).filter(rest.length < _).foreach { n =>
       throw new IllegalArgumentException(s"$verb requires at least $n argument(s)")
     }
@@ -193,6 +193,10 @@ object Main {
         // inside the doc's leading <limit> positions)
         session.reader.spanFirst(rest.head, rest(1).toInt)
           .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
+      case "explain" => // explain <conv> <term>...: per-term BM25 breakdown
+        session.reader.bm25Explain(rest.head, rest.drop(1).toSeq).collect()
+          .foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}" +
+            s"\t${r.getLong(3)}\t${r.getDouble(4)}\t${r.getDouble(5)}"))
       case "mlt" => // mlt <conv> [k] [maxDfPct]: more-like-this
         val k = rest.lift(1).map(_.toInt).getOrElse(10)
         val pct = rest.lift(2).map(_.toInt).getOrElse(50)

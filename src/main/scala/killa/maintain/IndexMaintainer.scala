@@ -424,6 +424,38 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
       new killa.query.IndexReader(spark, root, conf).membershipAny(terms),
       batchId)
 
+  /** Reindex (the Elasticsearch `_reindex` API): rebuild this index's LIVE
+    * content into a fresh root under a possibly different layout `Conf` —
+    * more buckets, bigger posting ranges, a different block size — which is
+    * how a store laid out for 10^9 docs reshards for 10^11 WITHOUT the
+    * original source table. The live forward log reconstructs a rank-exact
+    * synthetic corpus (per conversation, one turn whose tokens repeat each
+    * term tf times): tf, dl, df, N and avgdl — everything membership and
+    * BM25 read — are preserved exactly (spec-pinned identity against the
+    * source index). Two caveats, both inherent to log-only rebuilds: token
+    * ORDER is not in the forward log, so a positional index must rebuild
+    * from the true source via `IndexWriter.buildPositions`; and per-doc
+    * `source` attribution collapses to this build's single source tag.
+    */
+  def reindexTo(dstRoot: String, dstConf: Conf,
+      buildId: String = "reindex"): Option[Manifest] = {
+    val m = SegmentStore.latest(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no index at $root"))
+    val fwd = killa.store.Logs.forward(spark, m)
+    val dict = killa.store.Logs.docsAlive(spark, m).select(col("docId"), col("convId"))
+    val turns = fwd.join(dict, "docId")
+      .groupBy(col("convId").as("conv_id"))
+      .agg(array_join(sort_array(flatten(collect_list(
+        array_repeat(col("term"), col("tf").cast("int"))))), " ").as("text"))
+    // token-less docs keep their dictionary entry (empty text indexes to the
+    // empty set, the unreadable-file analog)
+    val empties = dict.select(col("convId").as("conv_id"))
+      .join(turns.select("conv_id"), Seq("conv_id"), "left_anti")
+      .withColumn("text", lit(""))
+    new killa.build.IndexWriter(spark, dstRoot, dstConf)
+      .fullBuild(turns.unionByName(empties), buildId)
+  }
+
   /** Update-by-query (the Elasticsearch `_update_by_query` API): apply a
     * text transform to every live doc matching ANY of the query terms and
     * re-index exactly those docs through the normal minimal-diff update

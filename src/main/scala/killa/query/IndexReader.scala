@@ -1351,6 +1351,49 @@ final class IndexReader(
     hitsDf(rows)
   }
 
+  /** Score explanation (the Elasticsearch `_explain` API): the exact
+    * per-term BM25 breakdown for one (query, document) pair — the integer
+    * inputs (tf, dl, df, N) plus idf and the contribution, the same values
+    * the DAAT kernel folds, so sum(contrib) is the doc's score on every
+    * query surface (modulo the documented fold-order ulp). One row per query
+    * term PRESENT in the document (ES explain lists matched clauses).
+    * Bounded driver work by construction: a dictionary point lookup, the
+    * doc's forward rows, and one bucket-pruned (term, df) scan.
+    */
+  def bm25Explain(convId: String, termsIn: Seq[String]): DataFrame = {
+    val empty = Seq.empty[(String, Long, Long, Long, Double, Double)]
+      .toDF("term", "tf", "dl", "df", "idf", "contrib")
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    if (convId == null || convId.isEmpty || terms.isEmpty || manifest.isEmpty)
+      return empty
+    val m = manifest.get
+    if (m.numDocs == 0 || m.avgdl <= 0.0) return empty
+    val idRow = docs.where(col("convId") === convId)
+      .select("docId", "dl").collect()
+    if (idRow.isEmpty) return empty
+    val docId = idRow(0).getLong(0); val dl = idRow(0).getLong(1)
+    val tfMap: Map[String, Long] = killa.store.Logs.forward(spark, m)
+      .where(col("docId") === docId && col("term").isin(terms: _*))
+      .select("term", "tf").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (tfMap.isEmpty) return empty
+    val paths = termBucketPaths(tfMap.keys.toSeq)
+    val dfMap: Map[String, Long] =
+      if (paths.isEmpty) Map.empty
+      else spark.read.schema(blockSchema).parquet(paths: _*)
+        .where(col("term").isin(tfMap.keys.toSeq: _*))
+        .groupBy("term").agg(max(col("df")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = m.numDocs; val k1 = conf.k1; val b = conf.b; val avgdl = m.avgdl
+    terms.sorted.flatMap { t =>
+      tfMap.get(t).map { tf =>
+        val df = dfMap.getOrElse(t, 1L)
+        (t, tf, dl, df, Bm25.idf(n, df),
+          Bm25.contrib(Bm25.weight(n, df, k1), tf, dl, k1, b, avgdl))
+      }
+    }.toDF("term", "tf", "dl", "df", "idf", "contrib")
+  }
+
   /** Bucket dirs holding EXACTLY the given terms' postings (term → bucket is
     * a pure hash), existing dirs only — the pruned path set of any
     * several-known-terms scan ([[moreLikeThis]]'s df lookup). Spec-asserted

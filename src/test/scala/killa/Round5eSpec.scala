@@ -72,6 +72,66 @@ class Round5eSpec extends AnyFunSuite {
 
   // ---- update-by-query ----
 
+  test("bm25Explain: matched clauses only; contributions sum to the doc's score") {
+    val corpus = mkTurns(
+      ("e1", 0, "spark query fast"), ("e1", 1, "query again"),
+      ("e2", 0, "query filter text"),
+      ("e3", 0, "filter words here"))
+    val root = TestSpark.freshDir("r5eexp")
+    new IndexWriter(spark, root, conf).fullBuild(corpus, "b0")
+    val rd = new IndexReader(spark, root, conf)
+    val rows = rd.bm25Explain("e1", Seq("query", "filter", "spark"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(5))).toSeq
+    // e1 holds query (tf 2) and spark (tf 1) but NOT filter
+    assert(rows.map(_._1) == Seq("query", "spark"))
+    val byTerm = rows.map(r => r._1 -> r).toMap
+    assert(byTerm("query")._2 == 2L && byTerm("spark")._2 == 1L)
+    assert(rows.forall(_._3 == 5L), "dl = e1's 5 tokens")
+    assert(byTerm("query")._4 == 2L && byTerm("spark")._4 == 1L, "global dfs")
+    // sum of contributions = the doc's score on the scored surface
+    val score = rd.bm25TopK(Seq("query", "filter", "spark"), 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap.apply("e1")
+    assert(math.abs(rows.map(_._5).sum - score) <= 1e-9 * math.max(1.0, score))
+    // unknown doc and no-match term sets return empty, no error
+    assert(rd.bm25Explain("nope", Seq("query")).isEmpty)
+    assert(rd.bm25Explain("e1", Seq("zzz")).isEmpty)
+  }
+
+  test("reindexTo: resharded rebuild from the forward log is rank-identical to the source") {
+    val corpus = mkTurns(
+      ("r1", 0, "spark query fast"), ("r1", 1, "query again spark"),
+      ("r2", 0, "query filter text"),
+      ("r3", 0, "spark filter mix extra words"),
+      ("r4", 0, "plain other things"),
+      ("r5", 0, "")) // token-less doc must survive the reindex
+    val src = TestSpark.freshDir("r5eridx-src")
+    new IndexWriter(spark, src, conf).fullBuild(corpus, "b0")
+    val maint = new IndexMaintainer(spark, src, conf)
+    // mutate before reindexing: the LIVE state is what must carry over
+    maint.applyChangesDf(mkTurns(("r2", 0, "query filter rewritten")), None, batchId = "d1")
+    maint.removeConvs(Seq("r4").toDF("conv_id"), "d2")
+    val dst = TestSpark.freshDir("r5eridx-dst")
+    val dstConf = conf.copy(nBuckets = 16, rangeDocs = 4, blockSize = 8)
+    maint.reindexTo(dst, dstConf)
+    val a = new IndexReader(spark, src, conf)
+    val b = new IndexReader(spark, dst, dstConf)
+    // membership identity on every term of the live corpus
+    for (t <- Seq("spark", "query", "filter", "rewritten", "plain")) {
+      assert(b.membership(t).collect().map(_.getString(0)).sorted.toSeq ==
+        a.membership(t).collect().map(_.getString(0)).sorted.toSeq, s"term $t")
+    }
+    // scored identity: ids AND scores
+    val ha = a.bm25TopK(Seq("spark", "query"), 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val hb = b.bm25TopK(Seq("spark", "query"), 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(ha == hb)
+    // the token-less doc kept its dictionary entry (N preserved → idf equal,
+    // already implied by the score identity; assert directly too)
+    assert(b.docs.count() == a.docs.count())
+  }
+
   test("updateByQuery: mutated index is rank-identical to a fresh build of the rewritten corpus") {
     val corpus = mkTurns(
       ("u1", 0, "spark query fast"), ("u1", 1, "spark again here"),
