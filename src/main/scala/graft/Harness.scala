@@ -338,6 +338,38 @@ object Harness {
       " SELECT CAST(count(DISTINCT t.source) AS BIGINT) AS n_distinct" +
       " FROM t2 t JOIN hits h ON t.conv_id = h.conv_id"
 
+  /** [[plainScoredCtes]] with suffixed CTE names over the SAME shared
+    * tf/dl/stats, so several sub-queries' full scored sets coexist in one
+    * statement (dis_max).
+    */
+  private def scoredCtesSfx(sfx: String, terms: Seq[String]): String = {
+    val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    s", q$sfx(term, tidx) AS (VALUES $vals)" +
+      s", qdf$sfx AS (SELECT q$sfx.term, q$sfx.tidx, count(tf.conv_id) AS df FROM q$sfx LEFT JOIN tf ON tf.term = q$sfx.term GROUP BY 1, 2)" +
+      s", contrib$sfx AS (SELECT tf.conv_id, " +
+      "ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
+      "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (SELECT avgdl FROM stats))) AS c " +
+      s"FROM tf JOIN qdf$sfx d ON tf.term = d.term JOIN dl l ON tf.conv_id = l.conv_id)" +
+      s", scored$sfx AS (SELECT conv_id, sum(c) AS s FROM contrib$sfx GROUP BY conv_id)"
+  }
+
+  /** Dis-max oracle: best sub-query score + tie × the rest, the SQL mirror
+    * of IndexReader.disMaxTopK for two sub-queries.
+    */
+  def disMaxOracleSql(q1: Seq[String], q2: Seq[String], tie: Double, k: Int): String =
+    TurnsCte + TfCtes + scoredCtesSfx("_a", q1) + scoredCtesSfx("_b", q2) +
+      ", uni AS (SELECT conv_id, s FROM scored_a UNION ALL SELECT conv_id, s FROM scored_b)" +
+      s", comb AS (SELECT conv_id, max(s) + $tie * (sum(s) - max(s)) AS s FROM uni GROUP BY conv_id)" +
+      s", top AS (SELECT conv_id, s FROM comb ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+
+  /** Random-score oracle: the identical md5(seed ‖ conv_id) rank key. */
+  def randomScoreOracleSql(term: String, seed: String, k: Int): String =
+    TurnsCte + TfCtes +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      s", r AS (SELECT conv_id, md5('$seed' || conv_id) AS rnd FROM hits)" +
+      s" SELECT conv_id, rnd FROM r ORDER BY rnd ASC, conv_id ASC LIMIT $k"
+
   /** Terms-aggregation oracle: per `source` value, how many matching convs
     * carry it (conv counted once per value), top-`size` by count desc then
     * value asc.

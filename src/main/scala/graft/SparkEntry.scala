@@ -185,6 +185,16 @@ object SparkEntry {
     "q_delete_by_query" -> ((s, dir) =>
       new killa.query.IndexReader(s, dbqRoot(s, dir), conf)
         .membership("query").orderBy("conv_id")),
+    // dis_max (best-fields): the best sub-query score + tieBreaker × the
+    // rest — one strong clause beats many weak ones
+    "q_dis_max" -> ((s, dir) =>
+      present(reader(s, dir).disMaxTopK(
+        Seq(Seq("query", "filter"), Seq("spark", "batch")), 0.3, 10))),
+    // seeded random_score: deterministic pseudo-random sample of the match
+    // set — stable pages, reproducible on any engine (md5 rank key)
+    "q_random_score" -> ((s, dir) =>
+      reader(s, dir).randomScoreTopK("spark", "seed42", 10)
+        .orderBy(col("rnd").asc, col("conv_id").asc)),
     // score explanation (the ES _explain API): per-term BM25 breakdown for
     // one (query, doc) pair — tf, dl, df, idf, contribution, matched
     // clauses only, every value identical to what the kernel folds
@@ -743,6 +753,8 @@ object SparkEntry {
       " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'query'" +
       " AND conv_id NOT IN (SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark')" +
       " ORDER BY conv_id"),
+    "q_dis_max" -> disMaxOracleSql(Seq("query", "filter"), Seq("spark", "batch"), 0.3, 10),
+    "q_random_score" -> randomScoreOracleSql("spark", "seed42", 10),
     // matched clauses of the probe doc with the engine's exact inputs
     "q_explain" -> (TurnsCte + TfCtes +
       ", q(term) AS (VALUES ('filter'), ('query'), ('spark'))" +

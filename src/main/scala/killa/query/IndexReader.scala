@@ -540,6 +540,47 @@ final class IndexReader(
       .where(col("__v").isNotNull)
       .agg(countDistinct(col("__v")).as("n_distinct"))
 
+  /** Dis-max query (the Elasticsearch `dis_max` / best-fields pattern): each
+    * sub-query scores independently and a document's combined score is its
+    * BEST sub-query score plus `tieBreaker` × the others — the standard fix
+    * for multi-clause queries where summing (the bool/should behavior)
+    * over-rewards documents that match many clauses weakly over one that
+    * matches a single clause strongly. tieBreaker 0 is pure best-of; 1
+    * degenerates to the should-sum.
+    *
+    * Shape at scale: one full scored set per sub-query (each its own pruned
+    * scans + one combinable fold), union, one groupBy(doc) computing
+    * max+sum, TakeOrdered(k).
+    */
+  def disMaxTopK(queries: Seq[Seq[String]], tieBreaker: Double, k: Int): DataFrame = {
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, "tieBreaker must be in [0, 1]")
+    val qs = queries.map(_.filter(t => t != null && t.nonEmpty).distinct)
+      .filter(_.nonEmpty)
+    if (qs.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
+    val scored = qs.map(g => bm25ScoredAll(g)).reduce(_ unionByName _)
+    scored.groupBy("conv_id")
+      .agg(max(col("score")).as("__mx"), sum(col("score")).as("__sm"))
+      .select(col("conv_id"),
+        (col("__mx") + lit(tieBreaker) * (col("__sm") - col("__mx"))).as("score"))
+      .orderBy(col("score").desc, col("conv_id").asc).limit(k)
+  }
+
+  /** Seeded random-score sampling (the Elasticsearch `function_score`
+    * `random_score` with a seed): a DETERMINISTIC pseudo-random total order
+    * over the match set — rank key md5(seed ‖ conv_id), uniform,
+    * partitioning- and engine-independent (any SQL engine reproduces it),
+    * so "a random k of the matches" pages stably and replays identically
+    * anywhere. No shuffle beyond the TakeOrdered.
+    *
+    * @return (conv_id, rnd) rows, rnd the hex rank key, ascending.
+    */
+  def randomScoreTopK(term: String, seed: String, k: Int): DataFrame = {
+    if (k <= 0) return emptyMembers.withColumn("rnd", lit(""))
+    membership(term)
+      .withColumn("rnd", md5(concat(lit(seed), col("conv_id"))))
+      .orderBy(col("rnd").asc, col("conv_id").asc).limit(k)
+  }
+
   /** Terms aggregation over a doc value (the Elasticsearch `terms`
     * aggregation on a doc-values field — the generic companion to the
     * index-backed [[killa.build.FieldIndexes.facetCounts]]): the top-`size`

@@ -206,6 +206,41 @@ class Round5dSpec extends AnyFunSuite {
     assert(approxEq(id, hits(reader.bm25TopK(pos, 10))))
   }
 
+  test("disMaxTopK: best clause + tieBreaker × rest; edges are best-of and should-sum") {
+    val q1 = Seq("query", "filter"); val q2 = Seq("spark", "scan")
+    def scoredMap(ts: Seq[String]) =
+      BruteForce.bm25(turns, ts, 100000, conf = conf)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val s1 = scoredMap(q1); val s2 = scoredMap(q2)
+    val tie = 0.3
+    val exp = (s1.keySet ++ s2.keySet).toSeq.map { c =>
+      val ss = Seq(s1.get(c), s2.get(c)).flatten
+      (c, ss.max + tie * (ss.sum - ss.max))
+    }.sortBy { case (c, s) => (-s, c) }.take(10)
+    val got = hits(reader.disMaxTopK(Seq(q1, q2), tie, 10))
+    assert(approxEq(got, exp))
+    // tieBreaker 1 = the should-sum of the two clauses
+    val sumExp = (s1.keySet ++ s2.keySet).toSeq
+      .map(c => (c, s1.getOrElse(c, 0.0) + s2.getOrElse(c, 0.0)))
+      .sortBy { case (c, s) => (-s, c) }.take(10)
+    assert(approxEq(hits(reader.disMaxTopK(Seq(q1, q2), 1.0, 10)), sumExp))
+  }
+
+  test("randomScoreTopK: seeded md5 order — deterministic, uniform-ish, seed-sensitive") {
+    val a = reader.randomScoreTopK("the", "s1", 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val b = reader.randomScoreTopK("the", "s1", 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(a == b, "same seed replays identically")
+    val exp = matchSet.toSeq
+      .map(c => (c, org.apache.commons.codec.digest.DigestUtils.md5Hex("s1" + c)))
+      .sortBy { case (c, h) => (h, c) }.take(5)
+    assert(a == exp, "rank key is exactly md5(seed ++ conv_id)")
+    val other = reader.randomScoreTopK("the", "s2", 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(other != a.map(_._1), "a different seed permutes (data precondition)")
+  }
+
   // ---- collapse inner hits ----
 
   test("collapseTopN: top-n per group with ranks; n=1 matches collapseTop") {
