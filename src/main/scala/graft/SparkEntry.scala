@@ -300,6 +300,27 @@ object SparkEntry {
     "q_span_first" -> ((s, dir) =>
       new killa.query.IndexReader(s, posRoot(s, dir), conf)
         .spanFirst("spark", 50).orderBy("conv_id")),
+    // span_near unordered: one occurrence of each term inside a covering
+    // window of slop + n positions, in ANY order — catches "agg … batch"
+    // reversals the ordered phrase(slop) must not
+    "q_span_near" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .spanNear(Seq("agg", "batch"), slop = 3).orderBy("conv_id")),
+    "q_span_near_tri" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .spanNear(Seq("scan", "part", "filter"), slop = 4).orderBy("conv_id")),
+    // realtime term vectors of one conversation: tf + global df from the
+    // index + the document-global occurrence positions
+    "q_termvectors" -> ((s, dir) =>
+      reader(s, dir).termVectors(transcripts(s, dir), "c00007")),
+    // multi-term tagged highlighting: every matched token wrapped in
+    // <em>…</em>, ≤ 2 matching turns (fragments) per conversation
+    "q_highlight" -> ((s, dir) => {
+      val r = reader(s, dir)
+      killa.query.Snippets.highlight(transcripts(s, dir),
+        r.membershipAny(Seq("spark", "batch")), Seq("spark", "batch"), 2)
+        .orderBy("conv_id", "turn_idx")
+    }),
     // fuzzy term search (Levenshtein ≤ 1 over the term dictionary)
     "q_membership_fuzzy" -> ((s, dir) =>
       reader(s, dir).membershipFuzzy("spark", 1).orderBy("conv_id")),
@@ -802,6 +823,39 @@ object SparkEntry {
     "q_span_first" -> (TurnsCte + PposCte +
       " SELECT DISTINCT conv_id FROM ppos WHERE term = 'spark' AND pos < 50" +
       " ORDER BY conv_id"),
+    // unordered span_near, n = 2, slop = 3: covering window ≤ slop + n
+    // ⇔ |a.pos − b.pos| ≤ slop + 1
+    "q_span_near" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND abs(a.pos - b.pos) <= 4" +
+      " WHERE a.term = 'agg' AND b.term = 'batch' ORDER BY conv_id"),
+    // n = 3, slop = 4: max − min ≤ slop + n − 1 = 6, any order
+    "q_span_near_tri" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id" +
+      " JOIN ppos c ON a.conv_id = c.conv_id" +
+      " WHERE a.term = 'scan' AND b.term = 'part' AND c.term = 'filter'" +
+      " AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) <= 6" +
+      " ORDER BY conv_id"),
+    // term vectors: per-term tf + sorted global positions of the one doc,
+    // df recomputed over the whole corpus
+    "q_termvectors" -> (TurnsCte + TfCtes + PposCte +
+      ", dterms AS (SELECT term, count(*) AS tf," +
+      " array_to_string(list_sort(list(pos)), ',') AS positions" +
+      " FROM ppos WHERE conv_id = 'c00007' GROUP BY term)" +
+      ", gdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)" +
+      " SELECT d.term, d.tf, CAST(COALESCE(g.df, 0) AS BIGINT) AS df, d.positions" +
+      " FROM dterms d LEFT JOIN gdf g ON d.term = g.term ORDER BY d.term"),
+    // highlight: all matched tokens tagged, first 2 matching turns per conv
+    "q_highlight" -> (TurnsCte +
+      ", ht AS (SELECT conv_id, turn_idx, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM turns)" +
+      ", hm AS (SELECT conv_id, turn_idx," +
+      " len(list_filter(toks, x -> x IN ('spark', 'batch'))) AS n_hits," +
+      " array_to_string(list_transform(toks, x -> CASE WHEN x IN ('spark', 'batch') THEN '<em>' || x || '</em>' ELSE x END), ' ') AS fragment" +
+      " FROM ht)" +
+      ", hf AS (SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn FROM hm WHERE n_hits > 0)" +
+      " SELECT conv_id, turn_idx, CAST(n_hits AS BIGINT) AS n_hits, fragment FROM hf WHERE rn <= 2" +
+      " ORDER BY conv_id, turn_idx"),
     // per-term boosts multiply each contrib in the engine's exact fold spot
     "q_bm25_boosted" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
       conjunctive = false, boosts = Map("filter" -> 2.0, "join" -> 0.5)),

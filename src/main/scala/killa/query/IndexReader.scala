@@ -997,6 +997,119 @@ final class IndexReader(
     matched.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 
+  /** Span-near, unordered (the Elasticsearch/Lucene `span_near` query with
+    * `in_order = false` and single-term clauses): conversations containing
+    * one occurrence of EACH distinct term such that the covering window is
+    * tight enough — `(max(p) − min(p) + 1) − |terms| ≤ slop`, Lucene's
+    * unordered-span slack. Order-free: "agg … batch" matches where the
+    * ordered [[phrase]](slop) does not. Plan identical to [[phrase]] —
+    * pruned positional-bucket scan, one bounded group per candidate doc
+    * (≤ |terms| position lists of ONE doc) — with the classic
+    * minimal-covering-window k-pointer merge over the sorted per-term
+    * lists: advance the pointer holding the global minimum, so every
+    * locally-minimal window is visited once — O(Σ positions · |terms|)
+    * per doc, no materialized cross-product. Distinct terms occupy
+    * distinct document positions, so no same-position guard is needed.
+    */
+  def spanNear(termsIn: Seq[String], slop: Int): DataFrame = {
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || manifest.isEmpty) return emptyMembers
+    if (terms.length == 1) return membership(terms.head)
+    val m = manifest.get
+    if (m.posBuckets.isEmpty)
+      throw new IllegalStateException(
+        "no positional index at this snapshot — run IndexWriter.buildPositions once")
+    val posPaths = terms.map(t => Hashing.termBucket(t, m.nBuckets)).distinct
+      .flatMap(m.posPath).filter(p => fs(p).exists(new Path(p)))
+    if (posPaths.isEmpty) return emptyMembers
+    val termsV: Array[String] = terms.toArray
+    val slack = math.max(0, slop).toLong
+    val posSchema = org.apache.spark.sql.Encoders.product[killa.model.PosRow].schema
+    val matched = spark.read.schema(posSchema).parquet(posPaths: _*)
+      .where(col("term").isin(terms: _*))
+      .select("term", "docId", "np", "posBin")
+      .as[(String, Long, Int, Array[Byte])]
+      .groupByKey(_._2)
+      .flatMapGroups { (docId, it) =>
+        val byTerm = scala.collection.mutable.Map.empty[String, Array[Long]]
+        it.foreach { case (t, _, n, bin) => byTerm(t) = Delta.decode(bin, n) }
+        val lists: Array[Array[Long]] =
+          termsV.map(t => byTerm.getOrElse(t, Array.empty[Long]))
+        if (lists.exists(_.isEmpty)) Iterator.empty
+        else {
+          val k = lists.length
+          val idx = new Array[Int](k)
+          var hit = false
+          var exhausted = false
+          while (!hit && !exhausted) {
+            var mn = Long.MaxValue; var mx = Long.MinValue; var mnAt = -1
+            var j = 0
+            while (j < k) {
+              val v = lists(j)(idx(j))
+              if (v < mn) { mn = v; mnAt = j }
+              if (v > mx) mx = v
+              j += 1
+            }
+            if (mx - mn + 1L - k <= slack) hit = true
+            else {
+              idx(mnAt) += 1
+              if (idx(mnAt) >= lists(mnAt).length) exhausted = true
+            }
+          }
+          if (hit) Iterator.single(docId) else Iterator.empty
+        }
+      }
+      .toDF("docId")
+    matched.join(docsView, "docId").select(col("convId").as("conv_id"))
+  }
+
+  /** Term vectors (the Elasticsearch `_termvectors` API in its default
+    * realtime mode): per-term statistics of ONE document — term frequency,
+    * the term's GLOBAL document frequency from the index, and the
+    * document-global occurrence positions under the stable
+    * (turn_idx, intra-turn) order every positional surface uses. Realtime
+    * semantics: the doc's text comes from the caller's source table (the
+    * index stores postings, never raw text — the same index/source split
+    * as [[killa.query.Snippets]]); term statistics come from ONE
+    * (term, df)-projected scan pruned to the doc's terms' buckets
+    * ([[termBucketPaths]]), payloads never decoded. The window runs over
+    * one conversation's turns — bounded by construction.
+    *
+    * @return (term, tf, df, positions) rows, term asc; positions are the
+    *         comma-joined ascending global positions; df = 0 for a term
+    *         the index does not (yet) hold.
+    */
+  def termVectors(turns: DataFrame, convId: String): DataFrame = {
+    val empty = Seq.empty[(String, Long, Long, String)]
+      .toDF("term", "tf", "df", "positions")
+    if (convId == null || convId.isEmpty || manifest.isEmpty) return empty
+    val one = turns.where(col("conv_id") === convId)
+      .withColumn("toks", killa.tokenize.Tokenize.termsCol(col("text")))
+      .select(col("conv_id"), col("turn_idx"),
+        posexplode(col("toks")).as(Seq("ord", "term")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx", "ord")
+    val tv = one.withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"),
+        array_join(
+          transform(sort_array(collect_list(col("pos"))), _.cast("string")),
+          ",").as("positions"))
+    // one doc's vocabulary — bounded driver work by construction
+    val docTerms = tv.select("term").as[String].collect().toSeq
+    if (docTerms.isEmpty) return empty
+    val paths = termBucketPaths(docTerms)
+    val dfDf =
+      if (paths.isEmpty) Seq.empty[(String, Long)].toDF("term", "df")
+      else spark.read.schema(blockSchema).parquet(paths: _*)
+        .where(col("term").isin(docTerms: _*))
+        .groupBy("term").agg(max(col("df")).as("df"))
+    tv.join(dfDf, Seq("term"), "left")
+      .select(col("term"), col("tf"),
+        coalesce(col("df"), lit(0L)).as("df"), col("positions"))
+      .orderBy("term")
+  }
+
   /** Bucket dirs surviving the manifest's term-dictionary sidecar pruning
     * (VERDICT r2 #7): buckets are hash-laid, so a range predicate can't
     * prune them — but the per-bucket prefix-set / length-band summaries can

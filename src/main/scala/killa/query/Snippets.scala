@@ -51,4 +51,43 @@ object Snippets {
           slice(col("toks"), start.cast("int"), (end - start + 1L).cast("int")))
           .as("snippet"))
   }
+
+  /** Multi-term tagged highlighting (the Elasticsearch `highlight` API,
+    * plain-highlighter semantics with the TURN as the fragment unit — the
+    * natural fragment boundary for transcripts): every matched token
+    * wrapped in `preTag`…`postTag`, up to `maxFragments` matching turns
+    * per conversation in turn order, each carrying its match count.
+    * Distinct from [[forTerm]]: any of SEVERAL terms, ALL occurrences
+    * tagged, several fragments — forTerm renders one ±width window around
+    * one term's first hit. Every op (tokenize, higher-order filter /
+    * transform, concat) is a codegen'd builtin — no UDF; the per-conv
+    * window is bounded by one conversation's turns.
+    *
+    * @param hits conversations to render (a `conv_id` column — typically
+    *             membershipAny/bm25TopK output)
+    * @return (conv_id, turn_idx, n_hits, fragment) rows
+    */
+  def highlight(turns: DataFrame, hits: DataFrame, terms: Seq[String],
+      maxFragments: Int = 2, preTag: String = "<em>",
+      postTag: String = "</em>"): DataFrame = {
+    require(maxFragments > 0, "maxFragments must be > 0")
+    val qs = terms.filter(t => t != null && t.nonEmpty).distinct
+    require(qs.nonEmpty, "at least one highlight term")
+    val termsArr = array(qs.map(lit): _*)
+    val matched = turns
+      .join(hits.select("conv_id").distinct(), "conv_id")
+      .withColumn("toks", Tokenize.termsCol(col("text")))
+      .withColumn("n_hits",
+        size(filter(col("toks"), x => array_contains(termsArr, x))).cast("long"))
+      .where(col("n_hits") > 0)
+    val order = Window.partitionBy("conv_id").orderBy("turn_idx")
+    matched
+      .withColumn("fragment", concat_ws(" ",
+        transform(col("toks"), x =>
+          when(array_contains(termsArr, x), concat(lit(preTag), x, lit(postTag)))
+            .otherwise(x))))
+      .withColumn("rn", row_number().over(order))
+      .where(col("rn") <= maxFragments)
+      .select("conv_id", "turn_idx", "n_hits", "fragment")
+  }
 }
