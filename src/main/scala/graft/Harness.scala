@@ -273,7 +273,28 @@ object Harness {
     }.mkString(", ")
     TurnsCte + TfCtes +
       s", gq(term, g) AS (VALUES $vals)" +
-      ", gtf AS (SELECT tf.conv_id, gq.g, sum(tf.tf) AS tf FROM tf JOIN gq ON tf.term = gq.term GROUP BY 1, 2)" +
+      synonymChainSql(k)
+  }
+
+  /** match_bool_prefix oracle: singleton groups for the leading terms plus
+    * one group holding EVERY dictionary term carrying the prefix (assumes
+    * |expansion| < the engine's maxExpansions — true by construction on the
+    * test corpus's 31-term vocabulary), blended with the same synonym-group
+    * CTE chain the engine's bm25SynonymsTopK mirrors.
+    */
+  def boolPrefixOracleSql(terms: Seq[String], prefix: String, k: Int): String = {
+    val vals = terms.zipWithIndex.map { case (t, gi) => s"('$t', $gi)" }.mkString(", ")
+    val pg = terms.length
+    TurnsCte + TfCtes +
+      s", gq0(term, g) AS (VALUES $vals)" +
+      s", gq AS (SELECT term, g FROM gq0 UNION ALL" +
+      s" SELECT DISTINCT term, $pg AS g FROM tf WHERE term LIKE '$prefix%')" +
+      synonymChainSql(k)
+  }
+
+  /** The shared synonym-group scoring chain: expects a `gq(term, g)` CTE. */
+  private def synonymChainSql(k: Int): String =
+    ", gtf AS (SELECT tf.conv_id, gq.g, sum(tf.tf) AS tf FROM tf JOIN gq ON tf.term = gq.term GROUP BY 1, 2)" +
       ", gdf AS (SELECT g, count(*) AS df FROM gtf GROUP BY 1)" +
       ", contrib AS (SELECT gtf.conv_id, " +
       "ln(1.0 + ((SELECT n FROM stats) - gdf.df + 0.5) / (gdf.df + 0.5)) * (1.2 + 1.0) * gtf.tf " +
@@ -282,7 +303,6 @@ object Harness {
       ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)" +
       s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
-  }
 
   /** The plain disjunctive full-scored-set CTE chain (q→qdf→contrib→scored),
     * shared by the function-score-family oracles.

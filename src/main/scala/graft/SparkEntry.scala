@@ -313,6 +313,19 @@ object SparkEntry {
     // index + the document-global occurrence positions
     "q_termvectors" -> ((s, dir) =>
       reader(s, dir).termVectors(transcripts(s, dir), "c00007")),
+    // span_not: a dup occurrence NOT within ±1 of any big occurrence
+    // ("dup, but not in the phrase 'big dup'") — excludes 4 of the 25
+    // dup conversations at sf0.01, so the window genuinely bites
+    "q_span_not" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .spanNot("dup", "big", 1, 1).orderBy("conv_id")),
+    // match_bool_prefix: "query s…" — disjunctive term clause plus the
+    // blended (synonym-group) prefix expansion
+    "q_bool_prefix" -> ((s, dir) =>
+      present(reader(s, dir).matchBoolPrefix(Seq("query"), "s", 50, 10))),
+    // did-you-mean: per-slot missing-mode correction of a typed phrase
+    "q_suggest_phrase" -> ((s, dir) =>
+      reader(s, dir).suggestPhrase(Seq("spark", "filtr", "qury")).orderBy("slot")),
     // multi-term tagged highlighting: every matched token wrapped in
     // <em>…</em>, ≤ 2 matching turns (fragments) per conversation
     "q_highlight" -> ((s, dir) => {
@@ -846,6 +859,29 @@ object SparkEntry {
       ", gdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)" +
       " SELECT d.term, d.tf, CAST(COALESCE(g.df, 0) AS BIGINT) AS df, d.positions" +
       " FROM dterms d LEFT JOIN gdf g ON d.term = g.term ORDER BY d.term"),
+    // span_not: an include occurrence with no exclude inside [p−pre, p+post]
+    "q_span_not" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " WHERE a.term = 'dup' AND NOT EXISTS (" +
+      "SELECT 1 FROM ppos b WHERE b.conv_id = a.conv_id AND b.term = 'big'" +
+      " AND b.pos BETWEEN a.pos - 1 AND a.pos + 1)" +
+      " ORDER BY conv_id"),
+    "q_bool_prefix" -> boolPrefixOracleSql(Seq("query"), "s", 10),
+    // did-you-mean: present slots keep their df, absent slots take the best
+    // edit-≤1 dictionary candidate (df desc, term asc)
+    "q_suggest_phrase" -> (TurnsCte + TfCtes +
+      ", gdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term)" +
+      ", inp(slot, term) AS (VALUES (0, 'spark'), (1, 'filtr'), (2, 'qury'))" +
+      ", pres AS (SELECT i.slot, i.term AS input, i.term AS suggestion, g.df" +
+      " FROM inp i JOIN gdf g ON g.term = i.term)" +
+      ", miss AS (SELECT i.slot, i.term AS input FROM inp i" +
+      " LEFT JOIN gdf g ON g.term = i.term WHERE g.df IS NULL)" +
+      ", cand AS (SELECT m.slot, m.input, g.term AS suggestion, g.df," +
+      " row_number() OVER (PARTITION BY m.slot ORDER BY g.df DESC, g.term ASC) AS rn" +
+      " FROM miss m JOIN gdf g ON levenshtein(g.term, m.input) <= 1)" +
+      ", uni AS (SELECT * FROM pres UNION ALL" +
+      " SELECT slot, input, suggestion, df FROM cand WHERE rn = 1)" +
+      " SELECT slot, input, suggestion, CAST(df AS BIGINT) AS df FROM uni ORDER BY slot"),
     // highlight: all matched tokens tagged, first 2 matching turns per conv
     "q_highlight" -> (TurnsCte +
       ", ht AS (SELECT conv_id, turn_idx, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM turns)" +

@@ -1063,6 +1063,128 @@ final class IndexReader(
     matched.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 
+  /** Span-not (the Elasticsearch/Lucene `span_not` query, single-term
+    * spans): conversations with an occurrence of `include` that does NOT
+    * lie within `pre` positions after — nor `post` positions before — any
+    * occurrence of `exclude` (i.e. no exclude position in
+    * `[p − pre, p + post]` around a surviving include position p). The
+    * "spark, but not in the phrase 'spark plug'" shape. Same bounded
+    * per-doc plan as [[phrase]]; inside each group a single two-pointer
+    * pass over the two sorted lists — the exclude cursor only ever moves
+    * forward because include positions ascend.
+    */
+  def spanNot(include: String, exclude: String, pre: Int, post: Int): DataFrame = {
+    if (include == null || include.isEmpty || manifest.isEmpty) return emptyMembers
+    if (exclude == null || exclude.isEmpty) return membership(include)
+    if (include == exclude) return emptyMembers // a span minus itself
+    val m = manifest.get
+    if (m.posBuckets.isEmpty)
+      throw new IllegalStateException(
+        "no positional index at this snapshot — run IndexWriter.buildPositions once")
+    val posPaths = Seq(include, exclude)
+      .map(t => Hashing.termBucket(t, m.nBuckets)).distinct
+      .flatMap(m.posPath).filter(p => fs(p).exists(new Path(p)))
+    if (posPaths.isEmpty) return emptyMembers
+    val preV = math.max(0, pre).toLong
+    val postV = math.max(0, post).toLong
+    val inc = include
+    val posSchema = org.apache.spark.sql.Encoders.product[killa.model.PosRow].schema
+    val matched = spark.read.schema(posSchema).parquet(posPaths: _*)
+      .where(col("term").isin(include, exclude))
+      .select("term", "docId", "np", "posBin")
+      .as[(String, Long, Int, Array[Byte])]
+      .groupByKey(_._2)
+      .flatMapGroups { (docId, it) =>
+        var a: Array[Long] = null
+        var b: Array[Long] = null
+        it.foreach { case (t, _, n, bin) =>
+          if (t == inc) a = Delta.decode(bin, n)
+          else b = Delta.decode(bin, n)
+        }
+        if (a == null) Iterator.empty
+        else if (b == null) Iterator.single(docId)
+        else {
+          var i = 0; var j = 0; var hit = false
+          while (!hit && i < a.length) {
+            val p = a(i)
+            while (j < b.length && b(j) < p - preV) j += 1
+            if (j >= b.length || b(j) > p + postV) hit = true
+            i += 1
+          }
+          if (hit) Iterator.single(docId) else Iterator.empty
+        }
+      }
+      .toDF("docId")
+    matched.join(docsView, "docId").select(col("convId").as("conv_id"))
+  }
+
+  /** Match-bool-prefix (the Elasticsearch `match_bool_prefix` query): every
+    * term but the last is a disjunctive term clause; the last token is a
+    * PREFIX whose dictionary expansion scores as one blended clause. The
+    * expansion rule is [[phrasePrefix]]'s exactly (first `maxExpansions`
+    * dictionary terms in lexicographic order, sidecar-pruned dictionary
+    * scan); the blended clause is a [[bm25SynonymsTopK]] synonym group —
+    * group tf = Σ expansion tfs, group df = |union of match sets| — a
+    * deterministic, oracle-checkable scoring choice where Lucene's default
+    * rewrite degrades the prefix clause to constant-score.
+    */
+  def matchBoolPrefix(termsIn: Seq[String], prefix: String,
+      maxExpansions: Int = 50, k: Int = 10): DataFrame = {
+    if (prefix == null || prefix.isEmpty || maxExpansions <= 0 || k <= 0 ||
+        manifest.isEmpty) return emptyHits
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    val paths = prunedBucketPaths(Some(prefix), None)
+    val expanded: Seq[String] =
+      if (paths.isEmpty) Nil
+      else spark.read.schema(blockSchema).parquet(paths: _*)
+        .where(col("term").startsWith(prefix))
+        .select("term").distinct().orderBy("term").limit(maxExpansions)
+        .as[String].collect().toSeq
+    val groups = terms.map(Seq(_)) ++
+      (if (expanded.nonEmpty) Seq(expanded) else Nil)
+    if (groups.isEmpty) return emptyHits
+    bm25SynonymsTopK(groups, k)
+  }
+
+  /** Phrase suggester ("did you mean", the ES term suggester with
+    * `suggest_mode = missing` applied per slot): each input token present
+    * in the dictionary is kept with its global df; each ABSENT token is
+    * replaced by its best edit-distance-≤ maxDist dictionary candidate,
+    * ranked df desc then term asc ([[suggest]]'s exact rule); an absent
+    * token with no candidate survives unchanged with df 0. Driver cost is
+    * bounded by the query length: ONE bucket-pruned (term, df) point scan
+    * for all input tokens, plus one [[suggest]] dictionary scan per
+    * misspelled token (the edit-≤1 neighborhood of a term is
+    * alphabet-bounded).
+    *
+    * @return (slot, input, suggestion, df) rows in slot order.
+    */
+  def suggestPhrase(termsIn: Seq[String], maxDist: Int = 1): DataFrame = {
+    val empty = Seq.empty[(Int, String, String, Long)]
+      .toDF("slot", "input", "suggestion", "df")
+    val terms = termsIn.filter(t => t != null && t.nonEmpty)
+    if (terms.isEmpty || manifest.isEmpty) return empty
+    val distinct = terms.distinct
+    val paths = termBucketPaths(distinct)
+    val dfMap: Map[String, Long] =
+      if (paths.isEmpty) Map.empty
+      else spark.read.schema(blockSchema).parquet(paths: _*)
+        .where(col("term").isin(distinct: _*))
+        .groupBy("term").agg(max(col("df")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corrections: Map[String, (String, Long)] =
+      distinct.filterNot(dfMap.contains).map { in =>
+        val c = suggest(in, maxDist, 1).collect()
+        in -> (if (c.isEmpty) (in, 0L) else (c(0).getString(0), c(0).getLong(1)))
+      }.toMap
+    terms.zipWithIndex.map { case (t, i) =>
+      dfMap.get(t) match {
+        case Some(df) => (i, t, t, df)
+        case None => val (s, df) = corrections(t); (i, t, s, df)
+      }
+    }.toDF("slot", "input", "suggestion", "df")
+  }
+
   /** Term vectors (the Elasticsearch `_termvectors` API in its default
     * realtime mode): per-term statistics of ONE document — term frequency,
     * the term's GLOBAL document frequency from the index, and the
