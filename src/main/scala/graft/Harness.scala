@@ -540,6 +540,24 @@ object Harness {
       "CAST(count(*) AS BIGINT) AS hits " +
       "FROM hits h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1 ORDER BY 1"
 
+  /** Pipeline-agg oracle over the date histogram: the parent histogram plus
+    * running total, first difference (null in the first bucket), and the
+    * trailing `movingWindow`-bucket average rounded 4dp — the SQL mirror of
+    * IndexReader.dateHistogramPipeline.
+    */
+  def dateHistogramPipelineOracleSql(term: String, movingWindow: Int): String =
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", convts AS (SELECT conv_id, TIMESTAMP '2024-01-01 00:00:00' + to_seconds(min(doc_id)) AS ts FROM t2 GROUP BY 1)" +
+      ", hist AS (SELECT strftime(date_trunc('minute', c.ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS hits " +
+      "FROM hits h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1)" +
+      " SELECT bucket, hits, CAST(sum(hits) OVER (ORDER BY bucket) AS BIGINT) AS cum_hits," +
+      " hits - lag(hits) OVER (ORDER BY bucket) AS deriv," +
+      s" round(avg(hits) OVER (ORDER BY bucket ROWS BETWEEN ${movingWindow - 1} PRECEDING AND CURRENT ROW), 4) AS mavg" +
+      " FROM hist ORDER BY bucket"
+
   /** Per-conv doc-values frame: t0 = seconds since the corpus epoch of the
     * conv's first turn (= min doc_id under the deterministic ts derivation —
     * the Spark mirror of [[ConvT0Cte]]).

@@ -337,6 +337,47 @@ object SparkEntry {
     // fuzzy term search (Levenshtein ≤ 1 over the term dictionary)
     "q_membership_fuzzy" -> ((s, dir) =>
       reader(s, dir).membershipFuzzy("spark", 1).orderBy("conv_id")),
+    // fuzzy with prefix_length (the ES fuzzy pruning knob): 'bag' within
+    // edit 2 matches {a, agg, big}; requiring the literal 'b' head keeps
+    // only 'big' — and turns the dictionary scan into a pushed prefix range
+    "q_membership_fuzzy_prefix" -> ((s, dir) =>
+      reader(s, dir).membershipFuzzy("bag", 2, prefixLength = 1).orderBy("conv_id")),
+    // span_containing: a query…filter ordered window (slop 5) that also
+    // mentions 'join' inside it
+    "q_span_containing" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .spanContaining("query", "filter", 5, "join").orderBy("conv_id")),
+    // span_within: the little-side view — distinct 'part' occurrences
+    // inside any scan…filter ordered window (slop 4), counted per conv
+    "q_span_within" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .spanWithin("scan", "filter", 4, "part").orderBy("conv_id")),
+    // filters agg: named per-term doc counts, served from block metadata
+    "q_filters_agg" -> ((s, dir) =>
+      reader(s, dir).filtersAgg(Seq("dups" -> "dup", "bigs" -> "big",
+        "windows" -> "window")).orderBy("name")),
+    // adjacency_matrix: single + pairwise intersection counts, ES '&' keys
+    "q_adjacency_matrix" -> ((s, dir) =>
+      reader(s, dir).adjacencyMatrix(Seq("d" -> "dup", "b" -> "big",
+        "w" -> "window")).orderBy("key")),
+    // rare_terms: the df long tail of the dictionary, rarest first
+    "q_rare_terms" -> ((s, dir) =>
+      reader(s, dir).rareTerms(99L, 10)),
+    // pipeline aggs over the date histogram: cumulative_sum + derivative +
+    // trailing 3-bucket moving average as sibling columns
+    "q_date_histogram_pipeline" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).dateHistogramPipeline("spark", meta, "conv_id", "ts",
+        "minute", movingWindow = 3).orderBy("bucket")
+    }),
+    // terms_set: per-doc minimum_should_match carried by a doc-values column
+    // (min_req = conv ordinal mod 4 — 0 exercises the never-matches edge)
+    "q_terms_set" -> ((s, dir) => {
+      val meta = transcripts(s, dir).select(col("conv_id")).distinct()
+        .withColumn("min_req", expr("CAST(substr(conv_id, 2, 10) AS INT) % 4"))
+      reader(s, dir).termsSet(Seq("dup", "big", "window"), meta, "conv_id", "min_req")
+        .orderBy("conv_id")
+    }),
     // regex term search (ES regexp query): anchored literal head pushes
     // down as a prefix range, full pattern residual over the dictionary
     "q_membership_regex" -> ((s, dir) =>
@@ -918,6 +959,51 @@ object SparkEntry {
       " ORDER BY conv_id"),
     "q_membership_regex" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE regexp_matches(term, '^s[a-z]+k$')" +
+      " ORDER BY conv_id"),
+    "q_membership_fuzzy_prefix" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE levenshtein(term, 'bag') <= 2" +
+      " AND term LIKE 'b%' ORDER BY conv_id"),
+    // span_containing: an ordered big pair (p < q ≤ p + 1 + slop) with a
+    // little occurrence at any position inside [p, q]
+    "q_span_containing" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON b.conv_id = a.conv_id AND b.pos > a.pos AND b.pos <= a.pos + 6" +
+      " JOIN ppos l ON l.conv_id = a.conv_id AND l.pos BETWEEN a.pos AND b.pos" +
+      " WHERE a.term = 'query' AND b.term = 'filter' AND l.term = 'join'" +
+      " ORDER BY conv_id"),
+    // span_within: distinct little positions covered by at least one big span
+    "q_span_within" -> (TurnsCte + PposCte +
+      " SELECT l.conv_id AS conv_id, count(DISTINCT l.pos) AS hits FROM ppos l" +
+      " WHERE l.term = 'part' AND EXISTS (" +
+      "SELECT 1 FROM ppos a JOIN ppos b ON b.conv_id = a.conv_id" +
+      " AND b.pos > a.pos AND b.pos <= a.pos + 5" +
+      " WHERE a.conv_id = l.conv_id AND a.term = 'scan' AND b.term = 'filter'" +
+      " AND l.pos BETWEEN a.pos AND b.pos)" +
+      " GROUP BY 1 ORDER BY conv_id"),
+    "q_filters_agg" -> (TurnsCte + TfCtes +
+      ", names(name, fterm) AS (VALUES ('dups', 'dup'), ('bigs', 'big'), ('windows', 'window'))" +
+      ", d AS (SELECT DISTINCT conv_id, term FROM tok2)" +
+      " SELECT n.name, count(*) AS hits FROM names n JOIN d ON d.term = n.fterm" +
+      " GROUP BY 1 ORDER BY name"),
+    "q_adjacency_matrix" -> (TurnsCte + TfCtes +
+      ", f(name, fterm) AS (VALUES ('d', 'dup'), ('b', 'big'), ('w', 'window'))" +
+      ", dm AS (SELECT DISTINCT t.conv_id, f.name FROM tok2 t JOIN f ON t.term = f.fterm)" +
+      ", singles AS (SELECT name AS key, count(*) AS hits FROM dm GROUP BY 1)" +
+      ", pairs AS (SELECT a.name || '&' || b.name AS key, count(*) AS hits" +
+      " FROM dm a JOIN dm b ON a.conv_id = b.conv_id AND a.name < b.name GROUP BY 1)" +
+      " SELECT key, hits FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)" +
+      " ORDER BY key"),
+    "q_rare_terms" -> (TurnsCte + TfCtes +
+      ", gdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)" +
+      " SELECT term, df FROM gdf WHERE df <= 99 ORDER BY df ASC, term ASC LIMIT 10"),
+    "q_date_histogram_pipeline" -> dateHistogramPipelineOracleSql("spark", 3),
+    "q_terms_set" -> (TurnsCte + TfCtes +
+      ", f(fterm) AS (VALUES ('dup'), ('big'), ('window'))" +
+      ", dm AS (SELECT DISTINCT t.conv_id, t.term FROM tok2 t JOIN f ON t.term = f.fterm)" +
+      ", m AS (SELECT conv_id, count(*) AS matched FROM dm GROUP BY 1)" +
+      " SELECT conv_id, CAST(matched AS BIGINT) AS matched FROM m" +
+      " WHERE CAST(substr(conv_id, 2, 10) AS INT) % 4 >= 1" +
+      " AND matched >= CAST(substr(conv_id, 2, 10) AS INT) % 4" +
       " ORDER BY conv_id"),
     // snippets: first matching turn per conv (row_number over turn_idx),
     // 1-based first token position, ±3-token window — the SQL mirror of

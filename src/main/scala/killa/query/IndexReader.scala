@@ -267,12 +267,27 @@ final class IndexReader(
     * a cheap codegen'd length-band pre-filter ahead of the levenshtein
     * residual; posting payloads decode only for matching terms.
     */
-  def membershipFuzzy(term: String, maxDist: Int = 1): DataFrame = {
+  def membershipFuzzy(term: String, maxDist: Int = 1,
+      prefixLength: Int = 0): DataFrame = {
     if (term == null || term.isEmpty) return emptyMembers
     if (maxDist <= 0) return membership(term)
     val lenBand = abs(length(col("term")) - lit(term.length)) <= maxDist
-    membershipWhere(lenBand && levenshtein(col("term"), lit(term)) <= maxDist,
-      lenHint = Some((term.length - maxDist, term.length + maxDist)))
+    val lev = lenBand && levenshtein(col("term"), lit(term)) <= maxDist
+    // prefix_length (the ES fuzzy query's pruning knob): candidates must
+    // share the query's first `prefixLength` characters exactly — typos
+    // rarely hit a word's head, and the literal prefix turns the
+    // full-dictionary scan back into a pushed range over the sorted term
+    // column plus sidecar bucket pruning, the same shape membershipPrefix
+    // enjoys. 0 (the ES default) keeps the pure edit-ball semantics.
+    if (prefixLength <= 0)
+      membershipWhere(lev,
+        lenHint = Some((term.length - maxDist, term.length + maxDist)))
+    else {
+      val pre = term.take(prefixLength)
+      membershipWhere(col("term").startsWith(pre) && lev,
+        prefixHint = Some(pre),
+        lenHint = Some((term.length - maxDist, term.length + maxDist)))
+    }
   }
 
   /** Spell-suggest / did-you-mean (the Elasticsearch `term` suggester): the
@@ -1183,6 +1198,248 @@ final class IndexReader(
         case None => val (s, df) = corrections(t); (i, t, s, df)
       }
     }.toDF("slot", "input", "suggestion", "df")
+  }
+
+  /** Per-doc span-nesting hit counts — the shared core of [[spanContaining]]
+    * and [[spanWithin]]. A "big" span is an ORDERED pair occurrence:
+    * `first` at p, `second` at q, p < q ≤ p + 1 + slop (the Lucene ordered
+    * span_near window, endpoints inclusive). Returns, per matching doc, the
+    * number of DISTINCT `little` positions lying inside at least one big
+    * span. Plan identical to [[phrase]]: pruned positional-bucket scan, one
+    * bounded group per candidate doc. Inside each group a single forward
+    * pass: for each p the widest valid span [p, qmax] dominates every
+    * narrower one (any covered little position is covered by it), and both
+    * p and qmax are non-decreasing across the loop, so one little-cursor
+    * sweep counts each covered position exactly once — O(|A| + |B| + |L|)
+    * per doc, no span materialization.
+    */
+  private def spanNestHits(first: String, second: String, slop: Int,
+      little: String): DataFrame = {
+    val empty = Seq.empty[(Long, Long)].toDF("docId", "hits")
+    if (Seq(first, second, little).exists(t => t == null || t.isEmpty) ||
+        manifest.isEmpty) return empty
+    val m = manifest.get
+    if (m.posBuckets.isEmpty)
+      throw new IllegalStateException(
+        "no positional index at this snapshot — run IndexWriter.buildPositions once")
+    val terms = Seq(first, second, little).distinct
+    val posPaths = terms.map(t => Hashing.termBucket(t, m.nBuckets)).distinct
+      .flatMap(m.posPath).filter(p => fs(p).exists(new Path(p)))
+    if (posPaths.isEmpty) return empty
+    val (fT, sT, lT) = (first, second, little)
+    val slopV = math.max(0, slop).toLong
+    val posSchema = org.apache.spark.sql.Encoders.product[killa.model.PosRow].schema
+    spark.read.schema(posSchema).parquet(posPaths: _*)
+      .where(col("term").isin(terms: _*))
+      .select("term", "docId", "np", "posBin")
+      .as[(String, Long, Int, Array[Byte])]
+      .groupByKey(_._2)
+      .flatMapGroups { (docId, it) =>
+        val byTerm = scala.collection.mutable.Map.empty[String, Array[Long]]
+        it.foreach { case (t, _, n, bin) => byTerm(t) = Delta.decode(bin, n) }
+        (byTerm.get(fT), byTerm.get(sT), byTerm.get(lT)) match {
+          case (Some(a), Some(b), Some(l)) =>
+            var hits = 0L
+            var bi = 0; var li = 0; var ai = 0
+            while (ai < a.length) {
+              val p = a(ai)
+              while (bi < b.length && b(bi) <= p) bi += 1
+              // widest q for this p: scan forward WITHOUT consuming (the
+              // same b position may close a later p's span too)
+              var j = bi; var qmax = -1L
+              while (j < b.length && b(j) <= p + 1 + slopV) { qmax = b(j); j += 1 }
+              if (qmax >= 0) {
+                while (li < l.length && l(li) < p) li += 1
+                while (li < l.length && l(li) <= qmax) { hits += 1; li += 1 }
+              }
+              ai += 1
+            }
+            if (hits > 0) Iterator.single((docId, hits)) else Iterator.empty
+          case _ => Iterator.empty
+        }
+      }
+      .toDF("docId", "hits")
+  }
+
+  /** Span-containing (the Elasticsearch/Lucene `span_containing` query, big
+    * = ordered two-term span_near with `slop`, little = a term span):
+    * conversations holding a big span [p, q] (`first`@p, `second`@q,
+    * p < q ≤ p + 1 + slop) with an occurrence of `little` inside it —
+    * "a `join`…`hash` window that mentions `row`".
+    *
+    * @return distinct conv_id rows.
+    */
+  def spanContaining(first: String, second: String, slop: Int,
+      little: String): DataFrame =
+    spanNestHits(first, second, slop, little)
+      .join(docsView, "docId").select(col("convId").as("conv_id"))
+
+  /** Span-within (the Elasticsearch/Lucene `span_within` query, same clause
+    * shapes as [[spanContaining]]): the little-side view — per conversation,
+    * how many DISTINCT `little` occurrences lie inside at least one big
+    * span. The doc set equals [[spanContaining]]'s by construction (both
+    * require one little-inside-big witness); the counts are the little
+    * spans a Lucene scorer would enumerate.
+    *
+    * @return (conv_id, hits) rows.
+    */
+  def spanWithin(first: String, second: String, slop: Int,
+      little: String): DataFrame =
+    spanNestHits(first, second, slop, little)
+      .join(docsView, "docId")
+      .select(col("convId").as("conv_id"), col("hits"))
+
+  /** Filters aggregation (the Elasticsearch `filters` agg with one term
+    * query per named bucket): per-name matching-document counts, served
+    * entirely from block METADATA in one job — a single (term, df)-projected
+    * scan pruned to the filter terms' bucket dirs with a pushed IN filter
+    * (every block of a term carries the GLOBAL df, see [[suggest]]), no
+    * posting decode at any corpus scale. Names must be unique; a term may
+    * back several names (each name reports the full term match count).
+    *
+    * @param filters (name, term) pairs.
+    * @return (name, hits) rows; a name whose term is absent is omitted
+    *         (ES emits 0-count buckets — callers wanting gauge rows can
+    *         left-join the name list).
+    */
+  def filtersAgg(filters: Seq[(String, String)]): DataFrame = {
+    val empty = Seq.empty[(String, Long)].toDF("name", "hits")
+    val fl = filters.filter { case (n, t) =>
+      n != null && n.nonEmpty && t != null && t.nonEmpty }
+    require(fl.map(_._1).distinct.length == fl.length,
+      "filter names must be unique")
+    if (fl.isEmpty || manifest.isEmpty) return empty
+    val terms = fl.map(_._2).distinct
+    val paths = termBucketPaths(terms)
+    if (paths.isEmpty) return empty
+    val nameRows = fl.map { case (nm, t) => (nm, t) }.toDF("name", "__term")
+    spark.read.schema(blockSchema).parquet(paths: _*)
+      .where(col("term").isin(terms: _*))
+      .groupBy("term").agg(max(col("df")).as("hits"))
+      .join(broadcast(nameRows), col("term") === col("__term"))
+      .select("name", "hits")
+  }
+
+  /** Adjacency-matrix aggregation (the Elasticsearch `adjacency_matrix`
+    * agg, one term query per named filter): matching-doc counts for every
+    * single filter AND every pairwise intersection, keyed ES-style —
+    * singles by name, intersections as `a&b` with the two names in
+    * lexicographic order; empty buckets omitted. One pruned scan decodes
+    * each filter's postings once; the per-doc name set (bounded by
+    * |filters| — ES caps the agg at 100 filters for the same quadratic
+    * reason) expands to its singles + pairs map-side, then one count
+    * shuffle. No self-join of match sets.
+    *
+    * @return (key, hits) rows.
+    */
+  def adjacencyMatrix(filters: Seq[(String, String)]): DataFrame = {
+    val empty = Seq.empty[(String, Long)].toDF("key", "hits")
+    val fl = filters.filter { case (n, t) =>
+      n != null && n.nonEmpty && t != null && t.nonEmpty }
+    require(fl.map(_._1).distinct.length == fl.length,
+      "filter names must be unique")
+    if (fl.isEmpty || manifest.isEmpty) return empty
+    val terms = fl.map(_._2).distinct
+    val paths = termBucketPaths(terms)
+    if (paths.isEmpty) return empty
+    val namesByTerm: Map[String, Seq[String]] =
+      fl.groupBy(_._2).map { case (t, ps) => t -> ps.map(_._1) }
+    spark.read.schema(blockSchema).parquet(paths: _*)
+      .where(col("term").isin(terms: _*))
+      .select(col("term"), col("n"), col("docsBin"))
+      .as[(String, Int, Array[Byte])]
+      .flatMap { case (t, n, bin) =>
+        Delta.decode(bin, n).iterator.map(d => (d, t))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val names = it.flatMap { case (_, t) => namesByTerm(t) }
+          .toArray.distinct.sorted
+        val singles = names.iterator
+        val pairs = for {
+          i <- names.indices.iterator
+          j <- (i + 1) until names.length
+        } yield s"${names(i)}&${names(j)}"
+        singles ++ pairs
+      }
+      .toDF("key")
+      .groupBy("key").agg(count(lit(1)).as("hits"))
+  }
+
+  /** Rare-terms aggregation (the Elasticsearch `rare_terms` agg over the
+    * indexed text field): dictionary terms whose document frequency is at
+    * most `maxDf`, rarest first — the long-tail complement of a top-terms
+    * facet. Served entirely from block metadata: one column-pruned
+    * (term, df) scan over the committed dictionary, no posting decode, no
+    * doc-side work at any corpus scale.
+    *
+    * @return (term, df) rows, df asc then term asc, ≤ n rows.
+    */
+  def rareTerms(maxDf: Long, n: Int): DataFrame = {
+    if (n <= 0 || manifest.isEmpty) return Seq.empty[(String, Long)].toDF("term", "df")
+    allBlocks
+      .groupBy("term").agg(max(col("df")).as("df"))
+      .where(col("df") <= maxDf)
+      .orderBy(col("df").asc, col("term").asc).limit(n)
+  }
+
+  /** Pipeline aggregations over a date histogram (the Elasticsearch
+    * `cumulative_sum`, `derivative`, and `moving_fn`/avg pipeline aggs as
+    * sibling columns of their parent [[dateHistogram]]): per bucket, the
+    * hit count plus its running total, first difference (null in the first
+    * bucket — ES emits no derivative there), and trailing `movingWindow`-
+    * bucket average (partial windows averaged over what exists, the
+    * `moving_fn` default). Pipeline aggs run over the REDUCED bucket list —
+    * in ES on the coordinating node, here as a single-partition window over
+    * the already-aggregated histogram (bucket cardinality is the time
+    * range over the unit, not the corpus size), so the distributed shape
+    * is the parent's.
+    *
+    * @return (bucket, hits, cum_hits, deriv, mavg) rows; mavg rounded 4dp.
+    */
+  def dateHistogramPipeline(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String = "day", movingWindow: Int = 3): DataFrame = {
+    require(movingWindow >= 1, "movingWindow must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    val mw = w.rowsBetween(-(movingWindow - 1).toLong, 0L)
+    dateHistogram(term, meta, convCol, tsCol, unit)
+      .withColumn("cum_hits", sum(col("hits")).over(w))
+      .withColumn("deriv", col("hits") - lag(col("hits"), 1).over(w))
+      .withColumn("mavg", round(avg(col("hits")).over(mw), 4))
+  }
+
+  /** Terms-set query (the Elasticsearch `terms_set` query with
+    * `minimum_should_match_field`): documents matching at least their OWN
+    * per-doc minimum number of the query terms — the doc-values field
+    * carries how many of the terms each doc requires. One scan pruned to
+    * the terms' buckets decodes (term, doc) pairs (already distinct — a
+    * doc sits in one block per term), one doc-keyed count, one equi-join
+    * to the caller's doc-values frame. ES edge semantics: a doc whose
+    * minimum is null or < 1 never matches, and a minimum above the number
+    * of matched terms fails the doc.
+    *
+    * @return (conv_id, matched) rows — matched = how many query terms hit.
+    */
+  def termsSet(termsIn: Seq[String], meta: DataFrame, convCol: String,
+      minCol: String): DataFrame = {
+    val empty = Seq.empty[(String, Long)].toDF("conv_id", "matched")
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || manifest.isEmpty) return empty
+    val paths = termBucketPaths(terms)
+    if (paths.isEmpty) return empty
+    val matched = spark.read.schema(blockSchema).parquet(paths: _*)
+      .where(col("term").isin(terms: _*))
+      .select(col("term"), col("n"), col("docsBin"))
+      .as[(String, Int, Array[Byte])]
+      .flatMap { case (_, n, bin) => Delta.decode(bin, n) }
+      .toDF("docId")
+      .groupBy("docId").agg(count(lit(1)).as("matched"))
+    matched.join(docsView, "docId")
+      .join(meta.select(col(convCol).as("convId"),
+        col(minCol).cast("long").as("__min")), "convId")
+      .where(col("__min").isNotNull && col("__min") >= 1 &&
+        col("matched") >= col("__min"))
+      .select(col("convId").as("conv_id"), col("matched"))
   }
 
   /** Term vectors (the Elasticsearch `_termvectors` API in its default
