@@ -588,6 +588,22 @@ object SparkEntry {
     "q_sample_hash" -> ((s, dir) =>
       killa.dedup.Dedup.hashSample(documents(s, dir), "text", 52)
         .select("doc_id").orderBy("doc_id")),
+    // stratified sampling (training-mixture reweighting): src0 at 192/256,
+    // src1 at 32/256, every other source at 96/256 — same hash key as
+    // q_sample_hash so strata stay consistent subsets
+    "q_sample_stratified" -> ((s, dir) =>
+      killa.dedup.Dedup.stratifiedHashSample(documents(s, dir), "text", "source",
+        Map("src0" -> 192, "src1" -> 32), 96)
+        .select("doc_id").orderBy("doc_id")),
+    // Gopher-style repetition filters: overlapping-bigram slots, top-bigram
+    // fraction, duplicate-bigram fraction per document
+    "q_repetition" -> ((s, dir) =>
+      killa.text.TextOps.repetitionFeatures(documents(s, dir), "doc_id", "text", 2)
+        .orderBy("doc_id")),
+    // corpus-unigram LM typicality score (CCNet-style selection proxy)
+    "q_unigram_logprob" -> ((s, dir) =>
+      killa.text.TextOps.unigramLogProb(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       killa.dedup.Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text", 3, 0.8)
         .orderBy("a_id", "b_id")),
@@ -1150,6 +1166,29 @@ object SparkEntry {
     "q_sample_hash" -> (DocToksCte +
       " SELECT doc_id FROM w WHERE substr(md5(array_to_string(toks, ' ')), 1, 2) < '34'" +
       " ORDER BY doc_id"),
+    // stratified rates: src0 192/256 (0xc0), src1 32/256 (0x20), else 96 (0x60)
+    "q_sample_stratified" ->
+      ("WITH w AS (SELECT doc_id, source, md5(array_to_string(" +
+        "list_filter(string_split(text, ' '), x -> x <> ''), ' ')) AS h FROM documents)" +
+        " SELECT doc_id FROM w WHERE substr(h, 1, 2) <" +
+        " CASE source WHEN 'src0' THEN 'c0' WHEN 'src1' THEN '20' ELSE '60' END" +
+        " ORDER BY doc_id"),
+    "q_repetition" -> (DocToksCte +
+      ", g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS s FROM w WHERE len(toks) >= 2)" +
+      ", pc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)" +
+      ", pd AS (SELECT doc_id, sum(c) AS tot, max(c) AS topc," +
+      " sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc FROM pc GROUP BY 1)" +
+      " SELECT w.doc_id, CAST(COALESCE(pd.tot, 0) AS BIGINT) AS n_ngrams," +
+      " round(COALESCE(CAST(pd.topc AS DOUBLE) / pd.tot, 0.0), 4) AS top_ngram_frac," +
+      " round(COALESCE(CAST(pd.dupc AS DOUBLE) / pd.tot, 0.0), 4) AS dup_ngram_frac" +
+      " FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id ORDER BY w.doc_id"),
+    "q_unigram_logprob" -> (DocToksCte +
+      ", t AS (SELECT doc_id, unnest(toks) AS term FROM w)" +
+      ", ctf AS (SELECT term, count(*) AS c FROM t GROUP BY 1)" +
+      ", tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM ctf)" +
+      " SELECT t.doc_id, count(*) AS n_tokens," +
+      " round(avg(ln(CAST(ctf.c AS DOUBLE) / (SELECT tt FROM tot))), 4) AS avg_logprob" +
+      " FROM t JOIN ctf ON t.term = ctf.term GROUP BY 1 ORDER BY 1"),
     "q_dedup_ngram_jaccard" -> (DocToksCte + ShinglesCte + JaccardSql),
     // decontamination: corpus = doc_id % 7 <> 0, benchmark = % 7 = 0; per
     // corpus doc the fraction of its distinct 3-gram shingles found in the

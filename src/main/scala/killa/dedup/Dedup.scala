@@ -1,6 +1,6 @@
 package killa.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import killa.text.TextOps
@@ -53,6 +53,28 @@ object Dedup {
     require(numerator >= 0 && numerator <= 256, "numerator is out of [0, 256]")
     if (numerator >= 256) df // "100" is 3 hex chars — lexicographic < breaks
     else df.where(substring(TextOps.fingerprintMd5(col(textCol)), 1, 2) < lit(f"$numerator%02x"))
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates (numerator /
+    * 256 of content-hash space, [[hashSample]] semantics) keyed by a
+    * stratum column — the training-mixture reweighting step (sample source
+    * A at 3/4, source B at 1/8, everything else at `defaultNumerator`).
+    * One codegen'd when-chain over the hash prefix; no shuffle, no state,
+    * reproducible across runs / partitionings / engines.
+    */
+  def stratifiedHashSample(df: DataFrame, textCol: String, strataCol: String,
+      rates: Map[String, Int], defaultNumerator: Int): DataFrame = {
+    (rates.values ++ Seq(defaultNumerator)).foreach(v =>
+      require(v >= 0 && v <= 256, s"numerator $v is out of [0, 256]"))
+    val hx = substring(TextOps.fingerprintMd5(col(textCol)), 1, 2)
+    def keep(numerator: Int): Column =
+      if (numerator >= 256) lit(true) else hx < lit(f"$numerator%02x")
+    // deterministic chain order (sorted keys) — rates is a Map
+    val cond = rates.toSeq.sortBy(_._1).foldRight(keep(defaultNumerator)) {
+      case ((stratum, num), acc) =>
+        when(col(strataCol) === stratum, keep(num)).otherwise(acc)
+    }
+    df.where(cond)
   }
 
   /** Distinct word-n-gram shingle set per doc: (id, s). */

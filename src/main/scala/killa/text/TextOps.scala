@@ -98,6 +98,67 @@ object TextOps {
   def fingerprintMd5(text: Column): Column =
     md5(concat_ws(" ", Tokenize.termsCol(text)))
 
+  /** Within-document repetition features (the Gopher repetition filters,
+    * Rae et al. 2021 §A1.1, restated over word n-grams): per document the
+    * overlapping-n-gram count, the fraction of n-gram slots taken by the
+    * single most frequent n-gram (`top_ngram_frac`), and the fraction taken
+    * by any n-gram occurring more than once (`dup_ngram_frac`). High values
+    * flag boilerplate / degenerate repetition for pretraining filtering.
+    *
+    * Shape: explode n-grams → two map-side-combinable aggregations keyed by
+    * (doc, gram) then doc — one shuffle each, no doc-local quadratic work,
+    * no UDF. Documents with fewer than n tokens report 0 slots and 0.0
+    * fractions.
+    *
+    * @return (idCol, n_ngrams, top_ngram_frac, dup_ngram_frac) rows, 4dp.
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams = df.select(col(idCol).as("__id"),
+      explode(shingleCol(col(textCol), n)).as("s"))
+    val perGram = grams.groupBy("__id", "s").agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy("__id").agg(
+      sum(col("c")).as("tot"),
+      max(col("c")).as("topc"),
+      sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dupc"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, col(idCol) === col("__id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("tot"), lit(0L)).as("n_ngrams"),
+        round(when(col("tot") > 0, col("topc").cast("double") / col("tot"))
+          .otherwise(lit(0.0)), 4).as("top_ngram_frac"),
+        round(when(col("tot") > 0, col("dupc").cast("double") / col("tot"))
+          .otherwise(lit(0.0)), 4).as("dup_ngram_frac"))
+  }
+
+  /** Corpus-unigram language-model document score (the cheap CCNet-style
+    * typicality proxy used for pretraining data selection): mean over the
+    * document's tokens of ln(tf_corpus(token) / total_corpus_tokens).
+    * Closer to 0 = built from common corpus vocabulary; very negative =
+    * rare-token-heavy. Two aggregations (corpus tf, per-doc mean) and one
+    * token-keyed equi-join — every stage shuffles on a key the data is
+    * already fine-grained in (term, doc), so skew is bounded by the hottest
+    * term, the same profile the index build already salts for.
+    *
+    * @return (idCol, n_tokens, avg_logprob) rows, 4dp.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(Tokenize.termsCol(col(textCol))).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+    // one scalar to the driver (the LM's normalizer) — bounded at any scale
+    val totRow = tf.agg(sum(col("ctf"))).collect()(0)
+    val totalTokens = if (totRow.isNullAt(0)) 1L else totRow.getLong(0)
+    toks.join(tf, "term")
+      .groupBy("__id").agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("ctf").cast("double") / lit(totalTokens.toDouble))), 4)
+          .as("avg_logprob"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("avg_logprob"))
+  }
+
   /** 64-bit Rabin-Karp rolling hash over a token sequence (pure Scala; used
     * by simhash/minhash internals and available as a cheap shift-resistant
     * document fingerprint).

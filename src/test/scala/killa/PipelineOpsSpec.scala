@@ -292,4 +292,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(spark, rows, batchSize = 5).collect().sortBy(_.id)
     assert(feats.map(_.content_hash).toSeq == again.map(_.content_hash).toSeq)
   }
+
+  test("repetition features: top/dup n-gram fractions, short-doc zeros") {
+    val rep = Seq(
+      (0L, "a b a b a b"),   // bigrams: ab,ba,ab,ba,ab → tot 5, top 3, dup 5
+      (1L, "a b c d e"),     // all distinct → dup 0, top 1/4
+      (2L, "x"),             // < n tokens → 0 slots
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionFeatures(rep, "doc_id", "text", 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((5L, 0.6, 1.0)))
+    assert(got(1L) == ((4L, 0.25, 0.0)))
+    assert(got(2L) == ((0L, 0.0, 0.0)))
+    assert(got(3L) == ((0L, 0.0, 0.0)))
+  }
+
+  test("unigram logprob: corpus-LM mean token logprob, exact values") {
+    // corpus tf: a=3, b=2, c=1 → total 6
+    val lm = Seq((0L, "a a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(lm, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L) == ((3L, r4((2 * math.log(3 / 6.0) + math.log(2 / 6.0)) / 3))))
+    assert(got(1L) == ((3L, r4((math.log(3 / 6.0) + math.log(2 / 6.0) + math.log(1 / 6.0)) / 3))))
+  }
+
+  test("stratified hash sampling: per-stratum rates, consistent-subset property") {
+    val n = 400
+    val rows = (0 until n).map(i => (i.toLong, s"doc number $i body", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val kept = Dedup.stratifiedHashSample(rows, "text", "source",
+      Map("s0" -> 256, "s1" -> 0), 128).collect().map(_.getLong(0)).toSet
+    // s0 fully kept, s1 fully dropped
+    assert((0 until n).forall(i => kept.contains(i.toLong) == (i % 2 == 0)))
+    // rate monotonicity: a stratum sampled at 64 is a subset of it at 192
+    val at64 = Dedup.stratifiedHashSample(rows, "text", "source",
+      Map("s0" -> 64), 64).collect().map(_.getLong(0)).toSet
+    val at192 = Dedup.stratifiedHashSample(rows, "text", "source",
+      Map("s0" -> 192), 192).collect().map(_.getLong(0)).toSet
+    assert(at64.subsetOf(at192))
+    // and agrees with the unstratified sampler at the same rate
+    val flat = Dedup.hashSample(rows, "text", 64).collect().map(_.getLong(0)).toSet
+    assert(at64 == flat)
+  }
 }
