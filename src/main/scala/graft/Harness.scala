@@ -540,6 +540,57 @@ object Harness {
       "CAST(count(*) AS BIGINT) AS hits " +
       "FROM hits h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1 ORDER BY 1"
 
+  /** Shared date-histogram CTE chain ending in `hist(bucket, hits)` — the
+    * parent every pipeline-agg oracle runs over.
+    */
+  private def histCtes(term: String): String =
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", convts AS (SELECT conv_id, TIMESTAMP '2024-01-01 00:00:00' + to_seconds(min(doc_id)) AS ts FROM t2 GROUP BY 1)" +
+      ", hist AS (SELECT strftime(date_trunc('minute', c.ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS hits " +
+      "FROM hits h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1)"
+
+  /** bucket_selector + bucket_sort oracle: surviving histogram buckets
+    * (hits ≥ minHits), top `topN` by hits desc then bucket asc.
+    */
+  def bucketSelectorOracleSql(term: String, minHits: Long, topN: Int): String =
+    histCtes(term) +
+      s" SELECT bucket, hits FROM hist WHERE hits >= $minHits" +
+      s" ORDER BY hits DESC, bucket ASC LIMIT $topN"
+
+  /** stats_bucket oracle: scalar stats over the histogram's hit counts. */
+  def statsBucketOracleSql(term: String): String =
+    histCtes(term) +
+      " SELECT CAST(count(*) AS BIGINT) AS n_buckets," +
+      " CAST(min(hits) AS BIGINT) AS min_hits," +
+      " CAST(max(hits) AS BIGINT) AS max_hits," +
+      " round(avg(hits), 4) AS avg_hits," +
+      " CAST(sum(hits) AS BIGINT) AS sum_hits FROM hist"
+
+  /** multi_terms oracle: (role, source) doc counts, top `size` by count
+    * desc with ties on the key pair asc — the count-ordered companion to
+    * [[compositeOracleSql]].
+    */
+  def multiTermsOracleSql(term: String, size: Int): String =
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, source, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", pairs AS (SELECT DISTINCT t.conv_id, t.role AS k1, t.source AS k2 FROM t2 t JOIN hits h ON t.conv_id = h.conv_id)" +
+      " SELECT k1, k2, CAST(count(*) AS BIGINT) AS n_docs FROM pairs GROUP BY 1, 2" +
+      s" ORDER BY n_docs DESC, k1 ASC, k2 ASC LIMIT $size"
+
+  /** Missing-agg oracle: matching convs whose doc value is null under the
+    * deterministic conv-ordinal % 3 = 0 nulling rule.
+    */
+  def missingAggOracleSql(term: String): String =
+    TurnsCte + TfCtes +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      " SELECT CAST(count(*) AS BIGINT) AS n_missing FROM hits" +
+      " WHERE CAST(substr(conv_id, 2) AS INT) % 3 = 0"
+
   /** Pipeline-agg oracle over the date histogram: the parent histogram plus
     * running total, first difference (null in the first bucket), and the
     * trailing `movingWindow`-bucket average rounded 4dp — the SQL mirror of

@@ -370,6 +370,35 @@ object SparkEntry {
       reader(s, dir).dateHistogramPipeline("spark", meta, "conv_id", "ts",
         "minute", movingWindow = 3).orderBy("bucket")
     }),
+    // multi_terms: compound-key buckets ordered by doc count (the
+    // count-ordered companion to q_composite_agg's key-ordered paging) —
+    // 'dup' is the skew term, so counts are non-uniform and the ordering
+    // clause actually bites
+    "q_multi_terms" -> ((s, dir) =>
+      reader(s, dir).multiTermsAgg("dup", roleToolMeta(s, dir),
+        "conv_id", "role", "tool", 6)),
+    // missing agg: matching convs whose doc value is null (value nulled
+    // deterministically for conv ordinal % 3 = 0)
+    "q_missing_agg" -> ((s, dir) => {
+      val meta = transcripts(s, dir).select(col("conv_id")).distinct()
+        .withColumn("v", when(
+          expr("CAST(substr(conv_id, 2, 10) AS INT) % 3") === 0, lit(null))
+          .otherwise(lit("x")))
+      reader(s, dir).missingAgg("spark", meta, "conv_id", "v")
+    }),
+    // bucket_selector + bucket_sort: histogram buckets with >= 5 hits, top
+    // 5 by hits desc (the trailing 4-hit bucket must drop, ties on bucket)
+    "q_bucket_selector" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).dateHistogramSelect("spark", meta, "conv_id", "ts",
+        "minute", minHits = 5L, topN = 5)
+    }),
+    // stats_bucket: scalar min/max/avg/sum over the sibling histogram's
+    // per-bucket hit counts
+    "q_stats_bucket" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).statsBucket("spark", meta, "conv_id", "ts", "minute")
+    }),
     // terms_set: per-doc minimum_should_match carried by a doc-values column
     // (min_req = conv ordinal mod 4 — 0 exercises the never-matches edge)
     "q_terms_set" -> ((s, dir) => {
@@ -1013,6 +1042,10 @@ object SparkEntry {
       ", gdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)" +
       " SELECT term, df FROM gdf WHERE df <= 99 ORDER BY df ASC, term ASC LIMIT 10"),
     "q_date_histogram_pipeline" -> dateHistogramPipelineOracleSql("spark", 3),
+    "q_multi_terms" -> multiTermsOracleSql("dup", 6),
+    "q_missing_agg" -> missingAggOracleSql("spark"),
+    "q_bucket_selector" -> bucketSelectorOracleSql("spark", 5L, 5),
+    "q_stats_bucket" -> statsBucketOracleSql("spark"),
     "q_terms_set" -> (TurnsCte + TfCtes +
       ", f(fterm) AS (VALUES ('dup'), ('big'), ('window'))" +
       ", dm AS (SELECT DISTINCT t.conv_id, t.term FROM tok2 t JOIN f ON t.term = f.fterm)" +

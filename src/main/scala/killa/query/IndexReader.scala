@@ -681,6 +681,90 @@ final class IndexReader(
       .where(col("__v").isNotNull)
       .agg(approx_count_distinct(col("__v"), rsd).as("n_distinct"))
 
+  /** Multi-terms aggregation (the Elasticsearch `multi_terms` aggregation):
+    * doc counts bucketed by a TUPLE of doc-value sources, the top `size`
+    * buckets by count desc with ties on the key pair asc — the count-ordered
+    * companion to [[compositeAgg]]'s key-ordered paging. A conversation
+    * counts once per distinct key pair it carries; null keys drop the pair
+    * (ES default). Same distributed shape as [[termsAgg]] — semi-join →
+    * distinct → combinable count → TakeOrdered(size) — and like it exact at
+    * any shard count (no per-shard truncation error).
+    *
+    * @return (k1, k2, n_docs) rows, count desc then keys asc.
+    */
+  def multiTermsAgg(term: String, meta: DataFrame, convCol: String,
+      key1Col: String, key2Col: String, size: Int = 10): DataFrame = {
+    require(size >= 1, "size must be >= 1")
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(key1Col).cast("string").as("k1"),
+        col(key2Col).cast("string").as("k2")), "conv_id")
+      .where(col("k1").isNotNull && col("k2").isNotNull)
+      .select("conv_id", "k1", "k2").distinct()
+      .groupBy("k1", "k2").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("k1").asc, col("k2").asc).limit(size)
+  }
+
+  /** Missing aggregation (the Elasticsearch `missing` aggregation): how many
+    * MATCHING conversations lack the doc value — null in the frame or absent
+    * from it entirely (both are "missing the field" in ES). One pruned
+    * membership scan, one left join against the null-filtered frame, one
+    * count — no distinct needed on the probe side because membership is
+    * already one row per conv.
+    *
+    * @return a single (n_missing) row.
+    */
+  def missingAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String): DataFrame = {
+    val present = meta
+      .select(col(convCol).as("conv_id"), col(valCol).as("__v"))
+      .where(col("__v").isNotNull)
+      .select("conv_id").distinct()
+      .withColumn("__has", lit(1))
+    membership(term)
+      .join(present, Seq("conv_id"), "left")
+      .agg(count(when(col("__has").isNull, lit(1))).as("n_missing"))
+  }
+
+  /** Bucket selector + bucket sort over the date histogram (the
+    * Elasticsearch `bucket_selector` and `bucket_sort` pipeline
+    * aggregations): keep only parent buckets with at least `minHits` hits
+    * (the HAVING analog — ES scripts `params.hits >= minHits`), then return
+    * the top `topN` surviving buckets by hits desc with ties on bucket asc.
+    * Like all pipeline aggs this runs over the REDUCED bucket list, so the
+    * distributed shape is the parent [[dateHistogram]]'s; the selector is a
+    * post-aggregation filter and the sort a TakeOrdered over bucket
+    * cardinality (bounded by the time range, not the corpus).
+    *
+    * @return (bucket, hits) rows, hits desc then bucket asc, ≤ topN.
+    */
+  def dateHistogramSelect(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String = "day", minHits: Long = 1L,
+      topN: Int = 10): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    dateHistogram(term, meta, convCol, tsCol, unit)
+      .where(col("hits") >= minHits)
+      .orderBy(col("hits").desc, col("bucket").asc).limit(topN)
+  }
+
+  /** Stats-bucket aggregation (the Elasticsearch `stats_bucket` pipeline
+    * agg): one scalar row of min/max/avg/sum/count over the sibling date
+    * histogram's per-bucket hit counts — "how bursty is this term over
+    * time" in one row. Runs over the reduced bucket list like every
+    * pipeline agg; the parent's distributed shape carries the cost.
+    *
+    * @return a single (n_buckets, min_hits, max_hits, avg_hits, sum_hits)
+    *         row; avg rounded 4dp.
+    */
+  def statsBucket(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String = "day"): DataFrame =
+    dateHistogram(term, meta, convCol, tsCol, unit)
+      .agg(count(lit(1)).as("n_buckets"),
+        min(col("hits")).as("min_hits"),
+        max(col("hits")).as("max_hits"),
+        round(avg(col("hits")), 4).as("avg_hits"),
+        sum(col("hits")).as("sum_hits"))
+
   /** Decay-scored top-k (the Elasticsearch `function_score` decay functions,
     * `boost_mode: multiply`): each hit's BM25 score multiplies by a decay of
     * its distance from `origin` on a caller-supplied doc value — recency
