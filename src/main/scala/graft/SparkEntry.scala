@@ -633,6 +633,26 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) =>
       killa.text.TextOps.unigramLogProb(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // canonical text normalization: lowercase, non-alnum runs → one space
+    "q_normalize_text" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        killa.text.TextOps.normalizeCol(col("text")).as("norm"))
+        .orderBy("doc_id")),
+    // PII redaction over deterministically-augmented text (the raw corpus
+    // carries no PII, so both engines append one email per doc and a phone
+    // for every third doc — the redaction itself is what's hash-checked)
+    "q_redact_pii" -> ((s, dir) => {
+      val aug = documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"),
+          when(col("doc_id") % 3 === 0, lit(" call (555) 123-4567"))
+            .otherwise(lit(""))).as("text"))
+      killa.text.TextOps.redactPii(aug, "doc_id", "text").orderBy("doc_id")
+    }),
+    // token-window chunking: 40-token windows every 32 tokens (overlapping)
+    "q_chunk_tokens" -> ((s, dir) =>
+      killa.text.TextOps.chunkTokens(documents(s, dir), "doc_id", "text", 40, 32)
+        .orderBy("doc_id", "chunk_idx")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       killa.dedup.Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text", 3, 0.8)
         .orderBy("a_id", "b_id")),
@@ -1222,6 +1242,25 @@ object SparkEntry {
       " SELECT t.doc_id, count(*) AS n_tokens," +
       " round(avg(ln(CAST(ctf.c AS DOUBLE) / (SELECT tt FROM tot))), 4) AS avg_logprob" +
       " FROM t JOIN ctf ON t.term = ctf.term GROUP BY 1 ORDER BY 1"),
+    "q_normalize_text" ->
+      ("SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))" +
+        " AS norm FROM documents ORDER BY doc_id"),
+    // same deterministic augmentation as the Spark side; patterns are the
+    // shared TextOps constants so both engines run the identical regex
+    "q_redact_pii" ->
+      ("WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com' ||" +
+        " CASE WHEN doc_id % 3 = 0 THEN ' call (555) 123-4567' ELSE '' END AS text FROM documents)" +
+        s" SELECT doc_id, regexp_replace(regexp_replace(text, '${killa.text.TextOps.EmailPattern}', '<EMAIL>', 'g')," +
+        s" '${killa.text.TextOps.PhonePattern}', '<PHONE>', 'g') AS redacted," +
+        s" CAST(len(regexp_extract_all(text, '${killa.text.TextOps.EmailPattern}')) AS BIGINT) AS n_emails," +
+        s" CAST(len(regexp_extract_all(text, '${killa.text.TextOps.PhonePattern}')) AS BIGINT) AS n_phones" +
+        " FROM aug ORDER BY doc_id"),
+    "q_chunk_tokens" -> (DocToksCte +
+      ", offs AS (SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS off FROM w WHERE len(toks) > 0)" +
+      ", ch AS (SELECT doc_id, CAST(off // 32 AS INT) AS chunk_idx, CAST(off AS INT) AS off," +
+      " toks[off + 1 : least(off + 40, len(toks))] AS chunk FROM offs)" +
+      " SELECT doc_id, chunk_idx, off, CAST(len(chunk) AS BIGINT) AS n_tokens," +
+      " md5(array_to_string(chunk, ' ')) AS chunk_hash FROM ch ORDER BY doc_id, chunk_idx"),
     "q_dedup_ngram_jaccard" -> (DocToksCte + ShinglesCte + JaccardSql),
     // decontamination: corpus = doc_id % 7 <> 0, benchmark = % 7 = 0; per
     // corpus doc the fraction of its distinct 3-gram shingles found in the

@@ -159,6 +159,81 @@ object TextOps {
       .select(col("__id").as(idCol), col("n_tokens"), col("avg_logprob"))
   }
 
+  /** Canonical text normalization (the first step of most dedup/quality
+    * pipelines): lowercase, every non-alphanumeric run collapsed to one
+    * space, trimmed. Plain character classes so Java and RE2-family
+    * engines agree; pure codegen projection — no shuffle, scales linearly.
+    */
+  def normalizeCol(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Email-address pattern shared by the redaction pass and its oracle —
+    * character classes + bounded quantifiers only, identical semantics
+    * under java.util.regex and RE2.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+  /** North-American-style phone pattern: 3-3-4 digit groups with `-`/`.`/
+    * space separators, optional area-code parens. Anchored by \\b so digit
+    * runs inside longer numbers don't half-match.
+    */
+  val PhonePattern = "\\(?\\b[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII redaction (the standard pre-training scrub): emails → `<EMAIL>`,
+    * phone numbers → `<PHONE>`, with per-document match counts for audit
+    * sampling. Counts are taken BEFORE redaction (regexp_count on the raw
+    * text), emails redact first so a phone-looking digit run inside an
+    * address can't double-fire. Whole-stage codegen projection — no UDF,
+    * no shuffle; at 100 TB this is a pure map over the scan.
+    *
+    * @return (idCol, redacted, n_emails, n_phones) rows.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("redacted"),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"))
+  }
+
+  /** Token-window chunking (the training-data "split long documents into
+    * model-context pieces" step): windows of `window` tokens starting every
+    * `stride` tokens — `stride < window` gives overlapping chunks, `stride
+    * == window` a partition. Chunk offsets are 0, stride, 2·stride, …
+    * strictly below the document's token count; the final chunk may be
+    * short (`min(window, n − off)` tokens). Empty documents produce no
+    * chunks. The chunk content rides out as an md5 over the
+    * space-rejoined tokens, so row width stays bounded no matter the
+    * window.
+    *
+    * Shape at scale: tokenize → one generator explode per document (output
+    * rows ≈ n/stride, data-proportional) → codegen projections; no shuffle,
+    * no UDF, no driver state — a pure flatMap over the scan.
+    *
+    * @return (idCol, chunk_idx, off, n_tokens, chunk_hash) rows.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(stride >= 1, "stride must be >= 1")
+    val toksDf = df.select(col(idCol), Tokenize.termsCol(col(textCol)).as("__toks"))
+    toksDf
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))).as("off"))
+      .select(
+        col(idCol),
+        (col("off") / stride).cast("int").as("chunk_idx"),
+        col("off"),
+        slice(col("__toks"), col("off") + 1, lit(window)).as("__chunk"))
+      .select(
+        col(idCol), col("chunk_idx"), col("off"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+  }
+
   /** 64-bit Rabin-Karp rolling hash over a token sequence (pure Scala; used
     * by simhash/minhash internals and available as a cheap shift-resistant
     * document fingerprint).

@@ -318,6 +318,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((3L, r4((math.log(3 / 6.0) + math.log(2 / 6.0) + math.log(1 / 6.0)) / 3))))
   }
 
+  test("normalize: lowercase, non-alnum runs collapse, trim") {
+    val rows = Seq((0L, "  Hello,   WORLD!x9 "), (1L, "---"), (2L, "ok")).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), TextOps.normalizeCol(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "hello world x9")
+    assert(got(1L) == "")
+    assert(got(2L) == "ok")
+  }
+
+  test("redact PII: emails and phones masked, counts pre-redaction") {
+    val rows = Seq(
+      (0L, "mail a.b+c@x-y.org then call 555-123-4567 or (555) 987 6543"),
+      (1L, "no pii here 123456789012"),
+      (2L, "two mails p@q.io r@s.co")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redactPii(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("mail <EMAIL> then call <PHONE> or <PHONE>", 1L, 2L)))
+    assert(got(1L) == (("no pii here 123456789012", 0L, 0L)))
+    assert(got(2L) == (("two mails <EMAIL> <EMAIL>", 2L, 0L)))
+  }
+
+  test("chunk tokens: offsets, overlap, short tail, empty doc") {
+    val rows = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, w=4 s=3
+      (1L, "a b"),                                    // single short chunk
+      (2L, "")                                        // no chunks
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(rows, "doc_id", "text", 4, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    def h(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val exp0 = Seq(
+      (0L, 0, 0, 4L, h("t1 t2 t3 t4")), (0L, 1, 3, 4L, h("t4 t5 t6 t7")),
+      (0L, 2, 6, 4L, h("t7 t8 t9 t10")), (0L, 3, 9, 1L, h("t10")))
+    assert(got.filter(_._1 == 0L).toSeq == exp0)
+    assert(got.filter(_._1 == 1L).toSeq == Seq((1L, 0, 0, 2L, h("a b"))))
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("stratified hash sampling: per-stratum rates, consistent-subset property") {
     val n = 400
     val rows = (0 until n).map(i => (i.toLong, s"doc number $i body", s"s${i % 2}"))
