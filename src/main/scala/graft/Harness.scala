@@ -847,6 +847,33 @@ object Harness {
       root
     })
 
+  /** Reversed-term sub-index (killa.build.ReverseIndex) over the
+    * transcripts — suffix and leading-wildcard search.
+    */
+  def reverseIdxRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#rev", {
+      val root = freshRoot(sfDir, "rev")
+      killa.build.ReverseIndex.build(spark, root, transcripts(spark, sfDir), conf)
+      root
+    })
+
+  /** Reversed index built on a 3-of-5-turns subset, then brought to the
+    * full corpus via ONE maintenance batch routed through
+    * ReverseIndex.applyChanges — suffix queries against it must match the
+    * full-corpus oracle exactly (the same incremental gate field indexes
+    * have).
+    */
+  def reverseIncrRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#revincr", {
+      val root = freshRoot(sfDir, "revincr")
+      val all = transcripts(spark, sfDir)
+      killa.build.ReverseIndex.build(spark, root,
+        all.where(col("turn_idx") < 3), conf)
+      killa.build.ReverseIndex.applyChanges(spark, root, all,
+        batchId = "d1", conf = conf)
+      root
+    })
+
   /** Time-travel root: full build, version captured, then every 10th conv
     * deleted — a reader pinned to the captured version must answer from the
     * PRE-delete corpus (Iceberg snapshot-read semantics; the engine's

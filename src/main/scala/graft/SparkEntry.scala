@@ -411,6 +411,23 @@ object SparkEntry {
     // down as a prefix range, full pattern residual over the dictionary
     "q_membership_regex" -> ((s, dir) =>
       reader(s, dir).membershipRegex("^s[a-z]+k$").orderBy("conv_id")),
+    // suffix search (terms ending "up" — only the skew term 'dup' at this
+    // corpus): a pruned PREFIX range scan over the reversed-term sub-index,
+    // the Lucene/ES reverse-token-filter technique
+    "q_suffix_search" -> ((s, dir) =>
+      killa.build.ReverseIndex.membershipSuffix(s, reverseIdxRoot(s, dir),
+        conf, "up").orderBy("conv_id")),
+    // leading-wildcard mask (*do? — only 'window' here): reversed mask
+    // gains a literal prefix on the reversed tree and prunes
+    "q_leading_wildcard" -> ((s, dir) =>
+      killa.build.ReverseIndex.membershipWildcardReversed(s,
+        reverseIdxRoot(s, dir), conf, "*do?").orderBy("conv_id")),
+    // incremental maintenance of the reversed tree: built on 3/5 of turns,
+    // one delta batch brings it to the full corpus — suffix results must
+    // match the full-corpus oracle
+    "q_suffix_incr" -> ((s, dir) =>
+      killa.build.ReverseIndex.membershipSuffix(s, reverseIncrRoot(s, dir),
+        conf, "up").orderBy("conv_id")),
     // keyword-in-context snippets for the term's hit set: index finds the
     // conversations, the source table renders ±3 tokens of context around
     // the first occurrence
@@ -1025,6 +1042,12 @@ object SparkEntry {
     "q_membership_regex" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE regexp_matches(term, '^s[a-z]+k$')" +
       " ORDER BY conv_id"),
+    "q_suffix_search" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE '%up' ORDER BY conv_id"),
+    "q_leading_wildcard" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE '%do_' ORDER BY conv_id"),
+    "q_suffix_incr" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE '%up' ORDER BY conv_id"),
     "q_membership_fuzzy_prefix" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE levenshtein(term, 'bag') <= 2" +
       " AND term LIKE 'b%' ORDER BY conv_id"),
