@@ -740,9 +740,31 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
+    // metadata-filtered kNN (the ES knn `filter` clause): PRE-filter
+    // semantics — the top-5 is over allowed vectors only (vec_id % 3 <> 0),
+    // so every page is full whenever 5 allowed vectors exist
+    "q_ann_filtered" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+      val allowed = e.where(col("vec_id") % 3 =!= 0).select("vec_id")
+      killa.ann.Ann.filteredTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
+          allowed, "vec_id")
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")
+    }),
     "q_embed_neardup" -> ((s, dir) =>
       killa.ann.Ann.nearDupPairs(embeddings(s, dir), "vec_id", "embedding", 0.45)
         .orderBy("a_id", "b_id")),
+    // near-dup CLUSTERS: 3-gram Jaccard pairs at 0.8 → connected components
+    // (min-label propagation) — every doc labeled with its cluster's min id,
+    // singletons label themselves; the oracle recomputes the closure with a
+    // recursive CTE
+    "q_dedup_cluster" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = killa.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      killa.dedup.Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
+    }),
     "q_mm_features" -> ((s, dir) => {
       val rows = killa.mm.Multimodal.payloadize(documents(s, dir), "doc_id", "text", "text/plain")
       rows.select(col("id"), col("kind"),
@@ -1347,6 +1369,21 @@ object SparkEntry {
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
       ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
       " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    "q_ann_filtered" -> (EmbCte +
+      ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
+      s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine" +
+      " FROM e, q WHERE e.vec_id <> q.q_id AND e.vec_id % 3 <> 0)" +
+      ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
+      " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    "q_dedup_cluster" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)" +
+        ShinglesCte +
+        ", inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)" +
+        ", pr AS (SELECT a_id, b_id FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id" +
+        " WHERE round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 4) >= 0.8)" +
+        ", und AS (SELECT a_id AS src, b_id AS dst FROM pr UNION SELECT b_id, a_id FROM pr)" +
+        ", walk(id, lbl) AS (SELECT doc_id, doc_id FROM w UNION SELECT u.dst, k.lbl FROM walk k JOIN und u ON u.src = k.id)" +
+        " SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster FROM walk GROUP BY 1 ORDER BY 1"),
     // LSH candidates + exact re-rank reproduce the exact top-k on this
     // corpus (recall 1.0 at 64×16 banding, asserted as equality in
     // PipelineOpsSpec) — same oracle as the brute-force baseline

@@ -41,6 +41,24 @@ object Ann {
       .select("q_id", "vec_id", "cosine", "rank")
   }
 
+  /** Metadata-filtered exact cosine top-k (the Elasticsearch `knn` query's
+    * `filter` clause): the top-k is computed over the ALLOWED vectors only —
+    * PRE-filter semantics, so k survivors always come back when k allowed
+    * vectors exist (post-filtering a top-k leaves holes, the same trap
+    * bm25TopKFiltered avoids admission-time). `allowed` is a distributed id
+    * frame; the semi-join keys on the embedding table's partitioning, then
+    * the scan-shaped [[bruteForceTopK]] plan runs over the survivors. The
+    * same composition works for the sub-linear paths — [[lshTopK]] /
+    * [[ivfTopK]] accept any pre-filtered embeddings frame verbatim.
+    */
+  def filteredTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      allowed: DataFrame, allowedIdCol: String): DataFrame = {
+    val kept = embeddings.join(
+      allowed.select(col(allowedIdCol).as(idCol)).distinct(), Seq(idCol), "left_semi")
+    bruteForceTopK(kept, idCol, vecCol, queries, qIdCol, qVecCol, k)
+  }
+
   /** nPlanes-bit signature of a vector under the fixed hyperplane family
     * (scalar twin of the native [[killa.expr.HyperplaneSig]] expression the
     * registered paths run — bit-identical, property-pinned).

@@ -77,6 +77,67 @@ object Dedup {
     df.where(cond)
   }
 
+  /** Connected components over a near-dup pair set: every document labeled
+    * with the MINIMUM id reachable through the undirected edge set — the
+    * step that turns pairwise near-dup evidence into dedup CLUSTERS (pairs
+    * alone under-delete: {a~b, b~c} must drop two docs, not one per pair —
+    * the same one-per-group rule [[dropExactDuplicates]] applies to exact
+    * groups).
+    *
+    * Algorithm: iterative min-label propagation. Each round every vertex
+    * takes min(own label, neighbors' labels); converges in O(cluster
+    * diameter) rounds — near-dup clusters are dense (near-cliques from
+    * banded candidate generation), so diameters are small in practice, and
+    * `maxIter` bounds the pathological chain. Each round is one edge-keyed
+    * join + one combinable min aggregation — no collect, no driver-side
+    * graph; the per-round convergence probe is a bounded count aggregate.
+    * Labels are localCheckpoint'd each round so lineage stays flat across
+    * iterations.
+    *
+    * @param vertices one row per doc (idCol, numeric).
+    * @param edges    undirected pair rows (aCol, bCol) — the output shape
+    *                 of [[ngramJaccardPairs]] / [[minhashLshPairs]] /
+    *                 [[killa.ann.Ann.nearDupPairs]].
+    * @return (id, cluster) rows — cluster = min reachable id; singletons
+    *         label themselves.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxIter: Int = 50): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct().persist()
+    var labels = vertices.select(col(idCol).cast("long").as("id"))
+      .distinct().withColumn("lbl", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.where(col("lbl") =!= col("old")).limit(1).count() == 0L
+      labels = next.select("id", "lbl")
+      iter += 1
+    }
+    und.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Near-dup dedup keep-one over a cluster labeling: the documents that
+    * survive — exactly one per connected component (the minimum id, the
+    * same canonical-representative rule [[dropExactDuplicates]] uses).
+    */
+  def keepFromClusters(clusters: DataFrame): DataFrame =
+    clusters.where(col("cluster") === col("id")).select("id")
+
   /** Distinct word-n-gram shingle set per doc: (id, s). */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(TextOps.shingleCol(col(textCol), n)).as("s"))

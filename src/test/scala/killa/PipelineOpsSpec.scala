@@ -318,6 +318,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((3L, r4((math.log(3 / 6.0) + math.log(2 / 6.0) + math.log(1 / 6.0)) / 3))))
   }
 
+  test("connected components: chains merge transitively, singletons self-label") {
+    // clusters: {1,2,3,4} (a chain — pairwise evidence only), {7,9}, {5}, {8}
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(verts, "doc_id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 7L))
+    val kept = Dedup.keepFromClusters(
+      Dedup.connectedComponents(verts, "doc_id", edges))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 7L, 8L))
+    // no edges at all → identity labeling
+    val none = Dedup.connectedComponents(verts, "doc_id",
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none.forall { case (k, v) => k == v })
+  }
+
+  test("filtered ANN: pre-filter semantics — top-k over allowed vectors only") {
+    val dim = 8
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() * 2 - 1)
+    }
+    val emb = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") === 0).select(col("vec_id").as("q_id"), col("embedding"))
+    val allowed = emb.where(col("vec_id") % 2 === 1).select("vec_id")
+    val got = Ann.filteredTopK(emb, "vec_id", "embedding", q, "q_id", "embedding", 5,
+      allowed, "vec_id").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.length == 5 && got.forall { case (id, _) => id % 2 == 1 })
+    // ≡ brute force over the pre-filtered table
+    val want = Ann.bruteForceTopK(emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", q, "q_id", "embedding", 5)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("normalize: lowercase, non-alnum runs collapse, trim") {
     val rows = Seq((0L, "  Hello,   WORLD!x9 "), (1L, "---"), (2L, "ok")).toDF("doc_id", "text")
     val got = rows.select(col("doc_id"), TextOps.normalizeCol(col("text")).as("n"))
