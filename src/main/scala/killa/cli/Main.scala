@@ -21,6 +21,9 @@ import killa.streaming.StreamOps
   *   qw <term>                 quiescent search            (Program.cs:53-59)
   *   qp <prefix|glob>          prefix/wildcard search (reference README TODO)
   *   qf <term> [maxDist]       fuzzy search (Levenshtein over terms)
+  *   qs <suffix>               suffix search (reversed-term sub-index)
+  *   qlw <glob>                leading-wildcard search via the reversed tree
+  *   revbuild <parquet>        build the reversed-term sub-index
   *   suggest <term> [d] [n]    did-you-mean: close spellings by df desc
   *   qr <pattern>              regex term search (anchor with ^...$)
   *   bm25 <k> <term>... [NOT <term>...]  top-k BM25, boolean NOT exclusions
@@ -160,7 +163,8 @@ object Main {
     val minArity = Map("build" -> 1, "posbuild" -> 1, "unsub" -> 1, "sub" -> 2, "ren" -> 2,
       "slop" -> 2, "mlt" -> 1, "qat" -> 2, "page" -> 4, "suggest" -> 1,
       "qr" -> 1, "qany" -> 1, "sig" -> 1, "qsyn" -> 2, "dbq" -> 1,
-      "qpp" -> 1, "qsf" -> 2, "explain" -> 2)
+      "qpp" -> 1, "qsf" -> 2, "explain" -> 2,
+      "qs" -> 1, "qlw" -> 1, "revbuild" -> 1)
     minArity.get(verb).filter(rest.length < _).foreach { n =>
       throw new IllegalArgumentException(s"$verb requires at least $n argument(s)")
     }
@@ -212,6 +216,17 @@ object Main {
           .foreach(r => println(s"${r.getString(0)}\t${r.getDouble(1)}"))
       case "qr" => // qr <pattern>: regex term search (anchor with ^...$)
         session.reader.membershipRegex(rest.head)
+          .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
+      case "revbuild" => // revbuild <parquet>: reversed-term sub-index
+        killa.build.ReverseIndex.build(spark, root,
+          spark.read.parquet(rest.head), conf,
+          buildId = s"rev-${stableId(rest.head)}")
+        println("reversed index built")
+      case "qs" => // qs <suffix>: terms ending with <suffix>
+        killa.build.ReverseIndex.membershipSuffix(spark, root, conf, rest.head)
+          .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
+      case "qlw" => // qlw <glob>: leading-wildcard mask via the reversed tree
+        killa.build.ReverseIndex.membershipWildcardReversed(spark, root, conf, rest.head)
           .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
       case "suggest" => // suggest <term> [maxDist] [n]: did-you-mean
         val d = rest.lift(1).map(_.toInt).getOrElse(1)

@@ -211,4 +211,28 @@ class CliSpec extends AnyFunSuite {
     assert(capture("qsf", Array("scan", "2")) == Seq("cP", "cR"))
     intercept[IllegalArgumentException](Main.run(spark, root, "qsf", Array("scan")))
   }
+
+  test("reverse-index verbs: revbuild / qs (suffix) / qlw (leading wildcard)") {
+    val root = TestSpark.freshDir("clirev")
+    val data = TestSpark.freshDir("clirevdata")
+    Seq(
+      Turn("cA", 0, "user", "spark runs here", "", new Timestamp(0L)),
+      Turn("cB", 0, "user", "park the walk", "", new Timestamp(0L)),
+      Turn("cC", 0, "user", "nothing else", "", new Timestamp(0L))
+    ).toDS().toDF().write.mode("overwrite").parquet(data)
+    Main.run(spark, root, "revbuild", Array(data))
+
+    def capture(verb: String, args: Array[String]): Seq[String] = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Main.run(spark, root, verb, args) }
+      out.toString.split("\n").filter(_.nonEmpty).toSeq
+    }
+
+    assert(capture("qs", Array("ark")) == Seq("cA", "cB")) // spark, park
+    assert(capture("qs", Array("alk")) == Seq("cB"))       // walk
+    assert(capture("qs", Array("zzz")).isEmpty)
+    assert(capture("qlw", Array("*ark")) == Seq("cA", "cB"))
+    assert(capture("qlw", Array("?ark")) == Seq("cB"))      // park only
+    intercept[IllegalArgumentException](Main.run(spark, root, "qs", Array.empty))
+  }
 }
