@@ -527,6 +527,28 @@ object Harness {
       s", top AS (SELECT conv_id, s FROM comb ORDER BY s DESC, conv_id ASC LIMIT $k)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
 
+  /** RRF hybrid-search oracle: the BM25 top-`window` ranking fused with the
+    * conv-level cosine ranking (conv vector = the conv's first doc's
+    * embedding, query = vec 0's embedding, vec 0's own conv excluded from
+    * the vector source exactly like Ann.bruteForceTopK's self-exclusion) by
+    * score = Σ 1/(c + rank). Vector ranks order on the 4dp-ROUNDED cosine
+    * (the Spark side's bruteForceTopK convention), lexical ranks on the
+    * exact BM25 doubles — both bit-reproducible cross-engine.
+    */
+  def rrfOracleSql(terms: Seq[String], k: Int, window: Int, c: Int): String =
+    TurnsCte + TfCtes + plainScoredCtes(terms) +
+      s", lex AS (SELECT conv_id, lr FROM (SELECT conv_id, row_number() OVER (ORDER BY s DESC, conv_id ASC) AS lr FROM scored) WHERE lr <= $window)" +
+      ", ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id % 5 = 0)" +
+      ", qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id = 0)" +
+      ", vs AS (SELECT ev.vec_id, round(list_dot_product(ev.v, qv.v) / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(qv.v, qv.v))), 4) AS cosine" +
+      " FROM ev, qv WHERE ev.vec_id <> 0)" +
+      s", vrk AS (SELECT conv_id, vr FROM (SELECT printf('c%05d', vec_id // 5) AS conv_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS vr FROM vs) WHERE vr <= $window)" +
+      s", fused AS (SELECT coalesce(l.conv_id, v.conv_id) AS conv_id," +
+      s" coalesce(1.0 / ($c + l.lr), 0.0) + coalesce(1.0 / ($c + v.vr), 0.0) AS s" +
+      " FROM lex l FULL OUTER JOIN vrk v ON l.conv_id = v.conv_id)" +
+      s", top AS (SELECT conv_id, s FROM fused ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+
   /** Date-histogram oracle: docs matching the term, bucketed by the conv's
     * min ts truncated to the minute, counted — ts reproduced from the
     * deterministic `2024-01-01 + doc_id seconds` derivation.

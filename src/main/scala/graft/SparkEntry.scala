@@ -740,6 +740,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
+    // RRF hybrid search (the ES rrf retriever): lexical BM25 top-20 fused
+    // with the conv-level cosine top-20 (conv vector = first doc's
+    // embedding, query = vec 0) by score = Σ 1/(60 + rank)
+    "q_rrf_hybrid" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val convVecs = e.where(col("vec_id") % 5 === 0)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val vr = killa.ann.Ann.bruteForceTopK(convVecs, "vec_id", "embedding",
+          q, "q_id", "embedding", 20)
+        .select(format_string("c%05d", expr("vec_id div 5")).as("conv_id"),
+          col("rank"))
+      present(reader(s, dir).rrfTopK(Seq("query", "filter"), vr, 10, window = 20))
+    }),
     // metadata-filtered kNN (the ES knn `filter` clause): PRE-filter
     // semantics — the top-5 is over allowed vectors only (vec_id % 3 <> 0),
     // so every page is full whenever 5 allowed vectors exist
@@ -1369,6 +1383,7 @@ object SparkEntry {
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
       ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
       " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    "q_rrf_hybrid" -> rrfOracleSql(Seq("query", "filter"), 10, 20, 60),
     "q_ann_filtered" -> (EmbCte +
       ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine" +

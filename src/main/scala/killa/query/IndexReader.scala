@@ -1911,6 +1911,48 @@ final class IndexReader(
     hitsDf(rescored)
   }
 
+  /** Reciprocal-rank fusion (the Elasticsearch `rrf` retriever; Cormack &
+    * Clarke 2009): fuse the lexical BM25 ranking with a caller-supplied
+    * second ranking — typically vector kNN, making this the engine's hybrid
+    * lexical+semantic search surface. Each source contributes
+    * 1 / (c + rank) for documents inside its top-`window` (1-based rank;
+    * docs absent from a source contribute nothing for it — ES semantics);
+    * the fused score orders the final top-k, ties on conv_id asc.
+    *
+    * Shape: the lexical ranking is the serving-shaped [[bm25TopKRows]]
+    * (zero Spark jobs warm), ≤ `window` rows; the second ranking is a
+    * bounded frame by the SAME window contract. The fusion is one outer
+    * join over ≤ 2·window rows — driver-trivial, cluster-trivial, and the
+    * expensive parts (DAAT kernel, ANN candidate generation) keep their own
+    * documented scale paths.
+    *
+    * @param other second-source ranking: (`otherConvCol`, `otherRankCol`
+    *              1-based int/long), at most `window` rows honored.
+    * @return (conv_id, score) rows — score = the rrf sum, exact (round at
+    *         presentation).
+    */
+  def rrfTopK(terms: Seq[String], other: DataFrame, k: Int,
+      window: Int = 100, c: Int = 60,
+      otherConvCol: String = "conv_id", otherRankCol: String = "rank",
+      conjunctive: Boolean = false): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(c >= 1, "rank constant must be >= 1")
+    if (k <= 0) return emptyHits
+    val lex = bm25TopKRows(terms, window, conjunctive).zipWithIndex
+      .map { case ((conv, _), i) => (conv, i + 1) }.toSeq
+      .toDF("conv_id", "lrank")
+    val sec = other
+      .select(col(otherConvCol).cast("string").as("conv_id"),
+        col(otherRankCol).cast("long").as("orank"))
+      .where(col("orank") >= 1 && col("orank") <= window)
+    lex.join(sec, Seq("conv_id"), "full_outer")
+      .select(col("conv_id"),
+        (coalesce(lit(1.0) / (lit(c) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("orank")), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("conv_id").asc)
+      .limit(k)
+  }
+
   /** More-like-this: rank documents similar to `convId` by running a BM25
     * disjunction of its most characteristic terms. Selection is fully
     * deterministic and integer-keyed (Lucene's MLT uses tf·idf floats; ours

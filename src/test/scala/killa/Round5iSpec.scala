@@ -96,6 +96,28 @@ class Round5iSpec extends AnyFunSuite {
       "minute", minHits = Long.MaxValue, topN = 2).collect().isEmpty)
   }
 
+  test("rrfTopK: fusion math exact, window cut respected, absent-source docs survive") {
+    // lexical ranking for 'the' (bm25TopKRows order) + a synthetic second source
+    val lex = reader.bm25TopKRows(Seq("the"), 5).map(_._1)
+    assert(lex.length == 5)
+    // second source: top doc = a conv NOT in the lexical top-5 (vector-only
+    // hit must surface), rank 2 = the lexical #1 (boosted by both sources),
+    // plus one rank beyond the window (must be ignored)
+    val vecOnly = matchSet.toSeq.sorted.reverseIterator.find(c => !lex.contains(c)).get
+    val other = Seq((vecOnly, 1L), (lex.head, 2L), (lex(1), 99L))
+      .toDF("conv_id", "rank")
+    val got = reader.rrfTopK(Seq("the"), other, k = 10, window = 5, c = 60)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    def r1(n: Int) = 1.0 / (60 + n)
+    assert(math.abs(got(lex.head) - (r1(1) + r1(2))) < 1e-12) // both sources
+    assert(math.abs(got(vecOnly) - r1(1)) < 1e-12)            // vector-only
+    assert(math.abs(got(lex(1)) - r1(2)) < 1e-12)             // rank 99 > window ignored
+    // fused head outranks any single-source doc
+    val top = reader.rrfTopK(Seq("the"), other, k = 1, window = 5, c = 60)
+      .collect()(0).getString(0)
+    assert(top == lex.head)
+  }
+
   test("statsBucket: scalar stats over the histogram's hit counts") {
     val r = reader.statsBucket("the", tsMeta, "conv_id", "ts", "minute").collect()(0)
     val hs = bruteHist.values.toSeq
