@@ -348,6 +348,19 @@ object Harness {
         .mkString(" UNION ALL ") +
       " ORDER BY pct"
 
+  /** Percentile-ranks oracle: exact % of match-set t0 values ≤ each probe
+    * — the SQL mirror of IndexReader.percentileRanksAgg.
+    */
+  def percentileRanksOracleSql(term: String, values: Seq[Double]): String =
+    TurnsCte + TfCtes + ConvT0Cte +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", j AS (SELECT t0 FROM hits h JOIN convt0 c ON h.conv_id = c.conv_id) " +
+      values.map(x =>
+        s"SELECT CAST($x AS DOUBLE) AS value, round(100.0 * " +
+          s"(SELECT count(*) FROM j WHERE t0 <= $x) / (SELECT count(*) FROM j), 4) AS pct")
+        .mkString(" UNION ALL ") +
+      " ORDER BY value"
+
   /** Cardinality oracle: exact distinct count of the turn-level `source`
     * values across the matching conversations.
     */

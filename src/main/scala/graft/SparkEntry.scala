@@ -250,6 +250,10 @@ object SparkEntry {
     "q_cardinality_agg" -> ((s, dir) =>
       reader(s, dir).cardinalityAgg("spark",
         transcripts(s, dir).select("conv_id", "tool"), "conv_id", "tool")),
+    // percentile_ranks: % of match-set t0 values ≤ each probe (exact counts)
+    "q_percentile_ranks" -> ((s, dir) =>
+      reader(s, dir).percentileRanksAgg("spark", t0Meta(s, dir), "conv_id", "t0",
+        Seq(120.0, 300.0, 600.0)).orderBy("value")),
     // generic terms aggregation over a doc value (facet by ANY meta column,
     // not just index-backed fields) — exact at any shard count
     "q_terms_agg" -> ((s, dir) =>
@@ -650,6 +654,14 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) =>
       killa.text.TextOps.unigramLogProb(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // composite quality gate: token bounds + stopword ceiling + Gopher
+    // repetition ceilings — every component bites on this corpus (86/12/
+    // 11/3 sole-reason failures, 404 of 500 survive at sf0.01)
+    "q_quality_gate" -> ((s, dir) =>
+      killa.text.TextOps.qualityGate(documents(s, dir), "doc_id", "text",
+        minTokens = 20L, maxTokens = 90L, maxStopwordRatio = 0.15,
+        maxTopBigramFrac = 0.1, maxDupBigramFrac = 0.2)
+        .orderBy("doc_id")),
     // canonical text normalization: lowercase, non-alnum runs → one space
     "q_normalize_text" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
@@ -980,6 +992,7 @@ object SparkEntry {
     "q_composite_agg_page2" -> compositeOracleSql("spark", 5, Some(("assistant", "src17"))),
     "q_stats_agg" -> statsAggOracleSql("spark"),
     "q_percentiles_agg" -> percentilesOracleSql("spark", Seq(0.25, 0.5, 0.75, 0.95)),
+    "q_percentile_ranks" -> percentileRanksOracleSql("spark", Seq(120.0, 300.0, 600.0)),
     "q_cardinality_agg" -> cardinalityOracleSql("spark"),
     "q_function_score_gauss" -> decayOracleSql(Seq("query", "filter"), 10,
       origin = 0.0, scale = 200.0, offset = 0.0, decay = 0.5, fn = "gauss"),
@@ -1301,6 +1314,18 @@ object SparkEntry {
       " SELECT t.doc_id, count(*) AS n_tokens," +
       " round(avg(ln(CAST(ctf.c AS DOUBLE) / (SELECT tt FROM tot))), 4) AS avg_logprob" +
       " FROM t JOIN ctf ON t.term = ctf.term GROUP BY 1 ORDER BY 1"),
+    "q_quality_gate" -> (DocToksCte +
+      ", g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS s FROM w WHERE len(toks) >= 2)" +
+      ", pc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)" +
+      ", pd AS (SELECT doc_id, sum(c) AS tot, max(c) AS topc," +
+      " sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc FROM pc GROUP BY 1)" +
+      ", q AS (SELECT w.doc_id, len(toks) AS n_tokens," +
+      " round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','of','and','to','in','a','is','it','for','on','with','as'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopr," +
+      " round(COALESCE(CAST(pd.topc AS DOUBLE) / pd.tot, 0.0), 4) AS topf," +
+      " round(COALESCE(CAST(pd.dupc AS DOUBLE) / pd.tot, 0.0), 4) AS dupf" +
+      " FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id)" +
+      " SELECT doc_id FROM q WHERE n_tokens BETWEEN 20 AND 90" +
+      " AND stopr <= 0.15 AND topf <= 0.1 AND dupf <= 0.2 ORDER BY doc_id"),
     "q_normalize_text" ->
       ("SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))" +
         " AS norm FROM documents ORDER BY doc_id"),

@@ -540,6 +540,34 @@ final class IndexReader(
       .select(col("pct"), col("value"))
   }
 
+  /** Percentile ranks (the Elasticsearch `percentile_ranks` aggregation,
+    * the inverse of [[percentilesAgg]]): for each probe value, the
+    * percentage of the match set's doc values ≤ that probe — EXACT counts
+    * (ES interpolates over a TDigest sketch; at any scale the exact form is
+    * one combinable aggregation here, so the sketch buys nothing). Missing
+    * / NaN values ignored, like every metric agg.
+    *
+    * @return (value, pct) rows in probe order; pct in [0, 100], 4dp.
+    */
+  def percentileRanksAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String, values: Seq[Double]): DataFrame = {
+    require(values.nonEmpty, "at least one probe value")
+    val v = col("__v")
+    val aggs = count(lit(1)).as("__n") +:
+      values.zipWithIndex.map { case (x, i) =>
+        count(when(v <= x, lit(1))).as(s"__c$i")
+      }
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), "conv_id")
+      .where(v.isNotNull && !isnan(v))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(posexplode(array(values.indices.map(i =>
+        col(s"__c$i").cast("double") / col("__n")): _*)).as(Seq("__i", "__f")))
+      .select(element_at(typedLit(values), col("__i") + 1).as("value"),
+        round(col("__f") * 100.0, 4).as("pct"))
+  }
+
   /** Cardinality of a doc value over the match set (the Elasticsearch
     * `cardinality` aggregation), EXACT: distinct count distributes as one
     * two-level agg, so unlike ES (whose HLL is forced by its per-shard reply

@@ -159,6 +159,36 @@ object TextOps {
       .select(col("__id").as(idCol), col("n_tokens"), col("avg_logprob"))
   }
 
+  /** Composite quality gate (the Gopher-rule keep/drop step, Rae et al.
+    * 2021 §A1.1): a document survives iff it passes EVERY cheap filter —
+    * token-count bounds, stopword-ratio ceiling (low stopword density flags
+    * non-prose), and the §A1.1 repetition ceilings on top-bigram and
+    * duplicate-bigram fractions. Thresholds compare against the features'
+    * 4dp-rounded presentation values (what [[qualityFeatures]] /
+    * [[repetitionFeatures]] publish), so an audit of the gate against the
+    * feature tables is exact.
+    *
+    * Shape at scale: the stopword/length legs are pure codegen projections;
+    * the repetition legs reuse [[repetitionFeatures]]'s two combinable
+    * aggregations; one id-keyed join fuses them. No collect, no UDF.
+    *
+    * @return (idCol) rows — the surviving documents.
+    */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long, maxTokens: Long, maxStopwordRatio: Double,
+      maxTopBigramFrac: Double, maxDupBigramFrac: Double): DataFrame = {
+    val q = qualityFeatures(df, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("stopword_ratio"))
+    val rep = repetitionFeatures(df, idCol, textCol, 2)
+      .select(col(idCol), col("top_ngram_frac"), col("dup_ngram_frac"))
+    q.join(rep, idCol)
+      .where(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("stopword_ratio") <= maxStopwordRatio &&
+        col("top_ngram_frac") <= maxTopBigramFrac &&
+        col("dup_ngram_frac") <= maxDupBigramFrac)
+      .select(col(idCol))
+  }
+
   /** Canonical text normalization (the first step of most dedup/quality
     * pipelines): lowercase, every non-alphanumeric run collapsed to one
     * space, trimmed. Plain character classes so Java and RE2-family

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import killa.build.IndexWriter
 import killa.query.{BruteForce, IndexReader}
 import killa.synth.Synth
+import killa.text.TextOps
 
 /** Round-5i surfaces: the remaining bucket-aggregation family —
   * multi_terms (count-ordered compound keys), missing, and the
@@ -116,6 +117,37 @@ class Round5iSpec extends AnyFunSuite {
     val top = reader.rrfTopK(Seq("the"), other, k = 1, window = 5, c = 60)
       .collect()(0).getString(0)
     assert(top == lex.head)
+  }
+
+  test("percentileRanksAgg: exact ≤-probe percentages, probe order kept") {
+    val t0 = turns.select("conv_id").distinct()
+      .withColumn("t0", expr("CAST(CAST(substring(conv_id, 5) AS INT) AS DOUBLE)"))
+    val vs = matchSet.toSeq.map(c => t0.where(col("conv_id") === c)
+      .collect()(0).getDouble(1)) // bounded: test corpus
+    val probes = Seq(5.0, 14.5, 100.0)
+    val got = reader.percentileRanksAgg("the", t0, "conv_id", "t0", probes)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == probes)
+    probes.zip(got).foreach { case (x, (_, pct)) =>
+      val want = BigDecimal(100.0 * vs.count(_ <= x) / vs.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(pct == want, s"probe $x")
+    }
+  }
+
+  test("qualityGate: every component filters; survivors = conjunction of features") {
+    val rows = Seq(
+      (0L, "short doc"),                                        // too few tokens
+      (1L, ("w " * 200).trim),                                  // too many + repeats
+      (2L, "the of and to in a is it for on with as the of and to in a is it"), // stopword-heavy
+      (3L, (1 to 30).map(i => s"t$i").mkString(" ")),           // clean → survives
+      (4L, ("a b " * 15).trim)                                  // dup bigrams
+    ).toDF("doc_id", "text")
+    val kept = TextOps.qualityGate(rows, "doc_id", "text",
+      minTokens = 10L, maxTokens = 100L, maxStopwordRatio = 0.5,
+      maxTopBigramFrac = 0.2, maxDupBigramFrac = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
   }
 
   test("statsBucket: scalar stats over the histogram's hit counts") {
