@@ -361,6 +361,62 @@ object Harness {
         .mkString(" UNION ALL ") +
       " ORDER BY value"
 
+  /** Extended-stats oracle: stats + sum-of-squares + population variance/σ
+    * + avg ± sigma·σ bounds over match-set t0 — the SQL mirror of
+    * IndexReader.extendedStatsAgg.
+    */
+  def extendedStatsOracleSql(term: String, sigma: Double): String =
+    TurnsCte + TfCtes + ConvT0Cte +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", j AS (SELECT t0 FROM hits h JOIN convt0 c ON h.conv_id = c.conv_id)" +
+      " SELECT CAST(count(*) AS BIGINT) AS n, min(t0) AS min_v, max(t0) AS max_v," +
+      " round(sum(t0), 4) AS sum_v, round(avg(t0), 4) AS avg_v," +
+      " round(sum(t0 * t0), 4) AS sum_sq, round(var_pop(t0), 4) AS variance," +
+      " round(stddev_pop(t0), 4) AS std_dev," +
+      s" round(avg(t0) + $sigma * stddev_pop(t0), 4) AS std_upper," +
+      s" round(avg(t0) - $sigma * stddev_pop(t0), 4) AS std_lower FROM j"
+
+  /** Weighted-average oracle: Σ(t0·w)/Σ(w) with the deterministic per-conv
+    * weight (conv ordinal % 7) + 1 — the SQL mirror of
+    * IndexReader.weightedAvgAgg over [[t0wMeta]]'s frame.
+    */
+  def weightedAvgOracleSql(term: String): String =
+    TurnsCte + TfCtes + ConvT0Cte +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", j AS (SELECT t0, (CAST(substr(c.conv_id, 2) AS INT) % 7) + 1 AS w" +
+      " FROM hits h JOIN convt0 c ON h.conv_id = c.conv_id)" +
+      " SELECT round(sum(t0 * w) / sum(w), 4) AS w_avg FROM j"
+
+  /** Median-absolute-deviation oracle: median(|t0 − median(t0)|), both
+    * medians linear-interpolated (quantile_cont ≡ Spark `percentile`) —
+    * the SQL mirror of IndexReader.madAgg.
+    */
+  def madOracleSql(term: String): String =
+    TurnsCte + TfCtes + ConvT0Cte +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", j AS (SELECT t0 FROM hits h JOIN convt0 c ON h.conv_id = c.conv_id)" +
+      " SELECT round(quantile_cont(abs(t0 -" +
+      " (SELECT quantile_cont(t0, 0.5) FROM j)), 0.5), 4) AS mad FROM j"
+
+  /** String-stats oracle: count / min / max / avg length plus base-2 Shannon
+    * entropy of the character distribution over the per-conv string value
+    * (first turn's tool) across the match set — the SQL mirror of
+    * IndexReader.stringStatsAgg.
+    */
+  def stringStatsOracleSql(term: String): String =
+    TurnsCte + TfCtes +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", convs AS (SELECT printf('c%05d', doc_id // 5) AS conv_id," +
+      " arg_min(source, doc_id) AS sv FROM documents GROUP BY 1)" +
+      ", j AS (SELECT sv FROM hits h JOIN convs c ON h.conv_id = c.conv_id)" +
+      ", ch AS (SELECT unnest(string_split(sv, '')) AS c FROM j)" +
+      ", cc AS (SELECT c, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY 1)" +
+      " SELECT (SELECT CAST(count(*) AS BIGINT) FROM j) AS n," +
+      " (SELECT min(len(sv)) FROM j) AS min_len," +
+      " (SELECT max(len(sv)) FROM j) AS max_len," +
+      " (SELECT round(avg(len(sv)), 4) FROM j) AS avg_len," +
+      " round(-sum(n * log2(n)) / sum(n) + log2(sum(n)), 4) AS entropy FROM cc"
+
   /** Cardinality oracle: exact distinct count of the turn-level `source`
     * values across the matching conversations.
     */
@@ -652,6 +708,20 @@ object Harness {
     transcripts(spark, sfDir).groupBy("conv_id")
       .agg((min(unix_timestamp(col("ts"))) -
         unix_timestamp(lit("2024-01-01 00:00:00"))).cast("double").as("t0"))
+
+  /** [[t0Meta]] plus the deterministic per-conv weight (conv ordinal % 7)
+    * + 1 — the weighted_avg test frame.
+    */
+  def t0wMeta(spark: SparkSession, sfDir: String): DataFrame =
+    t0Meta(spark, sfDir).withColumn("w",
+      expr("CAST(substring(conv_id, 2) AS INT) % 7 + 1").cast("double"))
+
+  /** Per-conv string doc value: the first turn's tool — the string_stats
+    * test frame (mirror of the oracle's arg_min(source, doc_id)).
+    */
+  def toolMeta(spark: SparkSession, sfDir: String): DataFrame =
+    transcripts(spark, sfDir).groupBy("conv_id")
+      .agg(min_by(col("tool"), col("turn_idx")).as("sv"))
 
   /** Transcripts view over the driver's documents table (Spark side). */
   def transcripts(spark: SparkSession, sfDir: String): DataFrame =

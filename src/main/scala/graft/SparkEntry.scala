@@ -254,6 +254,31 @@ object SparkEntry {
     "q_percentile_ranks" -> ((s, dir) =>
       reader(s, dir).percentileRanksAgg("spark", t0Meta(s, dir), "conv_id", "t0",
         Seq(120.0, 300.0, 600.0)).orderBy("value")),
+    // extended_stats: stats + sum_sq + population variance/σ + ±2σ bounds
+    "q_extended_stats" -> ((s, dir) =>
+      reader(s, dir).extendedStatsAgg("spark", t0Meta(s, dir), "conv_id", "t0")
+        .select(col("n"), col("min_v"), col("max_v"),
+          round(col("sum_v"), 4).as("sum_v"), round(col("avg_v"), 4).as("avg_v"),
+          round(col("sum_sq"), 4).as("sum_sq"),
+          round(col("variance"), 4).as("variance"),
+          round(col("std_dev"), 4).as("std_dev"),
+          round(col("std_upper"), 4).as("std_upper"),
+          round(col("std_lower"), 4).as("std_lower"))),
+    // weighted_avg: Σ(t0·w)/Σ(w), deterministic per-conv weight
+    "q_weighted_avg" -> ((s, dir) =>
+      reader(s, dir).weightedAvgAgg("spark", t0wMeta(s, dir), "conv_id", "t0", "w")
+        .select(round(col("w_avg"), 4).as("w_avg"))),
+    // median_absolute_deviation: exact interpolated MAD of match-set t0
+    "q_mad_agg" -> ((s, dir) =>
+      reader(s, dir).madAgg("spark", t0Meta(s, dir), "conv_id", "t0")
+        .select(round(col("mad"), 4).as("mad"))),
+    // string_stats: length stats + char-distribution entropy of the
+    // per-conv first-turn tool over the match set
+    "q_string_stats" -> ((s, dir) =>
+      reader(s, dir).stringStatsAgg("spark", toolMeta(s, dir), "conv_id", "sv")
+        .select(col("n"), col("min_len"), col("max_len"),
+          round(col("avg_len"), 4).as("avg_len"),
+          round(col("entropy"), 4).as("entropy"))),
     // generic terms aggregation over a doc value (facet by ANY meta column,
     // not just index-backed fields) — exact at any shard count
     "q_terms_agg" -> ((s, dir) =>
@@ -993,6 +1018,10 @@ object SparkEntry {
     "q_stats_agg" -> statsAggOracleSql("spark"),
     "q_percentiles_agg" -> percentilesOracleSql("spark", Seq(0.25, 0.5, 0.75, 0.95)),
     "q_percentile_ranks" -> percentileRanksOracleSql("spark", Seq(120.0, 300.0, 600.0)),
+    "q_extended_stats" -> extendedStatsOracleSql("spark", 2.0),
+    "q_weighted_avg" -> weightedAvgOracleSql("spark"),
+    "q_mad_agg" -> madOracleSql("spark"),
+    "q_string_stats" -> stringStatsOracleSql("spark"),
     "q_cardinality_agg" -> cardinalityOracleSql("spark"),
     "q_function_score_gauss" -> decayOracleSql(Seq("query", "filter"), 10,
       origin = 0.0, scale = 200.0, offset = 0.0, decay = 0.5, fn = "gauss"),

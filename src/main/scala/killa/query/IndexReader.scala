@@ -568,6 +568,95 @@ final class IndexReader(
         round(col("__f") * 100.0, 4).as("pct"))
   }
 
+  /** Extended stats over the match set (the Elasticsearch `extended_stats`
+    * aggregation): everything [[statsAgg]] publishes plus sum-of-squares,
+    * POPULATION variance / standard deviation (the ES defaults), and the
+    * `avg ± sigma·σ` bounds. Missing / NaN values ignored.
+    *
+    * Shape at scale: identical to [[statsAgg]] — pruned posting scan, one
+    * semi-join, one combinable global agg (var_pop folds map-side). */
+  def extendedStatsAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String, sigma: Double = 2.0): DataFrame = {
+    val v = col("__v")
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), "conv_id")
+      .where(v.isNotNull && !isnan(v))
+      .agg(count(lit(1)).as("n"), min(v).as("min_v"), max(v).as("max_v"),
+        sum(v).as("sum_v"), avg(v).as("avg_v"),
+        sum(v * v).as("sum_sq"), var_pop(v).as("variance"),
+        stddev_pop(v).as("std_dev"))
+      .withColumn("std_upper", col("avg_v") + lit(sigma) * col("std_dev"))
+      .withColumn("std_lower", col("avg_v") - lit(sigma) * col("std_dev"))
+  }
+
+  /** Weighted average of a doc value over the match set (the Elasticsearch
+    * `weighted_avg` aggregation): Σ(v·w) / Σ(w). A row missing EITHER the
+    * value or the weight contributes nothing (the ES default for a missing
+    * weight is to skip the document; same for a missing value).
+    *
+    * Shape at scale: one combinable agg — two partial sums. */
+  def weightedAvgAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String, weightCol: String): DataFrame = {
+    val v = col("__v"); val w = col("__w")
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v"),
+        col(weightCol).cast("double").as("__w")), "conv_id")
+      .where(v.isNotNull && !isnan(v) && w.isNotNull && !isnan(w))
+      .agg((sum(v * w) / sum(w)).as("w_avg"))
+  }
+
+  /** Median absolute deviation of a doc value over the match set (the
+    * Elasticsearch `median_absolute_deviation` aggregation), EXACT:
+    * median(|v − median(v)|) with linear-interpolated medians — ES
+    * approximates over a TDigest; Spark's sort-based exact percentile
+    * distributes, so the exact form wins at any scale. Missing / NaN
+    * ignored. An empty match set returns one null row (SQL semantics).
+    *
+    * Shape at scale: two passes over the (pruned, semi-joined) value set —
+    * the inner median is a one-row frame broadcast into the second pass;
+    * nothing driver-side. */
+  def madAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String): DataFrame = {
+    val v = col("__v")
+    val vals = membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), "conv_id")
+      .where(v.isNotNull && !isnan(v))
+    val med = vals.agg(expr("percentile(__v, 0.5)").as("__med"))
+    vals.crossJoin(broadcast(med))
+      .agg(expr("percentile(abs(__v - __med), 0.5)").as("mad"))
+  }
+
+  /** String stats over a doc value (the Elasticsearch `string_stats`
+    * aggregation): value count, min/max/avg length, and the Shannon entropy
+    * (base 2) of the CHARACTER distribution across all matching values —
+    * the ES `show_distribution` basis. Null values ignored.
+    *
+    * Shape at scale: lengths are one combinable agg over the semi-joined
+    * values; entropy is one explode→two-level agg over characters (the char
+    * alphabet is tiny, so the second level is one reduce). The two one-row
+    * frames fuse via a broadcast cross join. */
+  def stringStatsAgg(term: String, meta: DataFrame, convCol: String,
+      strCol: String): DataFrame = {
+    val vals = membership(term)
+      .join(meta.select(col(convCol).as("conv_id"), col(strCol).as("__s")),
+        "conv_id")
+      .where(col("__s").isNotNull)
+    val lens = vals.agg(count(lit(1)).as("n"),
+      min(length(col("__s"))).as("min_len"),
+      max(length(col("__s"))).as("max_len"),
+      avg(length(col("__s"))).as("avg_len"))
+    val ent = vals
+      .select(explode(split(col("__s"), "")).as("__c"))
+      .where(length(col("__c")) > 0) // Java split(-1) emits a trailing ""
+      .groupBy("__c").agg(count(lit(1)).as("__n"))
+      .agg((-sum(col("__n") * log2(col("__n"))) / sum(col("__n")) +
+        log2(sum(col("__n")))).as("entropy"))
+    lens.crossJoin(broadcast(ent))
+  }
+
   /** Cardinality of a doc value over the match set (the Elasticsearch
     * `cardinality` aggregation), EXACT: distinct count distributes as one
     * two-level agg, so unlike ES (whose HLL is forced by its per-shard reply
