@@ -47,6 +47,54 @@ object Harness {
     "WITH turns AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, " +
       "CAST(doc_id % 5 AS INT) AS turn_idx, text FROM documents WHERE doc_id % 2 = 1)"
 
+  /** Turn-granularity corpus CTE — every turn its own document, keyed
+    * `conv_id#turn_idx` (the NestedIndex child-doc key). All downstream
+    * tf/dl/stats CTEs then compute turn-level statistics, mirroring the
+    * child index exactly.
+    */
+  val TurnsNestedCte: String =
+    "WITH turns AS (SELECT printf('c%05d#%d', doc_id // 5, doc_id % 5) AS conv_id, " +
+      "CAST(doc_id % 5 AS INT) AS turn_idx, text FROM documents)"
+
+  /** Nested same-turn membership oracle: parents with one turn containing
+    * ALL terms — the SQL mirror of NestedIndex.sameTurnMembership.
+    */
+  def nestedSameTurnOracleSql(terms: Seq[String]): String =
+    TurnsNestedCte + TfCtes +
+      terms.zipWithIndex.map { case (t, i) =>
+        s", h$i AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$t')"
+      }.mkString +
+      ", hit AS (" +
+      terms.indices.map(i => s"SELECT conv_id FROM h$i").mkString(" INTERSECT ") +
+      ") SELECT DISTINCT split_part(conv_id, '#', 1) AS conv_id FROM hit" +
+      " ORDER BY conv_id"
+
+  /** Nested top-k oracle: turn-level BM25 (turn corpus statistics), parents
+    * folding matching turns' scores by `scoreMode` — the SQL mirror of
+    * NestedIndex.nestedTopK.
+    */
+  def nestedTopKOracleSql(terms: Seq[String], k: Int, scoreMode: String,
+      conjunctive: Boolean): String = {
+    val fold = scoreMode match {
+      case "max" => "max(s)"; case "sum" => "sum(s)"
+      case "avg" => "avg(s)"; case "min" => "min(s)"
+    }
+    val vals = terms.map(t => s"('$t')").mkString(", ")
+    TurnsNestedCte + TfCtes +
+      s", q(term) AS (VALUES $vals)" +
+      ", qdf AS (SELECT q.term, count(tf.conv_id) AS df FROM q" +
+      " LEFT JOIN tf ON tf.term = q.term GROUP BY 1)" +
+      ", contrib AS (SELECT tf.conv_id, " +
+      "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
+      "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+      "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      ", scored AS (SELECT conv_id, sum(c) AS s, count(*) AS nt FROM contrib GROUP BY 1)" +
+      s", kept AS (SELECT * FROM scored${if (conjunctive) s" WHERE nt = ${terms.distinct.length}" else ""})" +
+      s", par AS (SELECT split_part(conv_id, '#', 1) AS conv_id, $fold AS s FROM kept GROUP BY 1)" +
+      s", top AS (SELECT conv_id, s FROM par ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
   /** BM25 oracle SQL over the shared CTEs for a fixed term list. Mirrors
     * killa.query.Bm25 exactly (same formula shape, same constants).
     *
@@ -766,6 +814,18 @@ object Harness {
       new IndexWriter(spark, root, conf).buildPositions(transcripts(spark, sfDir), "pos1")
       root
     })
+
+  /** Child (turn-granularity) index for nested same-turn queries — its own
+    * root: the nested corpus has different docs/stats than the conv index.
+    */
+  def nestedReader(spark: SparkSession, sfDir: String): IndexReader = {
+    val root = cache.getOrElseUpdate(s"$sfDir#nested", {
+      val r = freshRoot(sfDir, "nested")
+      killa.build.NestedIndex.build(spark, r, transcripts(spark, sfDir), conf)
+      r
+    })
+    new IndexReader(spark, root, conf)
+  }
 
   private def freshRoot(sfDir: String, variant: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")

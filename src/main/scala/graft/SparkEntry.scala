@@ -279,6 +279,23 @@ object SparkEntry {
         .select(col("n"), col("min_len"), col("max_len"),
           round(col("avg_len"), 4).as("avg_len"),
           round(col("entropy"), 4).as("entropy"))),
+    // nested (same-turn) membership: parents with BOTH terms inside one
+    // single turn — the ES nested bool/must (the conv index's conjunctive
+    // membership would also accept terms spread across different turns)
+    "q_nested_same_turn" -> ((s, dir) =>
+      killa.build.NestedIndex.sameTurnMembership(nestedReader(s, dir),
+        Seq("spark", "query")).orderBy("conv_id")),
+    // nested top-k, score_mode=max: parents ranked by their best matching
+    // turn's BM25 score under TURN-corpus statistics
+    "q_nested_topk" -> ((s, dir) =>
+      killa.build.NestedIndex.nestedTopK(nestedReader(s, dir),
+        Seq("spark", "query"), 10, "max")
+        .select(col("conv_id"), round(col("score"), 4).as("score"))),
+    // nested top-k, score_mode=sum: parents rewarded for MANY matching turns
+    "q_nested_topk_sum" -> ((s, dir) =>
+      killa.build.NestedIndex.nestedTopK(nestedReader(s, dir),
+        Seq("spark", "query"), 10, "sum")
+        .select(col("conv_id"), round(col("score"), 4).as("score"))),
     // generic terms aggregation over a doc value (facet by ANY meta column,
     // not just index-backed fields) — exact at any shard count
     "q_terms_agg" -> ((s, dir) =>
@@ -1018,6 +1035,11 @@ object SparkEntry {
     "q_stats_agg" -> statsAggOracleSql("spark"),
     "q_percentiles_agg" -> percentilesOracleSql("spark", Seq(0.25, 0.5, 0.75, 0.95)),
     "q_percentile_ranks" -> percentileRanksOracleSql("spark", Seq(120.0, 300.0, 600.0)),
+    "q_nested_same_turn" -> nestedSameTurnOracleSql(Seq("spark", "query")),
+    "q_nested_topk" -> nestedTopKOracleSql(Seq("spark", "query"), 10, "max",
+      conjunctive = true),
+    "q_nested_topk_sum" -> nestedTopKOracleSql(Seq("spark", "query"), 10, "sum",
+      conjunctive = true),
     "q_extended_stats" -> extendedStatsOracleSql("spark", 2.0),
     "q_weighted_avg" -> weightedAvgOracleSql("spark"),
     "q_mad_agg" -> madOracleSql("spark"),

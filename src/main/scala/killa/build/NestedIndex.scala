@@ -1,0 +1,112 @@
+package killa.build
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import killa.Conf
+import killa.query.IndexReader
+import killa.store.Manifest
+
+/** Nested (same-turn) search: the Elasticsearch/Lucene `nested` query,
+  * realised the way Lucene itself does it — child documents indexed
+  * alongside their parent key. The main index's document is the whole
+  * conversation, so a conjunctive query matches terms spread across
+  * DIFFERENT turns; a nested query requires them to co-occur inside ONE
+  * turn. Here the child index's doc key is `conv_id#turn_idx`, every query
+  * runs against the turn corpus (turn-level df / dl / N / avgdl — exactly
+  * ES's nested scoring, where inner hits score against the nested docs),
+  * and parents aggregate child scores under the ES `score_mode`.
+  *
+  * Shape at scale: the child index is just an index whose docs are turns —
+  * same range-salted build, same pruned reads, same maintenance paths
+  * (batches keyed by `conv_id#turn_idx` flow through IndexMaintainer
+  * unchanged). Parent mapping is a string prefix, so rollup is one
+  * map-side-combinable groupBy; no joins beyond the scored set itself.
+  */
+object NestedIndex {
+
+  /** Separator between parent key and child ordinal in the child doc key.
+    * '#' cannot appear in tokenized terms or the driver's conv ids. */
+  val Sep = "#"
+
+  /** Re-key a turns frame so each turn becomes its own document. */
+  def turnDocs(turns: DataFrame): DataFrame =
+    turns.withColumn("conv_id",
+      concat(col("conv_id"), lit(Sep), col("turn_idx").cast("string")))
+
+  /** Parent key of a child doc id (everything before the first [[Sep]]). */
+  def parent(c: Column): Column = substring_index(c, Sep, 1)
+
+  /** Child ordinal (turn index) of a child doc id. */
+  def childIdx(c: Column): Column =
+    substring_index(c, Sep, -1).cast("int")
+
+  /** Build the child index at `root` from the turns frame. */
+  def build(spark: SparkSession, root: String, turns: DataFrame,
+      conf: Conf, buildId: String = "nested-b0"): Option[Manifest] =
+    new IndexWriter(spark, root, conf).fullBuild(turnDocs(turns), buildId)
+
+  /** Parents with at least one SINGLE turn containing ALL `terms` — the
+    * nested bool/must membership. Contrast: the main index's conjunctive
+    * membership accepts terms spread across turns.
+    *
+    * Shape at scale: one pruned membership scan per term, intersected on
+    * the child key (shuffle carries child ids only), one dedup to parents.
+    */
+  def sameTurnMembership(reader: IndexReader, terms: Seq[String]): DataFrame = {
+    val ts = terms.filter(t => t != null && t.nonEmpty).distinct
+    require(ts.nonEmpty, "at least one term")
+    ts.map(reader.membership).reduce(_ intersect _)
+      .select(parent(col("conv_id")).as("conv_id")).distinct()
+  }
+
+  /** Top-k parents by aggregated child BM25 score (the nested query with
+    * `score_mode`): each matching turn scores against the TURN corpus's
+    * statistics, then parents fold their matching turns' scores by
+    * `scoreMode` ∈ max / sum / avg / min. Conjunctive = all terms in the
+    * same turn (the usual nested bool/must); disjunctive = any.
+    *
+    * @return (conv_id, score) — exact scores, (score desc, conv_id asc)
+    *         order, ≤ k rows.
+    */
+  def nestedTopK(reader: IndexReader, terms: Seq[String], k: Int,
+      scoreMode: String = "max", conjunctive: Boolean = true): DataFrame = {
+    val fold = scoreMode match {
+      case "max" => max(col("score"))
+      case "sum" => sum(col("score"))
+      case "avg" => avg(col("score"))
+      case "min" => min(col("score"))
+      case other => throw new IllegalArgumentException(
+        s"score_mode must be max|sum|avg|min, got '$other'")
+    }
+    reader.bm25ScoredAll(terms, conjunctive = conjunctive)
+      .groupBy(parent(col("conv_id")).as("conv_id"))
+      .agg(fold.as("score"))
+      .orderBy(col("score").desc, col("conv_id").asc)
+      .limit(k)
+  }
+
+  /** Inner hits: for each of the top-`k` parents (under `scoreMode`), the
+    * matching turns themselves — (conv_id, turn_idx, score), at most
+    * `kChildren` per parent, best turn first (the ES `inner_hits` block).
+    *
+    * Shape at scale: the child scored set is computed once; the top-parent
+    * cut is a semi-join against the ≤ k parent rows; the per-parent cut is
+    * one window over parents (bounded groups — a conv has few turns).
+    */
+  def innerHits(reader: IndexReader, terms: Seq[String], k: Int,
+      kChildren: Int, scoreMode: String = "max",
+      conjunctive: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = reader.bm25ScoredAll(terms, conjunctive = conjunctive)
+      .select(parent(col("conv_id")).as("conv_id"),
+        childIdx(col("conv_id")).as("turn_idx"), col("score"))
+    val top = nestedTopK(reader, terms, k, scoreMode, conjunctive)
+      .select(col("conv_id"))
+    val w = Window.partitionBy("conv_id")
+      .orderBy(col("score").desc, col("turn_idx").asc)
+    scored.join(broadcast(top), "conv_id")
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= kChildren).drop("__r")
+  }
+}
