@@ -815,6 +815,24 @@ object Harness {
       root
     })
 
+  /** Two shard roots over a conv-parity split of the SAME corpus — the
+    * sharded dfs_query_then_fetch fixture: merged-stats search over these
+    * must hash-match the single-corpus oracle.
+    */
+  def shardReaders(spark: SparkSession, sfDir: String): Seq[IndexReader] = {
+    import org.apache.spark.sql.functions.expr
+    val roots = Seq(0, 1).map { par =>
+      cache.getOrElseUpdate(s"$sfDir#shard$par", {
+        val r = freshRoot(sfDir, s"shard$par")
+        val part = transcripts(spark, sfDir)
+          .where(expr(s"CAST(substring(conv_id, 2) AS INT) % 2 = $par"))
+        new IndexWriter(spark, r, conf).fullBuild(part, s"b-shard$par")
+        r
+      })
+    }
+    roots.map(new IndexReader(spark, _, conf))
+  }
+
   /** Child (turn-granularity) index for nested same-turn queries — its own
     * root: the nested corpus has different docs/stats than the conv index.
     */

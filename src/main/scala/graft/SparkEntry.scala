@@ -129,6 +129,28 @@ object SparkEntry {
       reader(s, dir).significantTerms("dup", 10)
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("term").asc)),
+    // sharded search (the ES dfs_query_then_fetch): the corpus split across
+    // two independent index roots, every shard's DAAT kernel scoring under
+    // the MERGED stats — must hash-match the SINGLE-corpus oracle exactly,
+    // proving shard boundaries never change scores
+    "q_sharded_bm25" -> ((s, dir) =>
+      present(killa.query.ShardedSearch.bm25TopK(s, shardReaders(s, dir),
+        Seq("query", "filter", "join"), 10))),
+    // query-string search (the ES simple_query_string): one typed string —
+    // operators + | - ( ) " * ^boost — parsed and compiled onto the boolean
+    // match-set algebra + filtered-BM25 kernel; this one exercises nested
+    // grouping, an explicit AND, a boost, and a per-group negation
+    "q_query_string" -> ((s, dir) =>
+      present(killa.query.QueryString.topK(reader(s, dir),
+        "query^2 +(filter | join) -dup", 10))),
+    // query-string with a phrase clause: the quoted pair filters
+    // positionally (and scores by its member terms), the negation excludes
+    // per Lucene bool semantics — both clauses selective on this corpus
+    "q_query_string_phrase" -> ((s, dir) => {
+      val r = new killa.query.IndexReader(s, posRoot(s, dir), conf)
+      present(killa.query.QueryString.topK(r,
+        "\"batch agg\" -dup", 10))
+    }),
     // phrase-filtered BM25 (the ES match_phrase-inside-bool shape): the
     // positional index answers the phrase, its conv set rides bm25TopKFiltered
     // as the include cursor — ranked top-k restricted to exact-phrase docs,
@@ -1128,6 +1150,27 @@ object SparkEntry {
       " SELECT DISTINCT conv_id FROM tok2" +
       " WHERE term IN ('window', 'big', 'qqq_absent_term_zzz') ORDER BY conv_id"),
     "q_significant_terms" -> significantTermsOracleSql("dup", 10),
+    // sharded oracle IS the single-corpus BM25 SQL — the whole point:
+    // dfs merged stats make the split invisible
+    "q_sharded_bm25" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
+      conjunctive = false),
+    // query-string oracle: the parsed boolean (query AND (filter OR join)
+    // AND NOT batch) as set algebra feeding the same filtered-BM25 shape,
+    // with the ^2 boost on 'query'
+    "q_query_string" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
+      conjunctive = false, boosts = Map("query" -> 2.0),
+      filterConvSql = Some("SELECT conv_id FROM tf WHERE term = 'query'" +
+        " INTERSECT (SELECT conv_id FROM tf WHERE term = 'filter'" +
+        " UNION SELECT conv_id FROM tf WHERE term = 'join')" +
+        " EXCEPT SELECT conv_id FROM tf WHERE term = 'dup'")),
+    // query-string with phrase: the "batch agg" adjacent-position join
+    // EXCEPT 'dup', scored over the phrase's member terms
+    "q_query_string_phrase" -> bm25OracleSql(Seq("batch", "agg"), 10,
+      conjunctive = false, extraCtes = PposCte,
+      filterConvSql = Some("SELECT DISTINCT a.conv_id FROM ppos a" +
+        " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +
+        " WHERE a.term = 'batch' AND b.term = 'agg'" +
+        " EXCEPT SELECT conv_id FROM tf WHERE term = 'dup'")),
     // phrase filter = the ppos consecutive-position join feeding the same
     // conv_id IN (...) predicate the engine's include cursor enforces
     "q_bm25_phrase_filtered" -> bm25OracleSql(Seq("query", "filter", "join"), 10,

@@ -7,6 +7,14 @@ package killa.query
   * same expression shape in the same order, so scores are reproducible
   * across partitionings.
   */
+/** Externally-supplied BM25 corpus statistics — the dfs_query_then_fetch
+  * carrier: when a query spans several index roots (shards), each shard's
+  * kernel must score under the MERGED corpus's N / avgdl / per-term df, not
+  * its own, or shard boundaries would change scores. Built by
+  * [[ShardedSearch.mergedStats]]; absent terms carry df 0.
+  */
+final case class CorpusStats(numDocs: Long, avgdl: Double, df: Map[String, Long])
+
 object Bm25 {
   def idf(n: Long, df: Long): Double =
     math.log(1.0 + (n - df + 0.5) / (df + 0.5))

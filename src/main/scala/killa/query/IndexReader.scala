@@ -36,6 +36,13 @@ final class IndexReader(
   private def emptyMembers: DataFrame =
     Seq.empty[String].toDF("conv_id")
 
+  /** Empty (conv_id, score) frame — the hits-shaped zero for composed
+    * surfaces (QueryString). */
+  def emptyHitsSet: DataFrame = emptyHits
+
+  /** Empty (conv_id) frame — the membership-shaped zero. */
+  def emptyMemberSet: DataFrame = emptyMembers
+
   /** Merged docId dictionary: last-wins per docId across the docs log
     * (rename/delete batches append new entries), alive only.
     */
@@ -1349,17 +1356,28 @@ final class IndexReader(
     if (prefix == null || prefix.isEmpty || maxExpansions <= 0 || k <= 0 ||
         manifest.isEmpty) return emptyHits
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
-    val paths = prunedBucketPaths(Some(prefix), None)
-    val expanded: Seq[String] =
-      if (paths.isEmpty) Nil
-      else spark.read.schema(blockSchema).parquet(paths: _*)
-        .where(col("term").startsWith(prefix))
-        .select("term").distinct().orderBy("term").limit(maxExpansions)
-        .as[String].collect().toSeq
+    val expanded = expandPrefix(prefix, maxExpansions)
     val groups = terms.map(Seq(_)) ++
       (if (expanded.nonEmpty) Seq(expanded) else Nil)
     if (groups.isEmpty) return emptyHits
     bm25SynonymsTopK(groups, k)
+  }
+
+  /** Deterministic prefix expansion — the first `maxExpansions` dictionary
+    * terms with `prefix`, lexicographic order (the [[phrasePrefix]] /
+    * [[matchBoolPrefix]] rule, shared by QueryString's trailing-`*`
+    * clauses). One sidecar-pruned dictionary scan; the collect is bounded
+    * by `maxExpansions`.
+    */
+  def expandPrefix(prefix: String, maxExpansions: Int): Seq[String] = {
+    if (prefix == null || prefix.isEmpty || maxExpansions <= 0 ||
+        manifest.isEmpty) return Nil
+    val paths = prunedBucketPaths(Some(prefix), None)
+    if (paths.isEmpty) Nil
+    else spark.read.schema(blockSchema).parquet(paths: _*)
+      .where(col("term").startsWith(prefix))
+      .select("term").distinct().orderBy("term").limit(maxExpansions)
+      .as[String].collect().toSeq
   }
 
   /** Phrase suggester ("did you mean", the ES term suggester with
@@ -1786,6 +1804,27 @@ final class IndexReader(
       boosts = boosts))
   }
 
+  /** [[bm25TopKRows]] under externally-supplied corpus statistics — the
+    * per-shard leg of sharded dfs_query_then_fetch
+    * ([[ShardedSearch.bm25TopK]]): this root's postings score under the
+    * MERGED corpus's N / avgdl / per-term df so shard boundaries never
+    * change scores. Same kernel, same pruning (bounds scale with the
+    * overridden weights), same tie retention.
+    */
+  private[killa] def bm25TopKRowsStats(termsIn: Seq[String], k: Int,
+      stats: CorpusStats, conjunctive: Boolean = false,
+      mustNot: Seq[String] = Nil, minShouldMatch: Int = 1,
+      boosts: Map[String, Double] = Map.empty): Array[(String, Double)] = {
+    require(boosts.values.forall(_ > 0.0), "boosts must be > 0")
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    val ex = mustNot.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || k <= 0 || manifest.isEmpty) return Array.empty
+    if (!conjunctive && minShouldMatch > terms.length) return Array.empty
+    if (stats.numDocs == 0 || stats.avgdl <= 0.0) return Array.empty
+    topKRowsImpl(terms, ex, k, conjunctive, manifest.get,
+      minMatch = minShouldMatch, boosts = boosts, stats = Some(stats))
+  }
+
   /** Serving-shaped top-k: the same exact BM25 result as [[bm25TopK]] (rank
     * identity spec-pinned) returned as materialized rows — what a query
     * frontend actually sends back. With the block + label caches warm a
@@ -2191,11 +2230,13 @@ final class IndexReader(
       after: Option[(Double, Long)] = None,
       include: Option[Dataset[PostingBlock]] = None,
       minMatch: Int = 1,
-      boosts: Map[String, Double] = Map.empty): Array[(String, Double)] =
-    localTopK(terms, ex, k, conjunctive, m, after, include, minMatch, boosts)
+      boosts: Map[String, Double] = Map.empty,
+      stats: Option[CorpusStats] = None): Array[(String, Double)] =
+    localTopK(terms, ex, k, conjunctive, m, after, include, minMatch, boosts,
+      stats)
       .getOrElse(finishRows(
         scoredCandidates(terms, ex, k, conjunctive, m, after, include, minMatch,
-          boosts), k))
+          boosts, stats), k))
 
   private def hitsDf(rows: Array[(String, Double)]): DataFrame =
     if (rows.isEmpty) emptyHits else rows.toSeq.toDF("conv_id", "score")
@@ -2239,7 +2280,8 @@ final class IndexReader(
       m: Manifest, after: Option[(Double, Long)] = None,
       include: Option[Dataset[PostingBlock]] = None,
       minMatch: Int = 1,
-      boosts: Map[String, Double] = Map.empty): Option[Array[(String, Double)]] = {
+      boosts: Map[String, Double] = Map.empty,
+      stats: Option[CorpusStats] = None): Option[Array[(String, Double)]] = {
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     val cap = conf.localQueryBlocks
     if (cap <= 0) return None
@@ -2296,10 +2338,17 @@ final class IndexReader(
     val blocks = cachedArr
     val termBlocks = blocks.take(terms.length)
     val exBlocks = blocks.drop(terms.length)
-    // boosts fold into the premultiplied weight — every bound scales with it
+    // boosts fold into the premultiplied weight — every bound scales with it.
+    // Under a stats override (sharded dfs_query_then_fetch) the MERGED
+    // corpus's N / df / avgdl replace this root's own — weights scale every
+    // block-max bound with them, so pruning stays exact under either.
+    val nEff = stats.map(_.numDocs).getOrElse(m.numDocs)
+    val avgdlEff = stats.map(_.avgdl).getOrElse(m.avgdl)
     val weights = termBlocks.zipWithIndex.map { case (bs, i) =>
       if (bs.isEmpty) 0.0
-      else Bm25.weight(m.numDocs, bs(0).df, conf.k1) * boosts.getOrElse(terms(i), 1.0)
+      else Bm25.weight(nEff,
+        stats.map(_.df.getOrElse(terms(i), 0L)).getOrElse(bs(0).df),
+        conf.k1) * boosts.getOrElse(terms(i), 1.0)
     }
     // mid-size queries: the SAME docId-range decomposition as the
     // distributed kernel, on driver threads — identical results (per-range
@@ -2309,7 +2358,7 @@ final class IndexReader(
     val hits: Array[(Long, Double)] =
       if (totalBlocks <= conf.localParBlocks)
         Daat.scoreRange(termBlocks, weights, -1L, Long.MaxValue, k,
-          conjunctive, conf.k1, conf.b, m.avgdl, exBlocks, afterScore, afterDoc,
+          conjunctive, conf.k1, conf.b, avgdlEff, exBlocks, afterScore, afterDoc,
           incArr, minMatch).toArray
       else {
         // shared bounded daemon pool, not per-query threads: under
@@ -2330,7 +2379,7 @@ final class IndexReader(
               val lo = r.toLong * stride - 1 // (lo, hi] — the fan-out's convention
               val hi = r.toLong * stride + stride - 1
               Daat.scoreRange(termBlocks, weights, lo, hi, k,
-                conjunctive, conf.k1, conf.b, m.avgdl, exBlocks,
+                conjunctive, conf.k1, conf.b, avgdlEff, exBlocks,
                 afterScore, afterDoc, incArr, minMatch).toArray
             }
           })
@@ -2349,7 +2398,8 @@ final class IndexReader(
       m: Manifest, after: Option[(Double, Long)] = None,
       include: Option[Dataset[PostingBlock]] = None,
       minMatch: Int = 1,
-      boosts: Map[String, Double] = Map.empty): DataFrame = {
+      boosts: Map[String, Double] = Map.empty,
+      stats: Option[CorpusStats] = None): DataFrame = {
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     // exclusion terms tag on after the query terms, and the (optional)
     // doc-values filter's encoded blocks after those; all replicate to
@@ -2365,7 +2415,12 @@ final class IndexReader(
       .reduce(_ union _)
 
     val k1 = conf.k1; val b = conf.b
-    val avgdl = m.avgdl; val n = m.numDocs
+    // stats override (sharded dfs_query_then_fetch): merged N / avgdl / df
+    // replace this root's; dfOv ships term-slot-aligned in the closure
+    val avgdl = stats.map(_.avgdl).getOrElse(m.avgdl)
+    val n = stats.map(_.numDocs).getOrElse(m.numDocs)
+    val dfOv: Option[Array[Long]] =
+      stats.map(s => terms.map(t => s.df.getOrElse(t, 0L)).toArray)
 
     // docId ranges: fixed stride over the dense id domain. Each block goes to
     // every range it overlaps; each doc is scored only in its owning range.
@@ -2397,7 +2452,8 @@ final class IndexReader(
         // boostArr ships in the closure indexed by slot — same fold order as
         // the driver-local path, so scores stay bit-identical across paths.
         val weights = termBlocks.zipWithIndex.map { case (bs, i) =>
-          if (bs.isEmpty) 0.0 else Bm25.weight(n, bs(0).df, k1) * boostArr(i)
+          if (bs.isEmpty) 0.0
+          else Bm25.weight(n, dfOv.map(_(i)).getOrElse(bs(0).df), k1) * boostArr(i)
         }
         val lo = rangeId * stride - 1 // (lo, hi] convention
         val hi = rangeId * stride + stride - 1
