@@ -833,6 +833,28 @@ object Harness {
     roots.map(new IndexReader(spark, _, conf))
   }
 
+  /** Two shard roots built by the ROUTER's hash from a partial corpus, then
+    * one routed maintenance batch bringing them to the full corpus — the
+    * write-side sharding fixture: sharded search over these must hash-match
+    * the single-corpus oracle.
+    */
+  def shardIncrReaders(spark: SparkSession, sfDir: String): Seq[IndexReader] = {
+    val tag = s"$sfDir#shardincr"
+    val roots = cache.synchronized {
+      if (cache.contains(s"$tag-0")) Seq(cache(s"$tag-0"), cache(s"$tag-1"))
+      else {
+        val rs = Seq(0, 1).map(i => freshRoot(sfDir, s"shardincr$i"))
+        val all = transcripts(spark, sfDir)
+        killa.maintain.ShardRouter.fullBuild(spark, rs,
+          all.where(col("turn_idx") < 3), conf)
+        killa.maintain.ShardRouter.applyChanges(spark, rs, all, conf, "d1")
+        rs.zipWithIndex.foreach { case (r, i) => cache.put(s"$tag-$i", r) }
+        rs
+      }
+    }
+    roots.map(new IndexReader(spark, _, conf))
+  }
+
   /** Child (turn-granularity) index for nested same-turn queries — its own
     * root: the nested corpus has different docs/stats than the conv index.
     */

@@ -136,6 +136,13 @@ object SparkEntry {
     "q_sharded_bm25" -> ((s, dir) =>
       present(killa.query.ShardedSearch.bm25TopK(s, shardReaders(s, dir),
         Seq("query", "filter", "join"), 10))),
+    // sharded WRITE lifecycle (the ES _routing rule): router-hash build from
+    // a partial corpus + one routed maintenance batch to the full corpus —
+    // merged-stats search over the mutated shards must hash-match the
+    // single-corpus oracle (mirrors q_incr_update_bm25 at shard scope)
+    "q_sharded_incr" -> ((s, dir) =>
+      present(killa.query.ShardedSearch.bm25TopK(s, shardIncrReaders(s, dir),
+        Seq("window", "big", "dup"), 10, minShouldMatch = 2))),
     // query-string search (the ES simple_query_string): one typed string —
     // operators + | - ( ) " * ^boost — parsed and compiled onto the boolean
     // match-set algebra + filtered-BM25 kernel; this one exercises nested
@@ -1154,6 +1161,10 @@ object SparkEntry {
     // dfs merged stats make the split invisible
     "q_sharded_bm25" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
       conjunctive = false),
+    // routed-maintenance oracle: ALSO the single-corpus SQL (the batch
+    // brought every shard to the full corpus), with msm=2 biting via 'dup'
+    "q_sharded_incr" -> bm25OracleSql(Seq("window", "big", "dup"), 10,
+      conjunctive = false, minMatch = 2),
     // query-string oracle: the parsed boolean (query AND (filter OR join)
     // AND NOT batch) as set algebra feeding the same filtered-BM25 shape,
     // with the ^2 boost on 'query'
