@@ -833,6 +833,24 @@ object Harness {
     roots.map(new IndexReader(spark, _, conf))
   }
 
+  /** A reader resolved through an index ALIAS that was flipped from a
+    * partial root to the full corpus root — the zero-downtime reindex gate:
+    * queries through the alias must see the post-flip corpus exactly.
+    */
+  def aliasedReader(spark: SparkSession, sfDir: String): IndexReader = {
+    val dir = cache.getOrElseUpdate(s"$sfDir#aliasdir", {
+      val d = freshRoot(sfDir, "aliasmeta")
+      val partial = freshRoot(sfDir, "aliaspartial")
+      new IndexWriter(spark, partial, conf)
+        .fullBuild(transcripts(spark, sfDir).where(col("turn_idx") < 2), "b-part")
+      killa.store.AliasStore.set(spark, d, "serve", partial)
+      // the flip: the stable name re-points to the full index atomically
+      killa.store.AliasStore.set(spark, d, "serve", indexRoot(spark, sfDir))
+      d
+    })
+    killa.store.AliasStore.reader(spark, dir, "serve", conf)
+  }
+
   /** Two shard roots built by the ROUTER's hash from a partial corpus, then
     * one routed maintenance batch bringing them to the full corpus — the
     * write-side sharding fixture: sharded search over these must hash-match

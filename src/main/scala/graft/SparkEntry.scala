@@ -136,6 +136,11 @@ object SparkEntry {
     "q_sharded_bm25" -> ((s, dir) =>
       present(killa.query.ShardedSearch.bm25TopK(s, shardReaders(s, dir),
         Seq("query", "filter", "join"), 10))),
+    // index alias (the ES _aliases flip): the stable serving name was
+    // atomically re-pointed from a partial build to the full root — reads
+    // through the alias must see exactly the post-flip corpus
+    "q_alias_membership" -> ((s, dir) =>
+      aliasedReader(s, dir).membership("vector").orderBy("conv_id")),
     // sharded WRITE lifecycle (the ES _routing rule): router-hash build from
     // a partial corpus + one routed maintenance batch to the full corpus —
     // merged-stats search over the mutated shards must hash-match the
@@ -325,6 +330,13 @@ object SparkEntry {
       killa.build.NestedIndex.nestedTopK(nestedReader(s, dir),
         Seq("spark", "query"), 10, "sum")
         .select(col("conv_id"), round(col("score"), 4).as("score"))),
+    // nested aggregation (the ES nested agg): of the TURNS containing both
+    // terms, doc counts per turn-level role — counts children, which the
+    // conv-level facets cannot express
+    "q_nested_agg" -> ((s, dir) =>
+      killa.build.NestedIndex.childTermsAgg(nestedReader(s, dir),
+        Seq("spark", "query"),
+        transcripts(s, dir).select("conv_id", "turn_idx", "role"), "role")),
     // generic terms aggregation over a doc value (facet by ANY meta column,
     // not just index-backed fields) — exact at any shard count
     "q_terms_agg" -> ((s, dir) =>
@@ -1069,6 +1081,17 @@ object SparkEntry {
       conjunctive = true),
     "q_nested_topk_sum" -> nestedTopKOracleSql(Seq("spark", "query"), 10, "sum",
       conjunctive = true),
+    // nested-agg oracle: turns holding BOTH terms, counted by per-turn role
+    "q_nested_agg" -> ("WITH t AS (SELECT doc_id, text," +
+      " CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role FROM documents)" +
+      ", tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term" +
+      " FROM t WHERE text IS NOT NULL)" +
+      ", tok AS (SELECT DISTINCT doc_id, term FROM tok0 WHERE term <> '')" +
+      ", hit AS (SELECT doc_id FROM tok WHERE term = 'spark'" +
+      " INTERSECT SELECT doc_id FROM tok WHERE term = 'query')" +
+      " SELECT t.role, CAST(count(*) AS BIGINT) AS n_children" +
+      " FROM hit JOIN t ON hit.doc_id = t.doc_id" +
+      " GROUP BY 1 ORDER BY n_children DESC, role ASC"),
     "q_extended_stats" -> extendedStatsOracleSql("spark", 2.0),
     "q_weighted_avg" -> weightedAvgOracleSql("spark"),
     "q_mad_agg" -> madOracleSql("spark"),
@@ -1161,6 +1184,9 @@ object SparkEntry {
     // dfs merged stats make the split invisible
     "q_sharded_bm25" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
       conjunctive = false),
+    // alias oracle: plain full-corpus membership — the flip is invisible
+    "q_alias_membership" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'vector' ORDER BY conv_id"),
     // routed-maintenance oracle: ALSO the single-corpus SQL (the batch
     // brought every shard to the full corpus), with msm=2 biting via 'dup'
     "q_sharded_incr" -> bm25OracleSql(Seq("window", "big", "dup"), 10,

@@ -86,6 +86,43 @@ object NestedIndex {
       .limit(k)
   }
 
+  /** Child keys (conv_id, turn_idx) of the turns matching the nested query
+    * — conjunctive: every term inside the one turn; disjunctive: any.
+    * Pure pruned membership algebra on the child index.
+    */
+  def matchingChildren(reader: IndexReader, terms: Seq[String],
+      conjunctive: Boolean = true): DataFrame = {
+    val ts = terms.filter(t => t != null && t.nonEmpty).distinct
+    require(ts.nonEmpty, "at least one term")
+    val sets = ts.map(reader.membership)
+    val folded =
+      if (conjunctive) sets.reduce(_ intersect _)
+      else sets.reduce(_ union _).distinct()
+    folded.select(parent(col("conv_id")).as("conv_id"),
+      childIdx(col("conv_id")).as("turn_idx"))
+  }
+
+  /** Nested terms aggregation (the ES `nested` aggregation): doc counts of
+    * a CHILD-level doc value over the turns matching the nested query —
+    * e.g. "of the turns containing both terms, how many are user vs
+    * assistant". The conv-level facet machinery can't express this: it
+    * counts conversations, this counts turns.
+    *
+    * Shape at scale: pruned membership scans → one equi-join to the turn
+    * meta frame on the composite child key → one combinable count agg.
+    *
+    * @param meta turn-level doc values: (conv_id, turn_idx, `valCol`).
+    * @return (`valCol`, n_children), count desc then value asc.
+    */
+  def childTermsAgg(reader: IndexReader, terms: Seq[String], meta: DataFrame,
+      valCol: String, conjunctive: Boolean = true): DataFrame =
+    matchingChildren(reader, terms, conjunctive)
+      .join(meta.select(col("conv_id"), col("turn_idx").cast("int"),
+        col(valCol)), Seq("conv_id", "turn_idx"))
+      .groupBy(col(valCol))
+      .agg(count(lit(1)).as("n_children"))
+      .orderBy(col("n_children").desc, col(valCol).asc)
+
   /** Inner hits: for each of the top-`k` parents (under `scoreMode`), the
     * matching turns themselves — (conv_id, turn_idx, score), at most
     * `kChildren` per parent, best turn first (the ES `inner_hits` block).

@@ -91,6 +91,18 @@ class NestedSpec extends AnyFunSuite {
     assert(all == Set(("conv0", 0), ("conv3", 0), ("conv3", 1)))
   }
 
+  test("childTermsAgg: counts matching TURNS by a child-level value") {
+    val meta = turns.select(col("conv_id"), col("turn_idx"), col("role"))
+    val got = NestedIndex.childTermsAgg(reader, Seq("alpha", "beta"), meta, "role")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // matching turns: conv0#0 (user), conv3#0 (user), conv3#1 (assistant)
+    assert(got == Map("user" -> 2L, "assistant" -> 1L))
+    // disjunctive: every turn holding either term
+    val dis = NestedIndex.matchingChildren(reader, Seq("epsilon", "delta"),
+      conjunctive = false).collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(dis == Set(("conv0", 1), ("conv1", 1), ("conv3", 1)))
+  }
+
   test("disjunctive nested: any term in a turn admits it") {
     val got = NestedIndex.sameTurnMembership(reader, Seq("epsilon"))
       .collect().map(_.getString(0)).toSet
