@@ -1128,6 +1128,126 @@ object Harness {
       root
     })
 
+  /** Top-hits oracle: per-role top-`nPer` of the exact scored set with
+    * in-bucket ranks — the SQL mirror of IndexReader.topHitsAgg over the
+    * deterministic doc_id%2 role derivation.
+    */
+  def topHitsOracleSql(terms: Seq[String], nPer: Int): String =
+    TurnsCte + TfCtes + plainScoredCtes(terms) +
+      ", rolev AS (SELECT DISTINCT printf('c%05d', doc_id // 5) AS conv_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS value FROM documents)" +
+      ", ranked AS (SELECT r.value, s.conv_id, s.s, " +
+      "row_number() OVER (PARTITION BY r.value ORDER BY s.s DESC, s.conv_id ASC) AS rn " +
+      "FROM scored s JOIN rolev r ON s.conv_id = r.conv_id)" +
+      s" SELECT value, CAST(rn AS INT) AS rank, conv_id, round(s, 4) AS score" +
+      s" FROM ranked WHERE rn <= $nPer ORDER BY value ASC, rank ASC"
+
+  /** Sampler-terms oracle: the terms agg (value = per-turn source) computed
+    * over only the exact top-`sampleSize` hits.
+    */
+  def samplerTermsOracleSql(terms: Seq[String], sampleSize: Int, size: Int): String =
+    TurnsCte + TfCtes + plainScoredCtes(terms) +
+      s", samp AS (SELECT conv_id FROM scored ORDER BY s DESC, conv_id ASC LIMIT $sampleSize)" +
+      ", vals AS (SELECT DISTINCT printf('c%05d', doc_id // 5) AS conv_id, source AS value FROM documents WHERE source IS NOT NULL)" +
+      ", cnt AS (SELECT v.value, CAST(count(*) AS BIGINT) AS n_docs FROM samp p JOIN vals v ON p.conv_id = v.conv_id GROUP BY 1)" +
+      s" SELECT value, n_docs FROM cnt ORDER BY n_docs DESC, value ASC LIMIT $size"
+
+  /** Diversified-sampler oracle: per-group (conv ordinal % 7 — one group per
+    * conv) contribution capped at `maxPer` before the top-`sampleSize`
+    * sample, then the same terms agg.
+    */
+  def diversifiedTermsOracleSql(terms: Seq[String], maxPer: Int,
+      sampleSize: Int, size: Int): String =
+    TurnsCte + TfCtes + plainScoredCtes(terms) +
+      ", grps AS (SELECT conv_id, 'g' || CAST(CAST(substr(conv_id, 2) AS INT) % 7 AS VARCHAR) AS dk FROM (SELECT DISTINCT conv_id FROM turns))" +
+      ", dranked AS (SELECT s.conv_id, s.s, row_number() OVER (PARTITION BY g.dk ORDER BY s.s DESC, s.conv_id ASC) AS dr " +
+      "FROM scored s JOIN grps g ON s.conv_id = g.conv_id)" +
+      s", samp AS (SELECT conv_id FROM dranked WHERE dr <= $maxPer ORDER BY s DESC, conv_id ASC LIMIT $sampleSize)" +
+      ", vals AS (SELECT DISTINCT printf('c%05d', doc_id // 5) AS conv_id, source AS value FROM documents WHERE source IS NOT NULL)" +
+      ", cnt AS (SELECT v.value, CAST(count(*) AS BIGINT) AS n_docs FROM samp p JOIN vals v ON p.conv_id = v.conv_id GROUP BY 1)" +
+      s" SELECT value, n_docs FROM cnt ORDER BY n_docs DESC, value ASC LIMIT $size"
+
+  /** Auto-date-histogram oracle: the same fixed interval ladder, the same
+    * span-bucket fit rule floor(hi/i) − floor(lo/i) + 1 ≤ target, epochs
+    * reproduced from the deterministic `2024-01-01 + doc_id seconds`
+    * derivation (corpus epoch 1704067200).
+    */
+  def autoDateHistogramOracleSql(term: String, target: Int): String = {
+    val ladder = Seq(1L, 60L, 3600L, 86400L, 7L * 86400L, 30L * 86400L,
+      365L * 86400L)
+    val cases = ladder.init.map(i =>
+      s"WHEN hi // $i - lo // $i + 1 <= $target THEN $i").mkString(" ")
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", conve AS (SELECT conv_id, 1704067200 + min(doc_id) AS e FROM t2 GROUP BY 1)" +
+      ", me AS (SELECT c.conv_id, c.e FROM conve c JOIN hits h ON c.conv_id = h.conv_id)" +
+      ", mm AS (SELECT min(e) AS lo, max(e) AS hi FROM me)" +
+      s", iv AS (SELECT CASE $cases ELSE ${ladder.last} END AS i FROM mm)" +
+      " SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' + to_seconds((e // (SELECT i FROM iv)) * (SELECT i FROM iv)), '%Y-%m-%d %H:%M:%S') AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS hits, CAST((SELECT i FROM iv) AS BIGINT) AS interval_secs " +
+      "FROM me GROUP BY 1 ORDER BY 1"
+  }
+
+  /** Matrix-stats oracle: sample moments between t0 and the deterministic
+    * per-conv weight over the match set — the SQL mirror of
+    * IndexReader.matrixStatsAgg on the t0wMeta frame.
+    */
+  def matrixStatsOracleSql(term: String): String =
+    TurnsCte + TfCtes + ConvT0Cte +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", mw AS (SELECT c.conv_id, c.t0, CAST(CAST(substr(c.conv_id, 2) AS INT) % 7 + 1 AS DOUBLE) AS wv " +
+      "FROM convt0 c JOIN hits h ON c.conv_id = h.conv_id)" +
+      " SELECT CAST(count(*) AS BIGINT) AS n, round(avg(t0), 4) AS mean1, " +
+      "round(avg(wv), 4) AS mean2, round(var_samp(t0), 4) AS var1, " +
+      "round(var_samp(wv), 4) AS var2, round(covar_samp(t0, wv), 4) AS covar, " +
+      "round(corr(t0, wv), 4) AS pearson FROM mw"
+
+  /** Significant-text oracle: significantTermsOracleSql's JLH chain with the
+    * foreground sampled to the exact BM25 top-`sampleSize` of the probe
+    * term's scored set.
+    */
+  def significantTextOracleSql(term: String, sampleSize: Int, n: Int): String =
+    TurnsCte + TfCtes + plainScoredCtes(Seq(term)) +
+      s", fg AS (SELECT conv_id FROM scored ORDER BY s DESC, conv_id ASC LIMIT $sampleSize)" +
+      ", fgn AS (SELECT CAST(count(*) AS DOUBLE) AS fn FROM fg)" +
+      ", fgdf AS (SELECT tf.term, count(*) AS fg_df FROM tf JOIN fg ON tf.conv_id = fg.conv_id GROUP BY 1)" +
+      ", bgdf AS (SELECT term, count(*) AS bg_df FROM tf GROUP BY 1)" +
+      ", r AS (SELECT f.term, f.fg_df, b.bg_df," +
+      " CAST(f.fg_df AS DOUBLE) / (SELECT fn FROM fgn) AS fr," +
+      " CAST(b.bg_df AS DOUBLE) / CAST((SELECT n FROM stats) AS DOUBLE) AS br" +
+      s" FROM fgdf f JOIN bgdf b ON f.term = b.term WHERE f.term <> '$term')" +
+      ", sx AS (SELECT term, fg_df, bg_df, (fr - br) * (fr / br) AS sc FROM r WHERE fr > br)" +
+      s", top AS (SELECT * FROM sx ORDER BY sc DESC, term ASC LIMIT $n)" +
+      " SELECT term, fg_df, bg_df, round(sc, 4) AS score FROM top" +
+      " ORDER BY score DESC, term ASC"
+
+  /** Linear-retriever oracle: both sources' top-`window` scores min-max
+    * normalized within their window (all-equal → 1.0), weighted sum over the
+    * outer join — the SQL mirror of IndexReader.linearHybridTopK with the
+    * same conv-level cosine source as rrfOracleSql (4dp-rounded cosines,
+    * bruteForceTopK's convention).
+    */
+  def linearHybridOracleSql(terms: Seq[String], k: Int, window: Int,
+      wLex: Double, wOther: Double): String =
+    TurnsCte + TfCtes + plainScoredCtes(terms) +
+      s", lexw AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $window)" +
+      ", lexn AS (SELECT conv_id, CASE WHEN (SELECT max(s) FROM lexw) = (SELECT min(s) FROM lexw) THEN 1.0 " +
+      "ELSE (s - (SELECT min(s) FROM lexw)) / ((SELECT max(s) FROM lexw) - (SELECT min(s) FROM lexw)) END AS nl FROM lexw)" +
+      ", ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id % 5 = 0)" +
+      ", qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id = 0)" +
+      ", vsx AS (SELECT printf('c%05d', vec_id // 5) AS conv_id, " +
+      "round(list_dot_product(ev.v, qv.v) / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(qv.v, qv.v))), 4) AS cs" +
+      " FROM ev, qv WHERE ev.vec_id <> 0)" +
+      s", vw AS (SELECT conv_id, cs FROM vsx ORDER BY cs DESC, conv_id ASC LIMIT $window)" +
+      ", vn AS (SELECT conv_id, CASE WHEN (SELECT max(cs) FROM vw) = (SELECT min(cs) FROM vw) THEN 1.0 " +
+      "ELSE (cs - (SELECT min(cs) FROM vw)) / ((SELECT max(cs) FROM vw) - (SELECT min(cs) FROM vw)) END AS nv FROM vw)" +
+      s", fused AS (SELECT coalesce(l.conv_id, v.conv_id) AS conv_id," +
+      s" $wLex * coalesce(l.nl, 0.0) + $wOther * coalesce(v.nv, 0.0) AS s" +
+      " FROM lexn l FULL OUTER JOIN vn v ON l.conv_id = v.conv_id)" +
+      s", top AS (SELECT conv_id, s FROM fused ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+
   /** Final presentation ordering shared with the oracles: selection happens
     * on exact scores inside the engine; display rounds to 4dp and re-sorts on
     * (rounded score desc, conv_id asc) so both sides order identically even

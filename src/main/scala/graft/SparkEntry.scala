@@ -377,6 +377,60 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
         .orderBy("grp", "rn")
     }),
+    // top_hits under a terms bucket: the top-2 hits per role with in-bucket
+    // ranks — partial per-partition top-n ahead of the per-value window
+    "q_top_hits" -> ((s, dir) =>
+      reader(s, dir).topHitsAgg(Seq("query", "filter"),
+          transcripts(s, dir).select("conv_id", "role"), "conv_id", "role", 2)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("value").asc, col("rank").asc)),
+    // sampler agg: what do the BEST 30 matches talk about — terms agg over
+    // the exact relevance-top sample only
+    "q_sampler_terms" -> ((s, dir) =>
+      reader(s, dir).samplerTermsAgg(Seq("query", "filter"),
+        transcripts(s, dir).select("conv_id", "tool"), "conv_id", "tool",
+        sampleSize = 30, size = 5)),
+    // diversified sampler: per-group (conv ordinal % 7) contribution capped
+    // at 2 before the top-12 sample — the anti-bias sampling knob
+    "q_diversified_terms" -> ((s, dir) => {
+      val meta = transcripts(s, dir).select("conv_id", "tool")
+        .withColumn("grp",
+          expr("concat('g', CAST(CAST(substring(conv_id, 2) AS INT) % 7 AS STRING))"))
+      reader(s, dir).diversifiedTermsAgg(Seq("query", "filter"), meta,
+        "conv_id", "grp", "tool", maxDocsPerValue = 2, sampleSize = 12, size = 5)
+    }),
+    // auto_date_histogram: the engine picks the interval (smallest ladder
+    // rung fitting 10 span buckets over the match set's time range)
+    "q_auto_date_histogram" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).autoDateHistogram("spark", meta, "conv_id", "ts", 10)
+        .orderBy("bucket")
+    }),
+    // matrix_stats: sample variance/covariance/correlation between t0 and
+    // the deterministic per-conv weight over the match set, one moment fold
+    "q_matrix_stats" -> ((s, dir) =>
+      reader(s, dir).matrixStatsAgg("spark", t0wMeta(s, dir), "conv_id", "t0", "w")),
+    // significant_text: JLH significance with the foreground sampled to the
+    // BM25 top-10 hits (the ES sampler+significant_text shape)
+    "q_significant_text" -> ((s, dir) =>
+      reader(s, dir).significantText("dup", sampleSize = 10, n = 10)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("term").asc)),
+    // linear retriever (score-aware hybrid): min-max-normalized BM25 and
+    // cosine windows fused as 1.0·lex + 2.0·vec — the margin-preserving
+    // companion to q_rrf_hybrid's rank-only fusion
+    "q_linear_hybrid" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val convVecs = e.where(col("vec_id") % 5 === 0)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      val vscores = killa.ann.Ann.bruteForceTopK(convVecs, "vec_id", "embedding",
+          q, "q_id", "embedding", 20)
+        .select(format_string("c%05d", expr("vec_id div 5")).as("conv_id"),
+          col("cosine").as("score"))
+      present(reader(s, dir).linearHybridTopK(Seq("query", "filter"), vscores,
+        10, window = 20, wLex = 1.0, wOther = 2.0))
+    }),
     // match_phrase_prefix: "batch s…" — exact first slot, prefix-expanded
     // last slot, ONE positional pass with the expansion as a slot set
     "q_phrase_prefix" -> ((s, dir) =>
@@ -429,6 +483,14 @@ object SparkEntry {
     // only 'big' — and turns the dictionary scan into a pushed prefix range
     "q_membership_fuzzy_prefix" -> ((s, dir) =>
       reader(s, dir).membershipFuzzy("bag", 2, prefixLength = 1).orderBy("conv_id")),
+    // ES-DEFAULT fuzzy (transpositions: true — OSA, the Lucene automaton
+    // distance): 'psark' reaches 'spark' in ONE edit where classic
+    // Levenshtein needs 2, so this returns spark's convs while the
+    // levenshtein form returns nothing. At maxDist 1 OSA ≡ full Damerau,
+    // which is what lets DuckDB's damerau_levenshtein oracle it exactly.
+    "q_membership_fuzzy_osa" -> ((s, dir) =>
+      reader(s, dir).membershipFuzzy("psark", 1, transpositions = true)
+        .orderBy("conv_id")),
     // span_containing: a query…filter ordered window (slop 5) that also
     // mentions 'join' inside it
     "q_span_containing" -> ((s, dir) =>
@@ -765,6 +827,17 @@ object SparkEntry {
     "q_chunk_tokens" -> ((s, dir) =>
       killa.text.TextOps.chunkTokens(documents(s, dir), "doc_id", "text", 40, 32)
         .orderBy("doc_id", "chunk_idx")),
+    // duplicated-passage report: 16-token chunks (stride 8) recurring in ≥ 2
+    // distinct docs — the boilerplate doc-level dedup can't see
+    "q_dedup_chunks" -> ((s, dir) =>
+      killa.dedup.Dedup.duplicateChunks(documents(s, dir), "doc_id", "text", 16, 8)
+        .orderBy("chunk_hash")),
+    // sequence packing (concat-and-chunk, 512-token budget): distributed
+    // two-pass prefix sum — NOT a single-reducer global window — assigns
+    // each doc the training sequence its first token lands in
+    "q_pack_sequences" -> ((s, dir) =>
+      killa.text.Packing.packSequences(documents(s, dir), "doc_id", "text", 512L)
+        .orderBy("doc_id")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       killa.dedup.Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text", 3, 0.8)
         .orderBy("a_id", "b_id")),
@@ -1103,6 +1176,15 @@ object SparkEntry {
       factor = 0.01),
     "q_boosting" -> boostingOracleSql(Seq("query", "filter"), Seq("batch"), 0.5, 10),
     "q_collapse_topn" -> collapseTopNOracleSql(Seq("query", "filter"), 7, 2),
+    "q_top_hits" -> topHitsOracleSql(Seq("query", "filter"), 2),
+    "q_sampler_terms" -> samplerTermsOracleSql(Seq("query", "filter"), 30, 5),
+    "q_diversified_terms" ->
+      diversifiedTermsOracleSql(Seq("query", "filter"), 2, 12, 5),
+    "q_auto_date_histogram" -> autoDateHistogramOracleSql("spark", 10),
+    "q_matrix_stats" -> matrixStatsOracleSql("spark"),
+    "q_significant_text" -> significantTextOracleSql("dup", 10, 10),
+    "q_linear_hybrid" ->
+      linearHybridOracleSql(Seq("query", "filter"), 10, 20, 1.0, 2.0),
     // exact first slot, any dictionary term with the prefix in the second
     "q_phrase_prefix" -> (TurnsCte + PposCte +
       " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
@@ -1231,6 +1313,9 @@ object SparkEntry {
     "q_membership_fuzzy_prefix" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE levenshtein(term, 'bag') <= 2" +
       " AND term LIKE 'b%' ORDER BY conv_id"),
+    "q_membership_fuzzy_osa" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2" +
+      " WHERE damerau_levenshtein(term, 'psark') <= 1 ORDER BY conv_id"),
     // span_containing: an ordered big pair (p < q ≤ p + 1 + slop) with a
     // little occurrence at any position inside [p, q]
     "q_span_containing" -> (TurnsCte + PposCte +
@@ -1477,6 +1562,18 @@ object SparkEntry {
       " SELECT doc_id, chunk_idx, off, CAST(len(chunk) AS BIGINT) AS n_tokens," +
       " md5(array_to_string(chunk, ' ')) AS chunk_hash FROM ch ORDER BY doc_id, chunk_idx"),
     "q_dedup_ngram_jaccard" -> (DocToksCte + ShinglesCte + JaccardSql),
+    "q_dedup_chunks" -> (DocToksCte +
+      ", offs AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS off FROM w WHERE len(toks) > 0)" +
+      ", ch AS (SELECT doc_id, toks[off + 1 : least(off + 16, len(toks))] AS chunk FROM offs)" +
+      ", fullch AS (SELECT doc_id, md5(array_to_string(chunk, ' ')) AS chunk_hash FROM ch WHERE len(chunk) = 16)" +
+      " SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs," +
+      " CAST(count(*) AS BIGINT) AS n_occurrences FROM fullch GROUP BY 1" +
+      " HAVING count(DISTINCT doc_id) >= 2 ORDER BY chunk_hash"),
+    "q_pack_sequences" -> (DocToksCte +
+      ", c AS (SELECT doc_id, len(toks) AS n, coalesce(sum(len(toks)) OVER" +
+      " (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st FROM w)" +
+      " SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(st AS BIGINT) AS start_offset," +
+      " CAST(st // 512 AS BIGINT) AS seq_id FROM c ORDER BY doc_id"),
     // decontamination: corpus = doc_id % 7 <> 0, benchmark = % 7 = 0; per
     // corpus doc the fraction of its distinct 3-gram shingles found in the
     // benchmark's shingle union — the independent recomputation of

@@ -263,6 +263,30 @@ object Dedup {
       .select(col("id").as("doc_id"), col("nsh"), col("nhit"), col("overlap"))
   }
 
+  /** Duplicated-passage report (chunk-granularity exact dedup — the
+    * intra-corpus companion to [[contaminationReport]]): token-window chunks
+    * ([[TextOps.chunkTokens]]: `window` tokens every `stride`) that recur in
+    * TWO OR MORE distinct documents — boilerplate headers, license blocks,
+    * copy-pasted passages that document-level dedup can never see because
+    * the surrounding text differs. Only FULL windows participate (a trailing
+    * stub is a substring of the previous overlapping window — counting it
+    * would double-report every shared tail).
+    *
+    * Shape at scale: one generator explode per doc (no shuffle), one
+    * combinable groupBy on the 128-bit chunk hash — the same single-shuffle
+    * profile as exact dedup, rows ≈ tokens/stride.
+    *
+    * @return (chunk_hash, n_docs, n_occurrences) rows, n_docs ≥ 2.
+    */
+  def duplicateChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame =
+    TextOps.chunkTokens(df, idCol, textCol, window, stride)
+      .where(col("n_tokens") === window)
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= 2)
+
   /** 64-bit SimHash of a token multiset (tf-weighted). */
   def simhash64(tokens: Seq[String]): Long = {
     val acc = new Array[Int](64)

@@ -267,19 +267,29 @@ final class IndexReader(
     body.take(math.max(0, safe))
   }
 
-  /** Fuzzy term search: conversations containing any term within Levenshtein
-    * edit distance ≤ `maxDist` of `term`. The first edit can change the first
+  /** Fuzzy term search: conversations containing any term within edit
+    * distance ≤ `maxDist` of `term`. The first edit can change the first
     * character, so no prefix range pushes down — like a leading-wildcard mask
     * this is one scan of the (small) term dictionary columns per bucket, with
-    * a cheap codegen'd length-band pre-filter ahead of the levenshtein
+    * a cheap codegen'd length-band pre-filter ahead of the distance
     * residual; posting payloads decode only for matching terms.
+    *
+    * `transpositions = true` (the Elasticsearch `fuzziness` DEFAULT) counts
+    * an adjacent-character swap as ONE edit — optimal string alignment, the
+    * distance Lucene's fuzzy automata implement — so "psark" reaches "spark"
+    * at distance 1. False keeps classic Levenshtein (the ES
+    * `transpositions: false` knob); both ride the same scan shape, the OSA
+    * residual a native codegen expression ([[killa.expr.OsaDistance]]).
     */
   def membershipFuzzy(term: String, maxDist: Int = 1,
-      prefixLength: Int = 0): DataFrame = {
+      prefixLength: Int = 0, transpositions: Boolean = false): DataFrame = {
     if (term == null || term.isEmpty) return emptyMembers
     if (maxDist <= 0) return membership(term)
     val lenBand = abs(length(col("term")) - lit(term.length)) <= maxDist
-    val lev = lenBand && levenshtein(col("term"), lit(term)) <= maxDist
+    val distCond =
+      if (transpositions) killa.expr.OsaDistance.distCol(col("term"), term) <= maxDist
+      else levenshtein(col("term"), lit(term)) <= maxDist
+    val lev = lenBand && distCond
     // prefix_length (the ES fuzzy query's pruning knob): candidates must
     // share the query's first `prefixLength` characters exactly — typos
     // rarely hit a word's head, and the literal prefix turns the
@@ -889,6 +899,192 @@ final class IndexReader(
         round(avg(col("hits")), 4).as("avg_hits"),
         sum(col("hits")).as("sum_hits"))
 
+  /** Top-hits aggregation (the Elasticsearch `top_hits` sub-aggregation
+    * under a `terms` bucket): for each value of a doc-values field carried
+    * by MATCHING conversations, the top `nPer` hits by BM25 score (ties on
+    * conv_id asc) with their in-bucket rank — "the best examples per
+    * category", the second most common ES agg shape after plain counts.
+    *
+    * Shape at scale: one full scored set (pruned scans + one combinable
+    * fold), equi-join to the values, then a PARTIAL per-partition top-`nPer`
+    * per value (bounded heaps inside mapPartitions — at most
+    * values × nPer rows leave each partition) ahead of the final per-value
+    * window. Without the partial step a hot value (half the corpus sharing
+    * one role) would funnel its whole scored set through a single window
+    * reducer; with it the shuffle carries ≤ partitions × values × nPer rows.
+    *
+    * @return (value, rank, conv_id, score) rows, value asc then rank asc.
+    */
+  def topHitsAgg(terms: Seq[String], meta: DataFrame, convCol: String,
+      valCol: String, nPer: Int = 3,
+      conjunctive: Boolean = false): DataFrame = {
+    require(nPer >= 1, "nPer must be >= 1")
+    val empty = Seq.empty[(String, Int, String, Double)]
+      .toDF("value", "rank", "conv_id", "score")
+    if (manifest.isEmpty) return empty
+    val joined = bm25ScoredAll(terms, conjunctive)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("string").as("value")), "conv_id")
+      .where(col("value").isNotNull)
+      .select(col("value"), col("conv_id"), col("score"))
+      // one row per (value, conv): turn-level meta repeats the pair, and a
+      // duplicate surviving into the rank window would double-count a hit
+      .distinct()
+    // partial top-nPer per value inside each partition: a bounded ordered
+    // buffer per live value — exact because the global top-nPer of a value
+    // is a subset of the union of per-partition top-nPers
+    val pruned = joined.as[(String, String, Double)].mapPartitions { it =>
+      val best = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.TreeSet[(Double, String)]]
+      // order worst-first so the head is the eviction candidate:
+      // lower score first, then conv_id DESC (a larger conv ties-loses)
+      implicit val ord: Ordering[(Double, String)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering,
+          Ordering.String.reverse)
+      it.foreach { case (v, c, s) =>
+        val heap = best.getOrElseUpdate(v,
+          scala.collection.mutable.TreeSet.empty[(Double, String)])
+        heap.add((s, c))
+        if (heap.size > nPer) heap.remove(heap.head)
+      }
+      best.iterator.flatMap { case (v, heap) =>
+        heap.iterator.map { case (s, c) => (v, c, s) }
+      }
+    }.toDF("value", "conv_id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("value").orderBy(col("score").desc, col("conv_id").asc)
+    pruned.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= nPer)
+      .select("value", "rank", "conv_id", "score")
+      .orderBy(col("value").asc, col("rank").asc)
+  }
+
+  /** Sampler aggregation (the Elasticsearch `sampler` agg with a `terms`
+    * sub-agg): the child terms aggregation runs over only the top
+    * `sampleSize` hits by relevance — "what do the BEST matches talk
+    * about", cutting agg cost and long-tail noise on huge match sets. The
+    * sample is the exact global top-`sampleSize` (score desc, conv_id asc —
+    * deterministic, unlike ES's per-shard heuristic), then one bounded
+    * semi-join + combinable count keyed by value.
+    *
+    * @return (value, n_docs) rows, count desc then value asc, ≤ size.
+    */
+  def samplerTermsAgg(terms: Seq[String], meta: DataFrame, convCol: String,
+      valCol: String, sampleSize: Int = 100, size: Int = 10,
+      conjunctive: Boolean = false): DataFrame = {
+    require(sampleSize >= 1 && size >= 1, "sampleSize and size must be >= 1")
+    val sample = bm25ScoredAll(terms, conjunctive)
+      .orderBy(col("score").desc, col("conv_id").asc).limit(sampleSize)
+      .select("conv_id")
+    sample
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("string").as("value")), "conv_id")
+      .where(col("value").isNotNull)
+      .select("conv_id", "value").distinct()
+      .groupBy("value").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("value").asc).limit(size)
+  }
+
+  /** Diversified sampler (the Elasticsearch `diversified_sampler` agg): like
+    * [[samplerTermsAgg]] but the sample first caps how many documents any
+    * single `diversifyCol` value may contribute (`maxDocsPerValue`) — the
+    * anti-bias knob for skewed corpora (one hot source would otherwise own
+    * the whole sample). Cap selection is the per-value top by (score desc,
+    * conv_id asc), then the global top-`sampleSize` of the survivors —
+    * deterministic end to end. Docs missing the diversify value are
+    * EXCLUDED (ES: de-duplication needs a key).
+    */
+  def diversifiedTermsAgg(terms: Seq[String], meta: DataFrame, convCol: String,
+      diversifyCol: String, valCol: String, maxDocsPerValue: Int = 1,
+      sampleSize: Int = 100, size: Int = 10,
+      conjunctive: Boolean = false): DataFrame = {
+    require(maxDocsPerValue >= 1, "maxDocsPerValue must be >= 1")
+    require(sampleSize >= 1 && size >= 1, "sampleSize and size must be >= 1")
+    val metaSel = meta.select(col(convCol).as("conv_id"),
+      col(diversifyCol).cast("string").as("__dk"),
+      col(valCol).cast("string").as("value"))
+    val wDiv = org.apache.spark.sql.expressions.Window
+      .partitionBy("__dk").orderBy(col("score").desc, col("conv_id").asc)
+    val sample = bm25ScoredAll(terms, conjunctive)
+      .join(metaSel.select("conv_id", "__dk").where(col("__dk").isNotNull)
+        .distinct(), "conv_id")
+      .withColumn("__dr", row_number().over(wDiv))
+      .where(col("__dr") <= maxDocsPerValue)
+      .orderBy(col("score").desc, col("conv_id").asc).limit(sampleSize)
+      .select("conv_id")
+    sample
+      .join(metaSel.select("conv_id", "value"), "conv_id")
+      .where(col("value").isNotNull)
+      .select("conv_id", "value").distinct()
+      .groupBy("value").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("value").asc).limit(size)
+  }
+
+  /** Auto-interval date histogram (the Elasticsearch `auto_date_histogram`):
+    * the caller states how many buckets it wants, the engine picks the
+    * interval — the "zoom to fit" facet for time ranges unknown up front.
+    * Deterministic rule (SQL-reproducible, unlike ES's rounding ladder):
+    * from the fixed ladder second / minute / hour / day / week(7d) /
+    * month(30d) / year(365d), pick the SMALLEST fixed interval whose span
+    * bucket count floor(maxE/i) − floor(minE/i) + 1 over the match set's
+    * epoch range fits `targetBuckets`; the largest rung wins if none fits.
+    * Buckets are epoch-aligned (floor(epoch/i)·i), empty ones omitted.
+    *
+    * Shape: one pruned membership scan reused twice — a 1-row min/max agg
+    * picks the interval, then the same join feeds one combinable count.
+    *
+    * @return (bucket "yyyy-MM-dd HH:mm:ss", hits, interval_secs) rows.
+    */
+  def autoDateHistogram(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, targetBuckets: Int = 10): DataFrame = {
+    require(targetBuckets >= 1, "targetBuckets must be >= 1")
+    val empty = Seq.empty[(String, Long, Long)]
+      .toDF("bucket", "hits", "interval_secs")
+    val ladder = Seq(1L, 60L, 3600L, 86400L, 7L * 86400L, 30L * 86400L,
+      365L * 86400L)
+    val joined = membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        unix_timestamp(col(tsCol)).as("__e")), "conv_id")
+      .where(col("__e").isNotNull)
+    val mm = joined.agg(min(col("__e")).as("lo"), max(col("__e")).as("hi"))
+      .collect()
+    if (mm.isEmpty || mm(0).isNullAt(0)) return empty
+    val (lo, hi) = (mm(0).getLong(0), mm(0).getLong(1))
+    val interval = ladder
+      .find(i => Math.floorDiv(hi, i) - Math.floorDiv(lo, i) + 1 <= targetBuckets)
+      .getOrElse(ladder.last)
+    joined
+      .groupBy(date_format(
+        (floor(col("__e") / interval) * interval).cast("timestamp"),
+        "yyyy-MM-dd HH:mm:ss").as("bucket"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("interval_secs", lit(interval))
+  }
+
+  /** Matrix-stats aggregation (the Elasticsearch `matrix_stats` agg, pair
+    * form): sample variance / covariance / correlation between two numeric
+    * doc values over the match set — "do long conversations cluster late"
+    * in one row. One pruned membership scan, one equi-join, one combinable
+    * moment fold (Spark's covar/corr aggregates are one-pass).
+    *
+    * @return a single (n, mean1, mean2, var1, var2, covar, pearson) row,
+    *         doubles rounded 4dp (presentation-stable across engines).
+    */
+  def matrixStatsAgg(term: String, meta: DataFrame, convCol: String,
+      val1Col: String, val2Col: String): DataFrame =
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(val1Col).cast("double").as("__a"),
+        col(val2Col).cast("double").as("__b")), "conv_id")
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__a")), 4).as("mean1"),
+        round(avg(col("__b")), 4).as("mean2"),
+        round(var_samp(col("__a")), 4).as("var1"),
+        round(var_samp(col("__b")), 4).as("var2"),
+        round(covar_samp(col("__a"), col("__b")), 4).as("covar"),
+        round(corr(col("__a"), col("__b")), 4).as("pearson"))
+
   /** Decay-scored top-k (the Elasticsearch `function_score` decay functions,
     * `boost_mode: multiply`): each hit's BM25 score multiplies by a decay of
     * its distance from `origin` on a caller-supplied doc value — recency
@@ -1052,6 +1248,50 @@ final class IndexReader(
       .groupBy("term").agg(count(lit(1)).as("fg_df"))
     // df is stamped globally into every block — max() is exact (same
     // invariant suggest() rides); (term, df) only, payloads never read
+    val bgDf = allBlocks.toDF()
+      .groupBy("term").agg(max(col("df")).as("bg_df"))
+    val fgRate = col("fg_df").cast("double") / lit(fgN.toDouble)
+    val bgRate = col("bg_df").cast("double") / lit(m.numDocs.toDouble)
+    fgDf.join(bgDf, "term")
+      .where(col("term") =!= term)
+      .withColumn("__fr", fgRate).withColumn("__br", bgRate)
+      .where(col("__fr") > col("__br"))
+      .withColumn("score", (col("__fr") - col("__br")) * (col("__fr") / col("__br")))
+      .select("term", "fg_df", "bg_df", "score")
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(n)
+  }
+
+  /** Significant-text aggregation (the Elasticsearch `significant_text`
+    * agg): [[significantTerms]]'s JLH scoring with the foreground SAMPLED to
+    * the top `sampleSize` hits by BM25 relevance rather than the whole match
+    * set — the ES-recommended shape for big noisy indices (`significant_text`
+    * is documented to be used under a `sampler`), where the best matches
+    * define "what this query is about" and the long tail only dilutes. The
+    * sample is the exact global top (score desc, conv_id asc), fg df comes
+    * from the forward log restricted to the sampled docs, bg df from the
+    * block-stamped global df, and the JLH fold, tie order, and fg>bg guard
+    * are identical to [[significantTerms]].
+    *
+    * @return (term, fg_df, bg_df, score) rows, JLH desc then term asc, ≤ n.
+    */
+  def significantText(term: String, sampleSize: Int = 100,
+      n: Int = 10): DataFrame = {
+    require(sampleSize >= 1, "sampleSize must be >= 1")
+    val empty = Seq.empty[(String, Long, Long, Double)]
+      .toDF("term", "fg_df", "bg_df", "score")
+    if (term == null || term.isEmpty || n <= 0 || manifest.isEmpty) return empty
+    val m = manifest.get
+    if (m.numDocs == 0) return empty
+    val sampleConvs = bm25TopKRows(Seq(term), sampleSize).map(_._1)
+    if (sampleConvs.isEmpty) return empty
+    val fgN = sampleConvs.length.toLong
+    val fgIds = docsView.where(col("convId").isin(sampleConvs.toSeq: _*))
+      .select("docId")
+    val fgDf = killa.store.Logs.forward(spark, m)
+      .select("term", "docId")
+      .join(fgIds, "docId")
+      .groupBy("term").agg(count(lit(1)).as("fg_df"))
     val bgDf = allBlocks.toDF()
       .groupBy("term").agg(max(col("df")).as("bg_df"))
     val fgRate = col("fg_df").cast("double") / lit(fgN.toDouble)
@@ -2105,6 +2345,57 @@ final class IndexReader(
       .select(col("conv_id"),
         (coalesce(lit(1.0) / (lit(c) + col("lrank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(c) + col("orank")), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("conv_id").asc)
+      .limit(k)
+  }
+
+  /** Linear hybrid retriever (the Elasticsearch `linear` retriever with the
+    * `minmax` normalizer — the score-aware companion to [[rrfTopK]]'s
+    * rank-only fusion): each source's top-`window` scores are min-max
+    * normalized within that window — (s − min) / (max − min), all-equal
+    * windows normalize to 1.0 — then fused as
+    * wLex · normLex + wOther · normOther; docs absent from a source
+    * contribute 0 for it. Score-aware fusion preserves MARGIN information
+    * RRF throws away (a runaway best hit stays far ahead), at the price of
+    * sensitivity to each source's score scale — exactly the ES-documented
+    * trade-off between the two retrievers.
+    *
+    * Shape: identical to [[rrfTopK]] — two bounded ≤ `window`-row frames,
+    * one outer join; the expensive parts keep their own scale paths.
+    *
+    * @param other second-source scores: (`otherConvCol`, `otherScoreCol`
+    *              double); only its top-`window` rows by (score desc,
+    *              conv asc) are honored.
+    * @return (conv_id, score) rows, fused score desc then conv_id asc, ≤ k.
+    */
+  def linearHybridTopK(terms: Seq[String], other: DataFrame, k: Int,
+      window: Int = 100, wLex: Double = 1.0, wOther: Double = 1.0,
+      otherConvCol: String = "conv_id", otherScoreCol: String = "score",
+      conjunctive: Boolean = false): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(wLex >= 0.0 && wOther >= 0.0, "weights must be >= 0")
+    if (k <= 0) return emptyHits
+    def normed(rows: Seq[(String, Double)]): Seq[(String, Double)] =
+      if (rows.isEmpty) rows
+      else {
+        val mx = rows.map(_._2).max
+        val mn = rows.map(_._2).min
+        if (mx == mn) rows.map { case (c, _) => (c, 1.0) }
+        else rows.map { case (c, s) => (c, (s - mn) / (mx - mn)) }
+      }
+    val lex = normed(bm25TopKRows(terms, window, conjunctive).toSeq)
+      .toDF("conv_id", "ln")
+    val secRows = other
+      .select(col(otherConvCol).cast("string").as("__c"),
+        col(otherScoreCol).cast("double").as("__s"))
+      .orderBy(col("__s").desc, col("__c").asc)
+      .limit(window)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val sec = normed(secRows).toDF("conv_id", "on")
+    lex.join(sec, Seq("conv_id"), "full_outer")
+      .select(col("conv_id"),
+        (lit(wLex) * coalesce(col("ln"), lit(0.0)) +
+          lit(wOther) * coalesce(col("on"), lit(0.0))).as("score"))
       .orderBy(col("score").desc, col("conv_id").asc)
       .limit(k)
   }
