@@ -815,6 +815,28 @@ object Harness {
       root
     })
 
+  /** The analyzed-index fixture chain: lowercase + the six hottest corpus
+    * stopwords + the S-stemmer ("minimal_english").
+    */
+  val analyzedChain: killa.tokenize.Analyzer.Chain =
+    killa.tokenize.Analyzer.Chain(lowercase = true,
+      stopwords = Seq("the", "a", "of", "and", "to", "in"), sStemmer = true)
+
+  /** An ANALYZED index root: the same corpus built over
+    * Analyzer.textCol(analyzedChain) — a plain fullBuild over transformed
+    * input (the analyzed token stream re-joined on spaces round-trips
+    * identically through the whitespace tokenizer), so every query and
+    * maintenance path is inherited unchanged.
+    */
+  def analyzedRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#analyzed", {
+      val root = freshRoot(sfDir, "analyzed")
+      val t = transcripts(spark, sfDir).withColumn("text",
+        killa.tokenize.Analyzer.textCol(col("text"), analyzedChain))
+      new IndexWriter(spark, root, conf).fullBuild(t, "ab0")
+      root
+    })
+
   /** Two shard roots over a conv-parity split of the SAME corpus — the
     * sharded dfs_query_then_fetch fixture: merged-stats search over these
     * must hash-match the single-corpus oracle.
@@ -1127,6 +1149,39 @@ object Harness {
       new killa.maintain.IndexMaintainer(spark, root, conf).rename("c00001", "z99999", "d1")
       root
     })
+
+  /** Analyzed-token CTE chain: tok2 re-analyzed under [[analyzedChain]]
+    * (lowercase → stop → S-stem), with its own tf/dl/stats — the oracle's
+    * independent recomputation of the analyzed index's statistics space.
+    */
+  def analyzedTfCtes: String = {
+    val stops = analyzedChain.stopwords.map(w => s"'$w'").mkString(", ")
+    val stemmed = killa.tokenize.Analyzer.stemSql("lower(term)")
+    s", atok0 AS (SELECT conv_id, $stemmed AS term FROM tok2 WHERE lower(term) NOT IN ($stops))" +
+      // a bare "s" stems to "" and is dropped like an empty token
+      ", atok AS (SELECT conv_id, term FROM atok0 WHERE term <> '')" +
+      ", atf AS (SELECT conv_id, term, count(*) AS tf FROM atok GROUP BY 1, 2)" +
+      ", adl AS (SELECT conv_id, sum(tf) AS dl FROM atf GROUP BY 1)" +
+      ", astats AS (SELECT (SELECT count(DISTINCT conv_id) FROM turns) AS n, " +
+      "(SELECT CAST(sum(dl) AS DOUBLE) FROM adl) / (SELECT count(DISTINCT conv_id) FROM turns) AS avgdl)"
+  }
+
+  /** BM25 oracle over the ANALYZED statistics space (terms already
+    * query-side analyzed by the caller).
+    */
+  def analyzedBm25OracleSql(terms: Seq[String], k: Int): String = {
+    val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    TurnsCte + TfCtes + analyzedTfCtes +
+      s", q(term, tidx) AS (VALUES $vals)" +
+      ", qdf AS (SELECT q.term, q.tidx, count(atf.conv_id) AS df FROM q LEFT JOIN atf ON atf.term = q.term GROUP BY 1, 2)" +
+      ", contrib AS (SELECT atf.conv_id, qdf.tidx, " +
+      "ln(1.0 + ((SELECT n FROM astats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * atf.tf " +
+      "/ (atf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * adl.dl / (SELECT avgdl FROM astats))) AS c " +
+      "FROM atf JOIN qdf ON atf.term = qdf.term JOIN adl ON atf.conv_id = adl.conv_id)" +
+      ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)" +
+      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
 
   /** Top-hits oracle: per-role top-`nPer` of the exact scored set with
     * in-bucket ranks — the SQL mirror of IndexReader.topHitsAgg over the

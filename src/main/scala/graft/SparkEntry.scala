@@ -483,6 +483,25 @@ object SparkEntry {
     // only 'big' — and turns the dictionary scan into a pushed prefix range
     "q_membership_fuzzy_prefix" -> ((s, dir) =>
       reader(s, dir).membershipFuzzy("bag", 2, prefixLength = 1).orderBy("conv_id")),
+    // lexicographic term-range query (ES range on a keyword field):
+    // any term in ['so', 'st') — sort/spark but not small/slow/stream/scan
+    "q_term_range" -> ((s, dir) =>
+      reader(s, dir).membershipTermRange("so", "st").orderBy("conv_id")),
+    // analyzed index (lowercase + stop + S-stem chain): query-side analysis
+    // maps 'Tables' into the analyzed term space; raw 'Tables' matches nothing
+    "q_analyzed_membership" -> ((s, dir) =>
+      new killa.query.IndexReader(s, analyzedRoot(s, dir), conf)
+        .membership(killa.tokenize.Analyzer
+          .analyzeTerm("Tables", analyzedChain).get)
+        .orderBy("conv_id")),
+    // BM25 over the analyzed index: its OWN statistics space (stopwords out
+    // of dl/avgdl, stemmed tf merges) — 'the' analyzes away, 'Tables' stems
+    "q_analyzed_bm25" -> ((s, dir) => {
+      val terms = Seq("Tables", "the", "query")
+        .flatMap(t => killa.tokenize.Analyzer.analyzeTerm(t, analyzedChain))
+      present(new killa.query.IndexReader(s, analyzedRoot(s, dir), conf)
+        .bm25TopK(terms, 10))
+    }),
     // ES-DEFAULT fuzzy (transpositions: true — OSA, the Lucene automaton
     // distance): 'psark' reaches 'spark' in ONE edit where classic
     // Levenshtein needs 2, so this returns spark's convs while the
@@ -1316,6 +1335,12 @@ object SparkEntry {
     "q_membership_fuzzy_osa" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2" +
       " WHERE damerau_levenshtein(term, 'psark') <= 1 ORDER BY conv_id"),
+    "q_term_range" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2" +
+      " WHERE term >= 'so' AND term < 'st' ORDER BY conv_id"),
+    "q_analyzed_membership" -> (TurnsCte + TfCtes + analyzedTfCtes +
+      " SELECT DISTINCT conv_id FROM atok WHERE term = 'table' ORDER BY conv_id"),
+    "q_analyzed_bm25" -> analyzedBm25OracleSql(Seq("table", "query"), 10),
     // span_containing: an ordered big pair (p < q ≤ p + 1 + slop) with a
     // little occurrence at any position inside [p, q]
     "q_span_containing" -> (TurnsCte + PposCte +

@@ -203,6 +203,18 @@ final class IndexReader(
     if (prefix == null || prefix.isEmpty) emptyMembers
     else membershipWhere(col("term").startsWith(prefix), prefixHint = Some(prefix))
 
+  /** Lexicographic term-range search (the Elasticsearch `range` query on a
+    * keyword field): conversations holding any term in [`lo`, `hi`) —
+    * `gte`/`lt` ES semantics. The range predicate pushes straight into the
+    * parquet scan (the term column is the files' sort key, so row-group
+    * stats skip everything outside the interval); payloads decode only for
+    * in-range terms.
+    */
+  def membershipTermRange(lo: String, hi: String): DataFrame = {
+    if (lo == null || hi == null || lo >= hi) return emptyMembers
+    membershipWhere(col("term") >= lo && col("term") < hi)
+  }
+
   /** Wildcard term search (`*` = any run, `?` = any one char — reference
     * mask semantics, FileAnalyzerTests.cs:54-84): the mask's literal prefix
     * pushes down as a range filter, the full mask applies as a residual
