@@ -841,6 +841,27 @@ object Harness {
     * sharded dfs_query_then_fetch fixture: merged-stats search over these
     * must hash-match the single-corpus oracle.
     */
+  /** A rolled-over index group over the full corpus: three conv-ordinal
+    * batches ingested under a 40-live-doc cap — at sf0.01 (100 convs) the
+    * first two batches share r000000 (34 + 34 docs; the cap is evaluated
+    * before each batch, ES semantics), the third rolls to r000001. Search
+    * over the group must hash-match the single-corpus oracle.
+    */
+  def rolloverGroup(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#rollover", {
+      import org.apache.spark.sql.functions.expr
+      val group = freshRoot(sfDir, "rollover")
+      val t = transcripts(spark, sfDir)
+      Seq((0, 34), (34, 68), (68, Int.MaxValue)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          val b = t.where(expr(
+            s"CAST(substring(conv_id, 2) AS INT) >= $lo AND CAST(substring(conv_id, 2) AS INT) < $hi"))
+          if (!b.isEmpty)
+            killa.maintain.Rollover.ingest(spark, group, conf, b, 40L, s"roll$i")
+      }
+      group
+    })
+
   def shardReaders(spark: SparkSession, sfDir: String): Seq[IndexReader] = {
     import org.apache.spark.sql.functions.expr
     val roots = Seq(0, 1).map { par =>

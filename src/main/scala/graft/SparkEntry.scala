@@ -136,6 +136,15 @@ object SparkEntry {
     "q_sharded_bm25" -> ((s, dir) =>
       present(killa.query.ShardedSearch.bm25TopK(s, shardReaders(s, dir),
         Seq("query", "filter", "join"), 10))),
+    // rollover group (ES ILM rollover): the corpus ingested in three batches
+    // under a 40-doc cap — two rolled roots, searched under merged stats;
+    // must hash-match the SINGLE-corpus oracle (roll boundaries are invisible)
+    "q_rollover_bm25" -> ((s, dir) =>
+      present(killa.maintain.Rollover.bm25TopK(s, rolloverGroup(s, dir), conf,
+        Seq("query", "filter", "join"), 10))),
+    "q_rollover_membership" -> ((s, dir) =>
+      killa.maintain.Rollover.membership(s, rolloverGroup(s, dir), conf, "spark")
+        .orderBy("conv_id")),
     // index alias (the ES _aliases flip): the stable serving name was
     // atomically re-pointed from a partial build to the full root — reads
     // through the alias must see exactly the post-flip corpus
@@ -1285,6 +1294,10 @@ object SparkEntry {
     // dfs merged stats make the split invisible
     "q_sharded_bm25" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
       conjunctive = false),
+    "q_rollover_bm25" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
+      conjunctive = false),
+    "q_rollover_membership" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark' ORDER BY conv_id"),
     // alias oracle: plain full-corpus membership — the flip is invisible
     "q_alias_membership" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE term = 'vector' ORDER BY conv_id"),
