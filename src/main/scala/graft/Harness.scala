@@ -623,7 +623,7 @@ object Harness {
       s"(SELECT CAST(sum(dl) AS DOUBLE) FROM dl$sfx) / (SELECT count(DISTINCT conv_id) FROM turns$sfx) AS avgdl), " +
       s"q$sfx(term) AS (VALUES $vals), " +
       s"qdf$sfx AS (SELECT q$sfx.term, count(tf$sfx.conv_id) AS df FROM q$sfx LEFT JOIN tf$sfx ON tf$sfx.term = q$sfx.term GROUP BY 1), " +
-      s"contrib$sfx AS (SELECT t.conv_id, " +
+      s"contrib$sfx AS (SELECT t.conv_id, d.term AS term, " +
       s"ln(1.0 + ((SELECT n FROM stats$sfx) - d.df + 0.5) / (d.df + 0.5)) * (1.2 + 1.0) * t.tf " +
       s"/ (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (SELECT avgdl FROM stats$sfx))) AS c " +
       s"FROM tf$sfx t JOIN qdf$sfx d ON t.term = d.term JOIN dl$sfx l ON t.conv_id = l.conv_id), " +
@@ -641,6 +641,20 @@ object Harness {
       s", uni AS (SELECT conv_id, s * $userBoost AS s FROM scored_u " +
       s"UNION ALL SELECT conv_id, s * $assistantBoost AS s FROM scored_a)" +
       ", comb AS (SELECT conv_id, sum(s) AS s FROM uni GROUP BY conv_id)" +
+      s", top AS (SELECT conv_id, s FROM comb ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+
+  /** cross_fields multi_match oracle (term-centric): each term's best
+    * per-role contribution (each role corpus under its OWN stats), summed
+    * per doc — the SQL mirror of FieldIndexes.crossFieldsBm25.
+    */
+  def crossFieldsOracleSql(terms: Seq[String], k: Int): String =
+    "WITH " + roleScoredCtes("_u", "doc_id % 2 = 0", terms) + ", " +
+      roleScoredCtes("_a", "doc_id % 2 = 1", terms) +
+      ", uni AS (SELECT conv_id, term, c FROM contrib_u" +
+      " UNION ALL SELECT conv_id, term, c FROM contrib_a)" +
+      ", best AS (SELECT conv_id, term, max(c) AS b FROM uni GROUP BY 1, 2)" +
+      ", comb AS (SELECT conv_id, sum(b) AS s FROM best GROUP BY 1)" +
       s", top AS (SELECT conv_id, s FROM comb ORDER BY s DESC, conv_id ASC LIMIT $k)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
 

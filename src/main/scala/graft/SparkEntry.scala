@@ -758,6 +758,11 @@ object SparkEntry {
     "q_bm25_multifield" -> ((s, dir) =>
       present(killa.build.FieldIndexes.multiFieldBm25(s, fieldRoot(s, dir), "role",
         Map("user" -> 1.0, "assistant" -> 2.0), Seq("query", "filter"), 10, conf))),
+    // cross_fields multi_match (term-centric): each term keeps its BEST
+    // per-role contribution (per-term dis_max), doc score = sum over terms
+    "q_cross_fields" -> ((s, dir) =>
+      present(killa.build.FieldIndexes.crossFieldsBm25(s, fieldRoot(s, dir), "role",
+        Seq("user", "assistant"), Seq("query", "filter"), 10, conf))),
     // date-histogram facet: docs matching the term bucketed by conv min-ts
     // truncated to the minute — index for the match set, doc values (the
     // source table) for the timestamp, one map-side-combinable groupBy
@@ -1495,6 +1500,7 @@ object SparkEntry {
     // any possible match count)
     "q_bm25_export" -> bm25OracleSql(Seq("filter"), 1000000, conjunctive = false),
     "q_bm25_multifield" -> multiFieldOracleSql(1.0, 2.0, Seq("query", "filter"), 10),
+    "q_cross_fields" -> crossFieldsOracleSql(Seq("query", "filter"), 10),
     "q_date_histogram" -> dateHistogramOracleSql("spark"),
     "q_top_terms" -> (TurnsCte + TfCtes +
       " SELECT term, count(*) AS df FROM tf GROUP BY term" +

@@ -178,6 +178,36 @@ object FieldIndexes {
       .limit(k)
   }
 
+  /** cross_fields multi_match (the TERM-CENTRIC member of the ES multi_match
+    * family — best_fields is [[killa.query.IndexReader.disMaxTopK]],
+    * most_fields is [[multiFieldBm25]]): each query term scores in every
+    * field under that field's OWN statistics and keeps only its BEST field's
+    * contribution (a per-term dis_max, tie_breaker 0); a document's score is
+    * the sum of its terms' best contributions. This is the shape for
+    * "first_name last_name over two name fields": a doc matching each term
+    * SOMEWHERE ranks like one combined field would, without most_fields'
+    * double-counting when a term appears in several fields.
+    *
+    * Shape at scale: |values|·|terms| pruned single-term scored sets (each a
+    * bucket-pruned scan + one fold), one union, two combinable folds
+    * (max per (doc, term), then sum per doc), TakeOrdered(k).
+    */
+  def crossFieldsBm25(spark: SparkSession, root: String, field: String,
+      values: Seq[String], terms: Seq[String], k: Int, conf: Conf): DataFrame = {
+    require(values.nonEmpty, "values must be non-empty")
+    val perTermField = for {
+      v <- values.distinct.sorted
+      t <- terms.filter(s => s != null && s.nonEmpty).distinct
+    } yield reader(spark, root, field, v, conf)
+      .bm25ScoredAll(Seq(t))
+      .select(col("conv_id"), lit(t).as("__t"), col("score"))
+    perTermField.reduce(_ union _)
+      .groupBy("conv_id", "__t").agg(max(col("score")).as("__best"))
+      .groupBy("conv_id").agg(sum(col("__best")).as("score"))
+      .orderBy(col("score").desc, col("conv_id").asc)
+      .limit(k)
+  }
+
   // facet result cache: keyed by the STRUCTURED tuple (root, field, term,
   // each value@version) — list equality, not a joined string, so corpus
   // values containing the separator can never alias another query's key —

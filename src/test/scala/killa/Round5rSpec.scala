@@ -70,4 +70,37 @@ class Round5rSpec extends AnyFunSuite {
     val empty = TestSpark.freshDir("r5r-empty")
     assert(Rollover.membership(spark, empty, conf, "the").collect().isEmpty)
   }
+
+  test("crossFieldsBm25: per-term best-field fold (term-centric multi_match)") {
+    import killa.build.FieldIndexes
+    val root = TestSpark.freshDir("r5r-xf")
+    val values = FieldIndexes.build(spark, root, turns, "role", conf)
+    assert(values.size >= 2)
+    val terms = Seq("query", "index")
+
+    // single-term cross_fields == the max of the per-field scores (per-term
+    // dis_max with tie_breaker 0)
+    val one = FieldIndexes.crossFieldsBm25(spark, root, "role", values,
+        Seq("query"), 50, conf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val perField = values.map(v =>
+      FieldIndexes.reader(spark, root, "role", v, conf)
+        .bm25ScoredAll(Seq("query"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    val refOne = perField.flatMap(_.keys).distinct
+      .map(c => c -> perField.flatMap(_.get(c)).max).toMap
+    assert(one.nonEmpty && one == refOne)
+
+    // multi-term: score = Σ_t max_f contribution(t, f) — never exceeds
+    // most_fields' unweighted sum, and matches it exactly for docs whose
+    // terms all live in a single field
+    val cross = FieldIndexes.crossFieldsBm25(spark, root, "role", values,
+        terms, 1000, conf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val most = FieldIndexes.multiFieldBm25(spark, root, "role",
+        values.map(_ -> 1.0).toMap, terms, 1000, conf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cross.keySet == most.keySet)
+    cross.foreach { case (c, s) => assert(s <= most(c) + 1e-9, c) }
+  }
 }
