@@ -21,6 +21,8 @@ import killa.streaming.StreamOps
   *   qw <term>                 quiescent search            (Program.cs:53-59)
   *   qp <prefix|glob>          prefix/wildcard search (reference README TODO)
   *   qf <term> [maxDist]       fuzzy search (Levenshtein over terms)
+  *   qfo <term> [maxDist]      OSA fuzzy (ES default: transposition = 1 edit)
+  *   qrange <lo> <hi>          lexicographic term range [lo, hi)
   *   qs <suffix>               suffix search (reversed-term sub-index)
   *   qlw <glob>                leading-wildcard search via the reversed tree
   *   revbuild <parquet>        build the reversed-term sub-index
@@ -236,6 +238,13 @@ object Main {
       case "qf" => // fuzzy search: qf <term> [maxDist]
         val d = rest.lift(1).map(_.toInt).getOrElse(1)
         session.searchFuzzy(rest.headOption.orNull, d)
+          .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
+      case "qfo" => // OSA fuzzy (ES default: transposition = 1 edit): qfo <term> [maxDist]
+        val d = rest.lift(1).map(_.toInt).getOrElse(1)
+        session.searchFuzzyOsa(rest.headOption.orNull, d)
+          .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
+      case "qrange" => // lexicographic term range [lo, hi): qrange <lo> <hi>
+        session.searchTermRange(rest.headOption.orNull, rest.lift(1).orNull)
           .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
       case "bm25" =>
         // bm25 <k> <term[^boost]>... [MIN <m>] [NOT <term>...] — `^boost`

@@ -43,6 +43,16 @@ final class QuerySession(spark: SparkSession, root: String, conf: Conf = Conf.de
   def searchFuzzy(term: String, maxDist: Int = 1): DataFrame =
     readerV.membershipFuzzy(term, maxDist)
 
+  /** OSA fuzzy (`qfo` verb — the ES `fuzziness` default: adjacent
+    * transposition counts as one edit).
+    */
+  def searchFuzzyOsa(term: String, maxDist: Int = 1): DataFrame =
+    readerV.membershipFuzzy(term, maxDist, transpositions = true)
+
+  /** Lexicographic term range (`qrange` verb — ES keyword range, gte/lt). */
+  def searchTermRange(lo: String, hi: String): DataFrame =
+    readerV.membershipTermRange(lo, hi)
+
   /** Prefix search (`qp` verb — the reference's wildcard-index TODO). */
   def searchPrefix(prefix: String): DataFrame = readerV.membershipPrefix(prefix)
 

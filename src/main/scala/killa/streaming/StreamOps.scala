@@ -253,4 +253,37 @@ object StreamOps {
     q.stop()
     batches
   }
+
+  /** Continuous ingestion into a ROLLOVER GROUP ([[killa.maintain.Rollover]])
+    * instead of a single root: each micro-batch routes through
+    * `Rollover.ingest`, so the active root stays capped and the write alias
+    * flips mid-stream when a batch crosses the cap — the ES "data stream"
+    * shape (a stream of append-only documents behind a rolling index
+    * pattern). Checkpointed under the group root; AvailableNow semantics
+    * like [[ingestTranscripts]], so repeated calls resume where they left
+    * off and only new files index.
+    */
+  def ingestRollover(spark: SparkSession, transcriptsDir: String,
+      groupRoot: String, conf: Conf, maxDocsPerRoot: Long,
+      source: String = "stream"): Long = {
+    val schema = spark.read.parquet(transcriptsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(transcriptsDir)
+    var batches = 0L
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          killa.maintain.Rollover.ingest(spark, groupRoot, conf, batch,
+            maxDocsPerRoot, s"stream-$batchId", source)
+          batches += 1
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$groupRoot/stream-checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    batches
+  }
 }

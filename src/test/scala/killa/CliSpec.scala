@@ -210,6 +210,13 @@ class CliSpec extends AnyFunSuite {
     assert(capture("qsf", Array("scan", "1")) == Seq("cR"))
     assert(capture("qsf", Array("scan", "2")) == Seq("cP", "cR"))
     intercept[IllegalArgumentException](Main.run(spark, root, "qsf", Array("scan")))
+
+    // qfo: OSA fuzzy — 'csan' reaches 'scan' in one transposition (qf at
+    // the same distance finds nothing); qrange: ['ru', 'sa') hits 'run'/'runs'
+    assert(capture("qfo", Array("csan", "1")) == Seq("cP", "cR"))
+    assert(capture("qf", Array("csan", "1")).isEmpty)
+    assert(capture("qrange", Array("ru", "sa")) == Seq("cP", "cQ", "cR"))
+    assert(capture("qrange", Array("zz", "aa")).isEmpty)
   }
 
   test("reverse-index verbs: revbuild / qs (suffix) / qlw (leading wildcard)") {

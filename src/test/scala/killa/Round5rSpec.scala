@@ -71,6 +71,31 @@ class Round5rSpec extends AnyFunSuite {
     assert(Rollover.membership(spark, empty, conf, "the").collect().isEmpty)
   }
 
+  test("streaming rollover ingestion: capped roots across resumed passes") {
+    import killa.streaming.StreamOps
+    val group = TestSpark.freshDir("r5r-sgroup")
+    val feed = TestSpark.freshDir("r5r-feed")
+    // pass 1: 12 convs land, cap 10 → r000000 only (cap gates BEFORE a batch)
+    convBatch(0, 12).write.mode("append").parquet(feed)
+    assert(StreamOps.ingestRollover(spark, feed, group, conf, 10L) >= 1L)
+    assert(Rollover.roots(spark, group).size == 1)
+    // pass 2 (resumed from checkpoint): only the NEW files index; the active
+    // root is at 12 ≥ 10 docs, so the batch rolls to r000001
+    convBatch(12, 30).write.mode("append").parquet(feed)
+    assert(StreamOps.ingestRollover(spark, feed, group, conf, 10L) >= 1L)
+    val rs = Rollover.roots(spark, group)
+    assert(rs.size >= 2)
+    assert(Rollover.activeRoot(spark, group).contains(rs.last))
+    // group view == the whole corpus, no dup, no loss
+    val mono = TestSpark.freshDir("r5r-smono")
+    new IndexWriter(spark, mono, conf).fullBuild(turns, "bm")
+    val wantM = new IndexReader(spark, mono, conf).membership("the")
+      .collect().map(_.getString(0)).toSet
+    val gotM = Rollover.membership(spark, group, conf, "the")
+      .collect().map(_.getString(0)).toSet
+    assert(gotM == wantM && gotM.nonEmpty)
+  }
+
   test("crossFieldsBm25: per-term best-field fold (term-centric multi_match)") {
     import killa.build.FieldIndexes
     val root = TestSpark.freshDir("r5r-xf")
