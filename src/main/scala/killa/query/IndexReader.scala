@@ -1017,9 +1017,33 @@ final class IndexReader(
       col(valCol).cast("string").as("value"))
     val wDiv = org.apache.spark.sql.expressions.Window
       .partitionBy("__dk").orderBy(col("score").desc, col("conv_id").asc)
-    val sample = bm25ScoredAll(terms, conjunctive)
+    // partial per-partition top-maxDocsPerValue per diversify key ahead of
+    // the window (same trick as topHitsAgg): a hot key — half the corpus
+    // sharing one source — would otherwise funnel its whole scored set
+    // through a single window reducer; after the prune the shuffle carries
+    // ≤ partitions × keys × maxDocsPerValue rows and the window is exact
+    // (the global per-key top is a subset of the per-partition tops)
+    val joined = bm25ScoredAll(terms, conjunctive)
       .join(metaSel.select("conv_id", "__dk").where(col("__dk").isNotNull)
         .distinct(), "conv_id")
+      .select(col("__dk"), col("conv_id"), col("score"))
+      .as[(String, String, Double)]
+    val prePruned = joined.mapPartitions { it =>
+      val best = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.TreeSet[(Double, String)]]
+      implicit val ord: Ordering[(Double, String)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String.reverse)
+      it.foreach { case (k, c, s) =>
+        val heap = best.getOrElseUpdate(k,
+          scala.collection.mutable.TreeSet.empty[(Double, String)])
+        heap.add((s, c))
+        if (heap.size > maxDocsPerValue) heap.remove(heap.head)
+      }
+      best.iterator.flatMap { case (k, heap) =>
+        heap.iterator.map { case (s, c) => (k, c, s) }
+      }
+    }.toDF("__dk", "conv_id", "score")
+    val sample = prePruned
       .withColumn("__dr", row_number().over(wDiv))
       .where(col("__dr") <= maxDocsPerValue)
       .orderBy(col("score").desc, col("conv_id").asc).limit(sampleSize)
