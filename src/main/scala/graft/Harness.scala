@@ -658,6 +658,35 @@ object Harness {
       s", top AS (SELECT conv_id, s FROM comb ORDER BY s DESC, conv_id ASC LIMIT $k)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
 
+  /** combined_fields (BM25F) oracle: weighted per-role tf blended into ONE
+    * virtual field (tf* = Σ w_f·tf_f), weighted blended doc length over the
+    * UNION doc set (dl* = Σ w_f·dl_f, absent role → 0), union df, N and
+    * avgdl* of the blend — the SQL recomputation of
+    * FieldIndexes.combinedFieldsBm25's documented model.
+    */
+  def combinedFieldsOracleSql(wUser: Double, wAssistant: Double,
+      terms: Seq[String], k: Int): String = {
+    val vals = terms.map(t => s"('$t')").mkString(", ")
+    "WITH turns_u AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, text FROM documents WHERE doc_id % 2 = 0)" +
+      ", turns_a AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, text FROM documents WHERE doc_id % 2 = 1)" +
+      ", tf_u AS (SELECT conv_id, term, count(*) AS tf FROM (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM turns_u) WHERE term <> '' GROUP BY 1, 2)" +
+      ", tf_a AS (SELECT conv_id, term, count(*) AS tf FROM (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM turns_a) WHERE term <> '' GROUP BY 1, 2)" +
+      ", dl_u AS (SELECT conv_id, sum(tf) AS dl FROM tf_u GROUP BY 1)" +
+      ", dl_a AS (SELECT conv_id, sum(tf) AS dl FROM tf_a GROUP BY 1)" +
+      s", norms AS (SELECT coalesce(u.conv_id, a.conv_id) AS conv_id, $wUser * coalesce(u.dl, 0) + $wAssistant * coalesce(a.dl, 0) AS dlc" +
+      " FROM dl_u u FULL OUTER JOIN dl_a a ON u.conv_id = a.conv_id)" +
+      ", stats AS (SELECT count(*) AS n, avg(dlc) AS avgdl FROM norms)" +
+      s", q(term) AS (VALUES $vals)" +
+      s", tfc AS (SELECT b.conv_id, b.term, sum(b.wtf) AS tfc FROM (SELECT conv_id, term, $wUser * tf AS wtf FROM tf_u UNION ALL SELECT conv_id, term, $wAssistant * tf AS wtf FROM tf_a) b JOIN q ON b.term = q.term GROUP BY 1, 2)" +
+      ", qdf AS (SELECT q.term, count(tfc.conv_id) AS df FROM q LEFT JOIN tfc ON tfc.term = q.term GROUP BY 1)" +
+      ", contrib AS (SELECT t.conv_id, ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5)) * (1.2 + 1.0) * t.tfc" +
+      " / (t.tfc + 1.2 * ((1.0 - 0.75) + 0.75 * nm.dlc / (SELECT avgdl FROM stats))) AS c" +
+      " FROM tfc t JOIN qdf d ON t.term = d.term JOIN norms nm ON t.conv_id = nm.conv_id)" +
+      ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY 1)" +
+      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
   /** RRF hybrid-search oracle: the BM25 top-`window` ranking fused with the
     * conv-level cosine ranking (conv vector = the conv's first doc's
     * embedding, query = vec 0's embedding, vec 0's own conv excluded from
@@ -760,6 +789,14 @@ object Harness {
       " SELECT bucket, hits, CAST(sum(hits) OVER (ORDER BY bucket) AS BIGINT) AS cum_hits," +
       " hits - lag(hits) OVER (ORDER BY bucket) AS deriv," +
       s" round(avg(hits) OVER (ORDER BY bucket ROWS BETWEEN ${movingWindow - 1} PRECEDING AND CURRENT ROW), 4) AS mavg" +
+      " FROM hist ORDER BY bucket"
+
+  /** serial_diff oracle: hits minus the hits `lagN` buckets earlier over the
+    * minute histogram; first `lagN` buckets null (ES semantics).
+    */
+  def serialDiffOracleSql(term: String, lagN: Int): String =
+    histCtes(term) +
+      s" SELECT bucket, hits, hits - lag(hits, $lagN) OVER (ORDER BY bucket) AS sdiff" +
       " FROM hist ORDER BY bucket"
 
   /** Per-conv doc-values frame: t0 = seconds since the corpus epoch of the

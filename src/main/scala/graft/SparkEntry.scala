@@ -547,6 +547,13 @@ object SparkEntry {
       reader(s, dir).dateHistogramPipeline("spark", meta, "conv_id", "ts",
         "minute", movingWindow = 3).orderBy("bucket")
     }),
+    // serial_diff pipeline agg: hits minus the hits `lag` buckets earlier
+    // (seasonal differencing; lag 2 here so it provably isn't derivative)
+    "q_serial_diff" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).serialDiff("spark", meta, "conv_id", "ts",
+        "minute", lagN = 2).orderBy("bucket")
+    }),
     // multi_terms: compound-key buckets ordered by doc count (the
     // count-ordered companion to q_composite_agg's key-ordered paging) —
     // 'dup' is the skew term, so counts are non-uniform and the ordering
@@ -763,6 +770,12 @@ object SparkEntry {
     "q_cross_fields" -> ((s, dir) =>
       present(killa.build.FieldIndexes.crossFieldsBm25(s, fieldRoot(s, dir), "role",
         Seq("user", "assistant"), Seq("query", "filter"), 10, conf))),
+    // combined_fields multi_match (BM25F): weight-blended tf and doc length
+    // score as ONE virtual field under union statistics — the blended tf
+    // saturates once through the shared k1 curve
+    "q_combined_fields" -> ((s, dir) =>
+      present(killa.build.FieldIndexes.combinedFieldsBm25(s, fieldRoot(s, dir), "role",
+        Map("user" -> 1.0, "assistant" -> 2.0), Seq("query", "filter"), 10, conf))),
     // date-histogram facet: docs matching the term bucketed by conv min-ts
     // truncated to the minute — index for the match set, doc values (the
     // source table) for the timestamp, one map-side-combinable groupBy
@@ -938,6 +951,18 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
       killa.ann.Ann.ivfTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
           nCells = 128, nProbe = 128)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")
+    }),
+    // product-quantization ANN (FAISS IndexPQ shape): train→encode→ADC scan→
+    // exact re-rank, registered at nCandidates ≥ corpus so the exact-cosine
+    // oracle gates the whole machinery (the IVF nProbe=nCells pattern); the
+    // 32×-compressed sub-linear operating point is spec-measured for recall
+    "q_ann_pq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+      killa.ann.Ann.pqTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
+          nSub = 8, nCentroids = 16, nCandidates = 1000, refineIters = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
@@ -1393,6 +1418,7 @@ object SparkEntry {
       ", gdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)" +
       " SELECT term, df FROM gdf WHERE df <= 99 ORDER BY df ASC, term ASC LIMIT 10"),
     "q_date_histogram_pipeline" -> dateHistogramPipelineOracleSql("spark", 3),
+    "q_serial_diff" -> serialDiffOracleSql("spark", 2),
     "q_multi_terms" -> multiTermsOracleSql("dup", 6),
     "q_missing_agg" -> missingAggOracleSql("spark"),
     "q_bucket_selector" -> bucketSelectorOracleSql("spark", 5L, 5),
@@ -1501,6 +1527,7 @@ object SparkEntry {
     "q_bm25_export" -> bm25OracleSql(Seq("filter"), 1000000, conjunctive = false),
     "q_bm25_multifield" -> multiFieldOracleSql(1.0, 2.0, Seq("query", "filter"), 10),
     "q_cross_fields" -> crossFieldsOracleSql(Seq("query", "filter"), 10),
+    "q_combined_fields" -> combinedFieldsOracleSql(1.0, 2.0, Seq("query", "filter"), 10),
     "q_date_histogram" -> dateHistogramOracleSql("spark"),
     "q_top_terms" -> (TurnsCte + TfCtes +
       " SELECT term, count(*) AS df FROM tf GROUP BY term" +
@@ -1713,6 +1740,13 @@ object SparkEntry {
       " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
     // broadcast-centroid IVF registers at full probe too — identical oracle
     "q_ann_ivf_bcast" -> (EmbCte +
+      ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
+      s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
+      ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
+      " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    // PQ at nCandidates >= corpus: the re-rank set is the whole corpus, so
+    // the exact-cosine oracle verifies train -> encode -> ADC -> re-rank
+    "q_ann_pq_topk" -> (EmbCte +
       ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
       ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +

@@ -245,6 +245,153 @@ object Ann {
       .select("q_id", "vec_id", "cosine", "rank")
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid, PAMI 2011 — the
+    * compressed-domain scan behind FAISS's IndexPQ / IVFADC): vectors
+    * unit-normalize and split into `nSub` subspaces; each subspace
+    * k-means-quantizes to `nCentroids` codewords, so a corpus vector becomes
+    * `nSub` small codes (nSub bytes at nCentroids ≤ 256 — a 512-byte
+    * 128-dim float vector compresses 32× to 16 bytes at nSub=16). Queries
+    * scan the CODES with an asymmetric-distance lookup table (ADC: per
+    * query, LUT[s][c] = ‖q_s − codeword‖², so a doc's approximate distance
+    * is nSub array lookups + adds — no float math per doc), keep the
+    * `nCandidates` closest, and re-rank those exactly on the raw vectors.
+    * On unit vectors L2-ADC order = cosine order, so the re-ranked result
+    * targets [[bruteForceTopK]].
+    *
+    * 100 TB story: the scan reads nSub ints per doc instead of dim floats —
+    * the memory-bandwidth-bound full scan PQ exists for — as one broadcast
+    * of the per-query LUTs against the encoded corpus (same plan shape as
+    * the brute-force baseline, 32× less data), then exact re-rank touches
+    * only nCandidates raw vectors per query. Training is deterministic:
+    * splitmix64-sampled seeds, `refineIters` Lloyd rounds whose update step
+    * shuffles only (sub, code, slot) partial sums — never vectors — and the
+    * encode step is the native codegen [[killa.expr.PqEncode]] reference-
+    * object expression (production codebooks would blow up literal codegen,
+    * the CellArgmax lesson).
+    *
+    * Exactness dial: nCandidates ≥ corpus size makes the re-rank set the
+    * whole corpus, so the result EQUALS brute force regardless of
+    * quantization error (how the oracle gates the full train→encode→ADC→
+    * re-rank machinery); sub-linear nCandidates is the approximate
+    * operating point, recall spec-measured.
+    */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nSub: Int = 4, nCentroids: Int = 16, nCandidates: Int = 64,
+      refineIters: Int = 2): DataFrame = {
+    require(nSub > 0 && nCentroids > 0 && nCandidates > 0 && refineIters >= 0)
+    import killa.expr.{PqEncode, Splitmix64Xor}
+
+    def normalize(v: Seq[Float]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val inv = if (n == 0.0) 1.0 else 1.0 / n
+      v.map(_ * inv).toArray
+    }
+
+    // deterministic codebook seeds: the nCentroids corpus vectors with the
+    // smallest splitmix64(id), unit-normalized, sub-sliced per subspace
+    val seedVecs: Array[Array[Double]] = embeddings
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .withColumn("h", Splitmix64Xor.minhashCol(col("cid"), 0))
+      .orderBy(col("h"), col("cid")).limit(nCentroids)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).map(p => normalize(p._2))
+    require(seedVecs.nonEmpty, "empty corpus")
+    val dim = seedVecs(0).length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val subDim = dim / nSub
+    var codebooks: Array[Array[Array[Float]]] = Array.tabulate(nSub) { s =>
+      seedVecs.map(v => v.slice(s * subDim, (s + 1) * subDim).map(_.toFloat))
+    }
+
+    // Lloyd rounds: assignment via the SAME native encode the corpus pass
+    // uses; update shuffles (sub, code, slot) partial sums of the
+    // unit-normalized coordinates — nSub × nCentroids × subDim doubles,
+    // never vectors. Empty codes keep their seeds.
+    for (_ <- 0 until refineIters) {
+      val nrm = col("v") // PqEncode normalizes internally; explode must match
+      val partials = embeddings.select(col(vecCol).as("v"))
+        .withColumn("codes", PqEncode.encodeCol(nrm, codebooks))
+        .withColumn("inv",
+          when(normCol(col("v")) === 0.0, lit(1.0)).otherwise(lit(1.0) / normCol(col("v"))))
+        .select(col("codes"), col("inv"), posexplode(col("v")).as(Seq("i", "x")))
+        .withColumn("sub", (col("i") / subDim).cast("int"))
+        .withColumn("within", col("i") % subDim)
+        .withColumn("code", element_at(col("codes"), col("sub") + 1))
+        .groupBy("sub", "code", "within")
+        .agg(sum(col("x").cast("double") * col("inv")).as("s"), count(lit(1)).as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getAs[Number](2).intValue()),
+          (r.getDouble(3), r.getLong(4))))
+        .toMap
+      codebooks = Array.tabulate(nSub) { s =>
+        Array.tabulate(nCentroids) { c0 =>
+          val c = c0 + 1
+          if (!partials.contains((s, c, 0))) codebooks(s)(c0)
+          else Array.tabulate(subDim) { i =>
+            val (sm, m) = partials((s, c, i))
+            (sm / m).toFloat
+          }
+        }
+      }
+    }
+
+    // compressed-domain scan: per-query ADC lookup tables (queries are
+    // top-k-request-sized by contract — the collect is the request itself)
+    val qRows = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(qVecCol).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    if (qRows.isEmpty)
+      return embeddings.sparkSession.emptyDataFrame
+        .withColumn("q_id", lit(0L)).withColumn("vec_id", lit(0L))
+        .withColumn("cosine", lit(0.0)).withColumn("rank", lit(0))
+    val lutRows = qRows.toSeq.map { case (qid, qv) =>
+      val qn = normalize(qv)
+      val lut: Seq[Seq[Double]] = (0 until nSub).map { s =>
+        codebooks(s).toSeq.map { cw =>
+          var dist = 0.0
+          var i = 0
+          while (i < subDim) {
+            val x = qn(s * subDim + i) - cw(i)
+            dist += x * x
+            i += 1
+          }
+          dist
+        }
+      }
+      (qid, qv, lut)
+    }
+    import embeddings.sparkSession.implicits._
+    val lutDf = lutRows.toDF("q_id", "qv", "lut")
+
+    // the scan's windowed shuffle carries (q_id, vec_id, adc) ONLY — codes
+    // stay in the map side, raw vectors join back for just the ≤
+    // queries × nCandidates survivors (broadcast-sized by construction)
+    val enc = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("codes", PqEncode.encodeCol(col("v"), codebooks))
+      .select("vec_id", "codes")
+    val adc = enc.crossJoin(broadcast(lutDf.select(col("q_id"), col("lut"))))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c)),
+        lit(0.0), (acc, x) => acc + x))
+      .select("q_id", "vec_id", "adc")
+    val wc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id").asc)
+    val cands = adc.withColumn("cr", row_number().over(wc))
+      .where(col("cr") <= nCandidates)
+      .select("q_id", "vec_id")
+    val rer = embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(lutDf.select(col("q_id"), col("qv"))), "q_id")
+      .withColumn("cosine", round(cosineCol(col("v"), col("qv")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    rer.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cosine", "rank")
+  }
+
   /** Exact all-pairs oracle for [[nearDupPairs]] — O(n²), test scale ONLY. */
   def nearDupPairsExact(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

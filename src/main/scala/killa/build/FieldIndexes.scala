@@ -208,6 +208,94 @@ object FieldIndexes {
       .limit(k)
   }
 
+  /** combined_fields multi_match (the FOURTH member of the ES multi_match
+    * family, completing best_fields = disMaxTopK, most_fields =
+    * [[multiFieldBm25]], cross_fields = [[crossFieldsBm25]]): the classic
+    * BM25F "simple weighted-field" model (Robertson, Zaragoza & Taylor,
+    * CIKM 2004) — the fields are scored as ONE virtual combined field whose
+    * term frequency is the weight-blended per-field tf and whose length norm
+    * is the weight-blended per-field length:
+    *
+    *   tfB(t,d)  = Σ_f w_f · tf_f(t,d)
+    *   dlB(d)    = Σ_f w_f · dl_f(d)          (absent field → 0)
+    *   N         = |union of the fields' live doc sets|
+    *   avgdlB    = mean of dlB over those N docs
+    *   df(t)     = |{d : tfB(t,d) > 0}|        (match in ANY field)
+    *   score(d)  = Σ_t idf(N, df(t)) · (k1+1)·tfB / (tfB + k1·(1−b+b·dlB/avgdlB))
+    *
+    * Unlike most_fields (which double-counts a term appearing in several
+    * fields under each field's separate saturation) the blended tf saturates
+    * ONCE through the shared k1 curve — the property combined_fields exists
+    * for. Exact by construction like its siblings: full scored set, no
+    * per-field window.
+    *
+    * Shape at scale: per-field per-term PRUNED posting decodes
+    * ([[killa.query.IndexReader.termTf]]) union into one (doc, term) fold;
+    * the length norm comes from the doc DICTIONARIES (one row per doc — the
+    * engine's native norms table, Lucene-norms analog), one outer-union fold;
+    * df(t) is a bounded ≤|terms| collect off the blended tf frame; one final
+    * scored groupBy → TakeOrdered(k). A long-lived serving deployment would
+    * materialize the blended-norms frame per (weights, versions) — it is
+    * weight-dependent but corpus-stable — exactly like the facet cache;
+    * per-query it is one column-pruned dictionary scan.
+    *
+    * @param weights field value → w_f, all > 0; values without a built
+    *                sub-index contribute nothing.
+    */
+  def combinedFieldsBm25(spark: SparkSession, root: String, field: String,
+      weights: Map[String, Double], terms: Seq[String], k: Int,
+      conf: Conf): DataFrame = {
+    import spark.implicits._
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "weights must be non-empty and > 0")
+    def empty = Seq.empty[(String, Double)].toDF("conv_id", "score")
+    val ts = terms.filter(t => t != null && t.nonEmpty).distinct
+    if (ts.isEmpty || k <= 0) return empty
+    val rs = weights.toSeq.sortBy(_._1)
+      .map { case (v, w) => (reader(spark, root, field, v, conf), w) }
+      .filter(_._1.manifest.isDefined)
+    if (rs.isEmpty) return empty
+    // blended norms over the UNION doc set: dlB(d) = Σ w_f · dl_f(d). The
+    // per-field dl lives in the doc dictionary (docs), so this is a scan of
+    // the dictionaries, never of postings or the source table.
+    val norms = rs.map { case (r, w) =>
+        r.docs.select(col("convId").as("conv_id"),
+          (col("dl").cast("double") * w).as("wdl"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy("conv_id").agg(sum(col("wdl")).as("dlc"))
+    val st = norms.agg(count(lit(1)).as("n"), avg(col("dlc")).as("avgdl")).collect()(0)
+    val n = st.getLong(0)
+    if (n == 0L) return empty
+    val avgdl = st.getDouble(1)
+    if (avgdl <= 0.0) return empty
+    // blended tf per (doc, term): a (doc, term) pair appears at most once per
+    // field (one posting), so the fold is a plain weighted sum
+    val tfc = rs.map { case (r, w) =>
+        r.termTf(ts).select(col("conv_id"), col("term"),
+          (col("tf").cast("double") * w).as("wtf"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy("conv_id", "term").agg(sum(col("wtf")).as("tfc"))
+    // union df per term: tfc holds one row per (doc, term), so df is a row
+    // count — bounded ≤ |terms| driver rows
+    val dfs = tfc.groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k1 = conf.k1; val b = conf.b
+    val wFrame = broadcast(
+      ts.map(t => (t, killa.query.Bm25.weight(n, dfs.getOrElse(t, 0L), k1)))
+        .toDF("term", "__w"))
+    tfc.join(wFrame, "term")
+      .join(norms, "conv_id")
+      .select(col("conv_id"),
+        (col("__w") * col("tfc") /
+          (col("tfc") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlc") / lit(avgdl))))
+          .as("__c"))
+      .groupBy("conv_id").agg(sum(col("__c")).as("score"))
+      .orderBy(col("score").desc, col("conv_id").asc)
+      .limit(k)
+  }
+
   // facet result cache: keyed by the STRUCTURED tuple (root, field, term,
   // each value@version) — list equality, not a joined string, so corpus
   // values containing the separator can never alias another query's key —

@@ -272,3 +272,80 @@ object Fnv1a64 {
     */
   def termBucketCol(c: Column, nb: Int): Column = pmod(fnv1a64(c), lit(nb.toLong)).cast("int")
 }
+
+/** Native Catalyst expression: product-quantization encode — per-subspace
+  * argmin-L2² code of the UNIT-NORMALIZED input vector against a per-subspace
+  * codebook shipped as a REFERENCE OBJECT (the same scale-safe shipping as
+  * [[CellArgmax]]: production codebooks are nSub × 256 codewords and would
+  * blow up literal codegen). Normalization is baked into the operator so
+  * L2-ADC ordering over the codes equals cosine ordering over the raw
+  * vectors (on the unit sphere, cosine = 1 − ‖·‖²/2) — one contract for the
+  * whole PQ path, no separate normalize pass materializing double arrays.
+  *
+  * Codes are 1-based (the module's `array_position` / `element_at`
+  * convention); ties resolve to the lowest code (strict `&lt;` keeps the
+  * first minimum). Subspace `s` covers vector slots
+  * [Σ_{t&lt;s} d_t, …) where d_s = codebooks(s)(0).length.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def prettyName: String = "pq_encode"
+
+  protected override def nullSafeEval(input: Any): Any =
+    PqEncode.encode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"killa.expr.PqEncode.encode($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def encode(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cbs: Array[Array[Array[Float]]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // unit-normalize once (zero vectors pass through unscaled rather than
+    // dividing by zero — they quantize arbitrarily and re-rank exactly)
+    var nv = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+    val inv = if (nv == 0.0) 1.0 else 1.0 / math.sqrt(nv)
+    val out = new Array[Int](cbs.length)
+    var off = 0
+    var s = 0
+    while (s < cbs.length) {
+      val cb = cbs(s)
+      val d = cb(0).length
+      var best = Double.PositiveInfinity
+      var idx = 1
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var dist = 0.0
+        var j = 0
+        while (j < d) {
+          val x = v.getFloat(off + j).toDouble * inv - cw(j)
+          dist += x * x
+          j += 1
+        }
+        if (dist < best) { best = dist; idx = c + 1 }
+        c += 1
+      }
+      out(s) = idx
+      off += d
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  def encodeCol(c: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    import org.apache.spark.sql.killashim.Shim
+    Shim.toColumn(PqEncode(Shim.toExpression(c), codebooks))
+  }
+}

@@ -1903,6 +1903,26 @@ final class IndexReader(
       .withColumn("mavg", round(avg(col("hits")).over(mw), 4))
   }
 
+  /** serial_diff pipeline aggregation (the Elasticsearch `serial_diff` agg,
+    * completing the pipeline family next to [[dateHistogramPipeline]]'s
+    * cumulative_sum/derivative/moving_fn and [[statsBucket]]): per histogram
+    * bucket, hits minus the hits `lag` buckets earlier — the seasonal
+    * differencing step of Box-Jenkins preprocessing (lag 1 = derivative,
+    * lag 7 on daily buckets = week-over-week change). ES semantics: the
+    * first `lag` buckets emit null (nothing to difference against). Same
+    * coordinating-node shape as the siblings: a single-partition window
+    * over the REDUCED bucket list, distribution lives in the parent.
+    *
+    * @return (bucket, hits, sdiff) rows, bucket asc.
+    */
+  def serialDiff(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String = "day", lagN: Int = 1): DataFrame = {
+    require(lagN >= 1, "lag must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    dateHistogram(term, meta, convCol, tsCol, unit)
+      .withColumn("sdiff", col("hits") - lag(col("hits"), lagN).over(w))
+  }
+
   /** Terms-set query (the Elasticsearch `terms_set` query with
     * `minimum_should_match_field`): documents matching at least their OWN
     * per-doc minimum number of the query terms — the doc-values field
@@ -2296,6 +2316,32 @@ final class IndexReader(
       }
     // the dictionary join also drops dead docs (deletes never rewrite blocks)
     kept.join(docsView, "docId").select(col("convId").as("conv_id"), col("score"))
+  }
+
+  /** Raw per-document term frequencies of the query terms, as a distributed
+    * frame `(conv_id, term, tf)` — one row per (live doc, term) pair, decoded
+    * from the terms' bucket-pruned posting blocks and label-joined (dead docs
+    * drop at the dictionary join, exactly like [[bm25ScoredAll]]). This is
+    * the statistics-free building block for CROSS-INDEX scoring models that
+    * cannot use any one sub-index's premultiplied weights — combined_fields
+    * BM25F recombines these tfs under its own merged field statistics
+    * ([[killa.build.FieldIndexes.combinedFieldsBm25]]). Shape at scale: a
+    * pruned scan per term, one decode flatMap, one dictionary join — no
+    * driver materialization.
+    */
+  def termTf(termsIn: Seq[String]): DataFrame = {
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || manifest.isEmpty)
+      return Seq.empty[(String, String, Long)].toDF("conv_id", "term", "tf")
+    val rows = terms.map(postingBlocks).reduce(_ union _)
+      .flatMap { blk =>
+        val docs = Delta.decode(blk.docsBin, blk.n)
+        val tfs = Varint.decode(blk.tfsBin, blk.n)
+        (0 until blk.n).iterator.map(j => (docs(j), blk.term, tfs(j)))
+      }
+      .toDF("docId", "term", "tf")
+    rows.join(docsView, "docId")
+      .select(col("convId").as("conv_id"), col("term"), col("tf"))
   }
 
   /** Window rescoring (the Elasticsearch `rescore` / function-score pattern):
