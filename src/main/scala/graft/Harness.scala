@@ -799,6 +799,174 @@ object Harness {
       s" SELECT bucket, hits, hits - lag(hits, $lagN) OVER (ORDER BY bucket) AS sdiff" +
       " FROM hist ORDER BY bucket"
 
+  /** bucket_script oracle: per minute-bucket share of `termA`'s hits among
+    * `termA`+`termB` hits, absent sides coalesced to 0.
+    */
+  def bucketScriptOracleSql(termA: String, termB: String): String =
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      ", convts AS (SELECT conv_id, TIMESTAMP '2024-01-01 00:00:00' + to_seconds(min(doc_id)) AS ts FROM t2 GROUP BY 1)" +
+      s", ha AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$termA')" +
+      s", hb AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$termB')" +
+      ", hista AS (SELECT strftime(date_trunc('minute', c.ts), '%Y-%m-%d %H:%M:%S') AS bucket, CAST(count(*) AS BIGINT) AS hits_a FROM ha h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1)" +
+      ", histb AS (SELECT strftime(date_trunc('minute', c.ts), '%Y-%m-%d %H:%M:%S') AS bucket, CAST(count(*) AS BIGINT) AS hits_b FROM hb h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1)" +
+      ", j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket, coalesce(a.hits_a, 0) AS hits_a, coalesce(b.hits_b, 0) AS hits_b FROM hista a FULL OUTER JOIN histb b ON a.bucket = b.bucket)" +
+      " SELECT bucket, CAST(hits_a AS BIGINT) AS hits_a, CAST(hits_b AS BIGINT) AS hits_b," +
+      " round(CAST(hits_a AS DOUBLE) / nullif(hits_a + hits_b, 0), 4) AS ratio" +
+      " FROM j ORDER BY bucket"
+
+  /** normalize (percent_of_sum) oracle: each bucket's share of total hits. */
+  def normalizeOracleSql(term: String): String =
+    histCtes(term) +
+      " SELECT bucket, hits," +
+      " round(CAST(hits AS DOUBLE) / sum(hits) OVER (), 4) AS norm" +
+      " FROM hist ORDER BY bucket"
+
+  /** Turn-granularity histogram CTEs for the matching convs' turns (ts =
+    * epoch + doc_id seconds, minute buckets) — the cumulative_cardinality /
+    * rate oracles' shared base.
+    */
+  private def turnHistCtes(term: String): String =
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", tb AS (SELECT t2.conv_id, strftime(date_trunc('minute', TIMESTAMP '2024-01-01 00:00:00' + to_seconds(t2.doc_id)), '%Y-%m-%d %H:%M:%S') AS bucket" +
+      " FROM t2 JOIN hits h ON t2.conv_id = h.conv_id)"
+
+  /** cumulative_cardinality oracle: distinct matching convs seen in turn
+    * buckets up to and including each bucket (first-seen cumulative form).
+    */
+  def cumulativeCardinalityOracleSql(term: String): String =
+    turnHistCtes(term) +
+      ", fs AS (SELECT conv_id, min(bucket) AS fb FROM tb GROUP BY 1)" +
+      ", fsb AS (SELECT fb AS bucket, count(*) AS nf FROM fs GROUP BY 1)" +
+      ", ab AS (SELECT DISTINCT bucket FROM tb)" +
+      " SELECT ab.bucket, CAST(sum(coalesce(fsb.nf, 0)) OVER" +
+      " (ORDER BY ab.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccard" +
+      " FROM ab LEFT JOIN fsb ON ab.bucket = fsb.bucket ORDER BY ab.bucket"
+
+  /** rate oracle: matching turns per minute bucket, reported per second. */
+  def rateOracleSql(term: String): String =
+    turnHistCtes(term) +
+      ", h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS hits FROM tb GROUP BY 1)" +
+      " SELECT bucket, hits, round(hits / 60.0, 4) AS rate FROM h ORDER BY bucket"
+
+  /** boxplot oracle: exact linearly-interpolated five-number summary of the
+    * matching convs' doc lengths (DuckDB quantile_cont = Spark percentile).
+    */
+  def boxplotOracleSql(term: String): String =
+    TurnsCte + TfCtes +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", v AS (SELECT CAST(dl.dl AS DOUBLE) AS x FROM hits h JOIN dl ON h.conv_id = dl.conv_id)" +
+      " SELECT CAST(count(*) AS BIGINT) AS n, round(min(x), 4) AS min_v," +
+      " round(quantile_cont(x, 0.25), 4) AS q1, round(quantile_cont(x, 0.5), 4) AS median," +
+      " round(quantile_cont(x, 0.75), 4) AS q3, round(max(x), 4) AS max_v FROM v"
+
+  /** distance_feature oracle: BM25 plus boost · pivot/(pivot + |t0 −
+    * origin|) where t0 = seconds of the conv's min doc_id after the corpus
+    * epoch (the deterministic ts derivation).
+    */
+  def distanceFeatureOracleSql(terms: Seq[String], k: Int, originSecs: Long,
+      pivot: Double, boost: Double): String = {
+    val tvals = terms.map(t => s"('$t')").mkString(", ")
+    TurnsCte + TfCtes +
+      s", q(term) AS (VALUES $tvals)" +
+      ", qdf AS (SELECT q.term, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1)" +
+      ", contrib AS (SELECT tf.conv_id, ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf" +
+      " / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c" +
+      " FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      ", lex AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)" +
+      ", t0 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, min(doc_id) AS t0 FROM documents GROUP BY 1)" +
+      s", tot AS (SELECT l.conv_id, l.s + $boost * $pivot / ($pivot + abs(t0.t0 - $originSecs)) AS s" +
+      " FROM lex l JOIN t0 ON l.conv_id = t0.conv_id)" +
+      s", top AS (SELECT conv_id, s FROM tot ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
+  /** percentiles_bucket oracle: exact interpolated quartiles of the
+    * histogram's per-bucket hit counts.
+    */
+  def percentilesBucketOracleSql(term: String): String =
+    histCtes(term) +
+      " SELECT round(quantile_cont(hits, 0.25), 4) AS p25," +
+      " round(quantile_cont(hits, 0.5), 4) AS p50," +
+      " round(quantile_cont(hits, 0.75), 4) AS p75 FROM hist"
+
+  /** t_test (Welch) oracle: unpaired heteroscedastic t between the two
+    * match sets' doc lengths, sample variances.
+    */
+  def tTestOracleSql(termA: String, termB: String): String =
+    TurnsCte + TfCtes +
+      s", ha AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$termA')" +
+      s", hb AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$termB')" +
+      ", sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a, avg(CAST(dl.dl AS DOUBLE)) AS mean_a," +
+      " var_samp(CAST(dl.dl AS DOUBLE)) AS var_a FROM ha JOIN dl ON ha.conv_id = dl.conv_id)" +
+      ", sb AS (SELECT CAST(count(*) AS BIGINT) AS n_b, avg(CAST(dl.dl AS DOUBLE)) AS mean_b," +
+      " var_samp(CAST(dl.dl AS DOUBLE)) AS var_b FROM hb JOIN dl ON hb.conv_id = dl.conv_id)" +
+      " SELECT n_a, n_b, round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b," +
+      " round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) AS t FROM sa, sb"
+
+  /** top_metrics oracle: per first-turn tool value of the matching convs,
+    * the dl of the top conv under (min-ts desc, conv asc).
+    */
+  def topMetricsOracleSql(term: String): String =
+    TurnsCte + TfCtes +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, source FROM documents)" +
+      ", keyv AS (SELECT conv_id, min_by(source, doc_id) AS value FROM t2 GROUP BY 1)" +
+      ", convts AS (SELECT conv_id, TIMESTAMP '2024-01-01 00:00:00' + to_seconds(min(doc_id)) AS ts FROM t2 GROUP BY 1)" +
+      ", j AS (SELECT h.conv_id, k.value, c.ts AS sort_v, CAST(dl.dl AS DOUBLE) AS metric" +
+      " FROM hits h JOIN keyv k ON h.conv_id = k.conv_id" +
+      " JOIN convts c ON h.conv_id = c.conv_id JOIN dl ON h.conv_id = dl.conv_id" +
+      " WHERE k.value IS NOT NULL)" +
+      ", r AS (SELECT *, row_number() OVER (PARTITION BY value ORDER BY sort_v DESC, conv_id ASC) AS rn FROM j)" +
+      " SELECT value, conv_id, strftime(sort_v, '%Y-%m-%d %H:%M:%S') AS sort_v," +
+      " round(metric, 4) AS metric FROM r WHERE rn = 1 ORDER BY value"
+
+  /** pinned oracle: live promoted ids first in given order (null score),
+    * then the organic BM25 top-(k − pinned) with the pinned ids removed.
+    */
+  def pinnedOracleSql(promoted: Seq[String], terms: Seq[String], k: Int): String = {
+    val pvals = promoted.zipWithIndex.map { case (p, i) => s"('$p', $i)" }.mkString(", ")
+    val tvals = terms.map(t => s"('$t')").mkString(", ")
+    val notIn = promoted.map(p => s"'$p'").mkString("(", ", ", ")")
+    TurnsCte + TfCtes +
+      s", promo(conv_id, pidx) AS (VALUES $pvals)" +
+      ", live AS (SELECT p.conv_id, p.pidx FROM promo p" +
+      " WHERE p.conv_id IN (SELECT DISTINCT conv_id FROM turns))" +
+      ", lr AS (SELECT conv_id, CAST(row_number() OVER (ORDER BY pidx) AS BIGINT) AS rank FROM live)" +
+      s", q(term) AS (VALUES $tvals)" +
+      ", qdf AS (SELECT q.term, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1)" +
+      ", contrib AS (SELECT tf.conv_id, ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf" +
+      " / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c" +
+      " FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      s", scored AS (SELECT conv_id, sum(c) AS s FROM contrib WHERE conv_id NOT IN $notIn GROUP BY conv_id)" +
+      ", org AS (SELECT conv_id, round(s, 4) AS score," +
+      " CAST(row_number() OVER (ORDER BY s DESC, conv_id ASC) + (SELECT count(*) FROM live) AS BIGINT) AS rank FROM scored)" +
+      " SELECT rank, conv_id, CAST(NULL AS DOUBLE) AS score FROM lr" +
+      s" UNION ALL SELECT rank, conv_id, score FROM org WHERE rank <= $k" +
+      " ORDER BY rank"
+  }
+
+  /** rank_feature (saturation over dl) oracle: BM25 plus
+    * boost · dl/(dl + pivot), top-k.
+    */
+  def rankFeatureOracleSql(terms: Seq[String], k: Int, pivot: Double,
+      boost: Double): String = {
+    val tvals = terms.map(t => s"('$t')").mkString(", ")
+    TurnsCte + TfCtes +
+      s", q(term) AS (VALUES $tvals)" +
+      ", qdf AS (SELECT q.term, count(tf.conv_id) AS df FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY 1)" +
+      ", contrib AS (SELECT tf.conv_id, ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf" +
+      " / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c" +
+      " FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      ", lex AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)" +
+      s", tot AS (SELECT l.conv_id, l.s + $boost * dl.dl / (dl.dl + $pivot) AS s" +
+      " FROM lex l JOIN dl ON l.conv_id = dl.conv_id)" +
+      s", top AS (SELECT conv_id, s FROM tot ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
   /** Per-conv doc-values frame: t0 = seconds since the corpus epoch of the
     * conv's first turn (= min doc_id under the deterministic ts derivation —
     * the Spark mirror of [[ConvT0Cte]]).

@@ -78,6 +78,32 @@ object SparkEntry {
     "q_bm25_not" -> ((s, dir) =>
       present(reader(s, dir).bm25TopK(Seq("query", "filter"), 10,
         mustNot = Seq("spark")))),
+    // pinned query: two live promoted ids first in given order (one listed
+    // id is absent and must silently drop), organic BM25 fills to k with
+    // the pinned docs removed — one kernel call, exact by the subset
+    // argument documented on IndexReader.pinned
+    "q_pinned" -> ((s, dir) =>
+      reader(s, dir).pinned(Seq("c00007", "zzz-no-such-conv", "c00003"),
+        Seq("query", "filter"), 10)),
+    // distance_feature on the conv min-ts: BM25 plus the reciprocal-distance
+    // recency boost 1.5·120/(120 + |ts − origin|s), origin mid-corpus so
+    // distance actually varies in both directions
+    "q_distance_feature" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      present(reader(s, dir).distanceFeature(Seq("query", "filter"), 10, meta,
+        "conv_id", "ts", java.sql.Timestamp.valueOf("2024-01-01 00:04:00"),
+        pivotSecs = 120.0, boost = 1.5))
+    }),
+    // rank_feature (saturation): BM25 should-clause plus
+    // 2·dl/(dl + 40) from the doc-length feature — longer docs get a
+    // bounded additive boost, reordering the lexical top-k
+    "q_rank_feature" -> ((s, dir) => {
+      val dlMeta = transcripts(s, dir)
+        .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+        .groupBy("conv_id").agg(count(lit(1)).as("dl"))
+      present(reader(s, dir).rankFeature(Seq("query", "filter"), 10, dlMeta,
+        "conv_id", "dl", "saturation", pivot = 40.0, boost = 2.0))
+    }),
     // doc-values filtered BM25 (the ES bool + range filter shape): exact
     // top-k over convs whose min-ts lies in a range, filter applied
     // ADMISSION-TIME inside the DAAT kernel (an include cursor, the mirror
@@ -459,6 +485,20 @@ object SparkEntry {
     "q_span_near_tri" -> ((s, dir) =>
       new killa.query.IndexReader(s, posRoot(s, dir), conf)
         .spanNear(Seq("scan", "part", "filter"), slop = 4).orderBy("conv_id")),
+    // span_or inside span_near: slot 1 = agg|scan (sorted-union position
+    // list), slot 2 = batch, any order within a slop-4 window — strictly
+    // wider than q_span_near's agg+batch at the same slop
+    "q_span_or" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .spanNearAny(Seq(Seq("agg", "scan"), Seq("batch")), slop = 4)
+        .orderBy("conv_id")),
+    // ordered intervals (max_gaps = 3): scan → part → filter IN ORDER with
+    // total slack ≤ 3 — strictly narrower than q_span_near_tri's unordered
+    // slop-4 window over the same terms
+    "q_intervals_ordered" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .intervalsOrdered(Seq("scan", "part", "filter"), maxGaps = 3)
+        .orderBy("conv_id")),
     // realtime term vectors of one conversation: tf + global df from the
     // index + the document-global occurrence positions
     "q_termvectors" -> ((s, dir) =>
@@ -553,6 +593,63 @@ object SparkEntry {
       val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
       reader(s, dir).serialDiff("spark", meta, "conv_id", "ts",
         "minute", lagN = 2).orderBy("bucket")
+    }),
+    // bucket_script pipeline agg: per-bucket ratio of two sibling hit counts
+    // (share of 'spark' among 'spark'+'query' convs per minute)
+    "q_bucket_script" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).bucketScript("spark", "query", meta, "conv_id", "ts",
+        "minute").orderBy("bucket")
+    }),
+    // normalize pipeline agg: percent_of_sum over the minute histogram
+    "q_normalize_agg" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).normalizeAgg("spark", meta, "conv_id", "ts",
+        "minute", "percent_of_sum").orderBy("bucket")
+    }),
+    // cumulative_cardinality: distinct matching convs seen so far, per
+    // TURN-level minute bucket — first-seen cumulative form (no distinct-set
+    // state shuffles; a conv counts once, at its min bucket)
+    "q_cumulative_cardinality" -> ((s, dir) =>
+      reader(s, dir).cumulativeCardinality("spark", transcripts(s, dir),
+        "conv_id", "ts", "minute").orderBy("bucket")),
+    // rate agg: matching turns per minute bucket, reported per second
+    "q_rate_agg" -> ((s, dir) =>
+      reader(s, dir).rateAgg("spark", transcripts(s, dir), "conv_id", "ts",
+        "minute", "second").orderBy("bucket")),
+    // percentiles_bucket: exact quartiles of the minute histogram's hits
+    "q_percentiles_bucket" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).percentilesBucket("spark", meta, "conv_id", "ts", "minute")
+    }),
+    // t_test (Welch): doc-length distributions of 'spark' vs 'query' convs —
+    // overlapping docs contribute to both sides (ES filter semantics)
+    "q_t_test" -> ((s, dir) => {
+      val dlMeta = transcripts(s, dir)
+        .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+        .groupBy("conv_id").agg(count(lit(1)).as("dl"))
+      reader(s, dir).tTestAgg("spark", "query", dlMeta, "conv_id", "dl")
+    }),
+    // boxplot: exact five-number summary of the matching convs' doc lengths
+    "q_boxplot" -> ((s, dir) => {
+      val dlMeta = transcripts(s, dir)
+        .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+        .groupBy("conv_id").agg(count(lit(1)).as("dl"))
+      reader(s, dir).boxplotAgg("spark", dlMeta, "conv_id", "dl")
+    }),
+    // top_metrics: per first-turn tool value, the dl of the latest matching
+    // conv under (min-ts desc, conv asc)
+    "q_top_metrics" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val dlMeta = t
+        .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+        .groupBy("conv_id").agg(count(lit(1)).as("dl"))
+      val meta = t.groupBy("conv_id")
+        .agg(min_by(col("tool"), col("turn_idx")).as("sv"),
+          min(col("ts")).as("ts0"))
+        .join(dlMeta, "conv_id")
+      reader(s, dir).topMetricsAgg("spark", meta, "conv_id", "sv", "ts0", "dl")
+        .orderBy("value")
     }),
     // multi_terms: compound-key buckets ordered by doc count (the
     // count-ordered companion to q_composite_agg's key-ordered paging) —
@@ -1017,6 +1114,12 @@ object SparkEntry {
         s"graft_stream_${math.abs(dir.hashCode)}")
         .withColumn("window_start", col("window_start").cast("timestamp"))
         .orderBy("window_start", "event_type")),
+    // streaming exact-dedup diagnosis: per-digest (cnt, min-id) groups folded
+    // through the streaming engine — digest-identical to q_dedup_exact, so
+    // the same oracle gates both engines' dedup
+    "q_stream_dedup" -> ((s, dir) =>
+      killa.streaming.StreamOps.streamExactGroups(s, s"$dir/documents.parquet",
+        s"graft_sdedup_${math.abs(dir.hashCode)}").orderBy("text_md5")),
     // gap-based per-user sessionization through the streaming engine's
     // session_window state machine; oracle recomputes sessions relationally
     // (gaps-and-islands over lag())
@@ -1157,6 +1260,12 @@ object SparkEntry {
     "q_bm25_conj" -> bm25OracleSql(Seq("query", "filter"), 10, conjunctive = true),
     "q_bm25_not" -> bm25OracleSql(Seq("query", "filter"), 10, conjunctive = false,
       mustNot = Seq("spark")),
+    "q_pinned" -> pinnedOracleSql(Seq("c00007", "zzz-no-such-conv", "c00003"),
+      Seq("query", "filter"), 10),
+    "q_rank_feature" -> rankFeatureOracleSql(Seq("query", "filter"), 10,
+      pivot = 40.0, boost = 2.0),
+    "q_distance_feature" -> distanceFeatureOracleSql(Seq("query", "filter"), 10,
+      originSecs = 240L, pivot = 120.0, boost = 1.5),
     // filtered BM25: conv min-ts ∈ [125s, 350s] after the 2024-01-01 anchor
     // ⇔ min doc_id ∈ [125, 350] (ts = anchor + doc_id seconds); stats global
     "q_bm25_filtered" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
@@ -1257,6 +1366,20 @@ object SparkEntry {
       " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
       " JOIN ppos b ON a.conv_id = b.conv_id AND abs(a.pos - b.pos) <= 4" +
       " WHERE a.term = 'agg' AND b.term = 'batch' ORDER BY conv_id"),
+    // span_or in span_near: slot a ∈ {agg, scan}, slot b = batch, n = 2,
+    // slop = 4 ⇒ max − min ≤ 5, any order
+    "q_span_or" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND abs(a.pos - b.pos) <= 5" +
+      " WHERE a.term IN ('agg', 'scan') AND b.term = 'batch' ORDER BY conv_id"),
+    // ordered intervals: b after a, c after b, c.pos − a.pos + 1 − 3 ≤ 3
+    "q_intervals_ordered" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos > a.pos" +
+      " JOIN ppos c ON a.conv_id = c.conv_id AND c.pos > b.pos" +
+      " AND c.pos - a.pos <= 5" +
+      " WHERE a.term = 'scan' AND b.term = 'part' AND c.term = 'filter'" +
+      " ORDER BY conv_id"),
     // n = 3, slop = 4: max − min ≤ slop + n − 1 = 6, any order
     "q_span_near_tri" -> (TurnsCte + PposCte +
       " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
@@ -1419,6 +1542,14 @@ object SparkEntry {
       " SELECT term, df FROM gdf WHERE df <= 99 ORDER BY df ASC, term ASC LIMIT 10"),
     "q_date_histogram_pipeline" -> dateHistogramPipelineOracleSql("spark", 3),
     "q_serial_diff" -> serialDiffOracleSql("spark", 2),
+    "q_bucket_script" -> bucketScriptOracleSql("spark", "query"),
+    "q_normalize_agg" -> normalizeOracleSql("spark"),
+    "q_cumulative_cardinality" -> cumulativeCardinalityOracleSql("spark"),
+    "q_rate_agg" -> rateOracleSql("spark"),
+    "q_boxplot" -> boxplotOracleSql("spark"),
+    "q_percentiles_bucket" -> percentilesBucketOracleSql("spark"),
+    "q_t_test" -> tTestOracleSql("spark", "query"),
+    "q_top_metrics" -> topMetricsOracleSql("spark"),
     "q_multi_terms" -> multiTermsOracleSql("dup", 6),
     "q_missing_agg" -> missingAggOracleSql("spark"),
     "q_bucket_selector" -> bucketSelectorOracleSql("spark", 5L, 5),
@@ -1569,6 +1700,9 @@ object SparkEntry {
     "q_fingerprint" -> (DocToksCte +
       " SELECT doc_id, md5(array_to_string(toks, ' ')) AS text_md5 FROM w ORDER BY doc_id"),
     "q_dedup_exact" -> (DocToksCte +
+      " SELECT md5(array_to_string(toks, ' ')) AS text_md5, count(*) AS cnt," +
+      " min(doc_id) AS rep_id FROM w GROUP BY 1 ORDER BY 1"),
+    "q_stream_dedup" -> (DocToksCte +
       " SELECT md5(array_to_string(toks, ' ')) AS text_md5, count(*) AS cnt," +
       " min(doc_id) AS rep_id FROM w GROUP BY 1 ORDER BY 1"),
     "q_dedup_keep" -> (DocToksCte +

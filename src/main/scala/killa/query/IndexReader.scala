@@ -1562,6 +1562,150 @@ final class IndexReader(
     matched.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 
+  /** span_near over span_or clauses (the Elasticsearch `span_or` wrapped in
+    * `span_near`): each slot is an OR of alternative terms, and a slot's
+    * span position list is the sorted UNION of its alternatives' positions —
+    * the one extra rule span_or adds. Same proximity semantics as
+    * [[spanNear]] (any order, max − min + 1 − n ≤ slop over one position per
+    * slot), same scale shape: position scans pruned to the slots' terms'
+    * buckets, per-doc grouping, a bounded multi-pointer walk (O(Σ positions)
+    * per doc). A single-alternative slot degenerates to plain span_near.
+    *
+    * @param slots one Seq of alternative terms per span position.
+    * @return distinct matching conv_ids.
+    */
+  def spanNearAny(slots: Seq[Seq[String]], slop: Int): DataFrame = {
+    val cleaned = slots.map(_.filter(t => t != null && t.nonEmpty).distinct)
+      .filter(_.nonEmpty)
+    if (cleaned.isEmpty || manifest.isEmpty) return emptyMembers
+    if (cleaned.length == 1) {
+      // one slot: span_or alone = union membership of the alternatives
+      return cleaned.head.map(membership).reduce(_ unionByName _)
+        .distinct()
+    }
+    val m = manifest.get
+    if (m.posBuckets.isEmpty)
+      throw new IllegalStateException(
+        "no positional index at this snapshot — run IndexWriter.buildPositions once")
+    val allTerms = cleaned.flatten.distinct
+    val posPaths = allTerms.map(t => Hashing.termBucket(t, m.nBuckets)).distinct
+      .flatMap(m.posPath).filter(p => fs(p).exists(new Path(p)))
+    if (posPaths.isEmpty) return emptyMembers
+    val slotsV: Array[Array[String]] = cleaned.map(_.toArray).toArray
+    val slack = math.max(0, slop).toLong
+    val posSchema = org.apache.spark.sql.Encoders.product[killa.model.PosRow].schema
+    val matched = spark.read.schema(posSchema).parquet(posPaths: _*)
+      .where(col("term").isin(allTerms: _*))
+      .select("term", "docId", "np", "posBin")
+      .as[(String, Long, Int, Array[Byte])]
+      .groupByKey(_._2)
+      .flatMapGroups { (docId, it) =>
+        val byTerm = scala.collection.mutable.Map.empty[String, Array[Long]]
+        it.foreach { case (t, _, n, bin) => byTerm(t) = Delta.decode(bin, n) }
+        // a slot's position list = sorted union of its live alternatives'
+        // (per-term lists are sorted and positions are distinct per term)
+        val lists: Array[Array[Long]] = slotsV.map { alts =>
+          val merged = alts.iterator
+            .flatMap(t => byTerm.getOrElse(t, Array.empty[Long]).iterator)
+            .toArray
+          java.util.Arrays.sort(merged)
+          merged
+        }
+        if (lists.exists(_.isEmpty)) Iterator.empty
+        else {
+          val k = lists.length
+          val idx = new Array[Int](k)
+          var hit = false
+          var exhausted = false
+          while (!hit && !exhausted) {
+            var mn = Long.MaxValue; var mx = Long.MinValue; var mnAt = -1
+            var j = 0
+            while (j < k) {
+              val v = lists(j)(idx(j))
+              if (v < mn) { mn = v; mnAt = j }
+              if (v > mx) mx = v
+              j += 1
+            }
+            if (mx - mn + 1L - k <= slack) hit = true
+            else {
+              idx(mnAt) += 1
+              if (idx(mnAt) >= lists(mnAt).length) exhausted = true
+            }
+          }
+          if (hit) Iterator.single(docId) else Iterator.empty
+        }
+      }
+      .toDF("docId")
+    matched.join(docsView, "docId").select(col("convId").as("conv_id"))
+  }
+
+  /** Ordered intervals query (the Elasticsearch `intervals` query, `match`
+    * rule with `ordered: true, max_gaps: G` — Lucene's minimal-interval
+    * semantics, the modern replacement for ordered spans): conversations
+    * holding the terms in the GIVEN order with total slack
+    * (pₙ − p₁ + 1 − n) ≤ G. Strict order distinguishes this from
+    * [[spanNear]] (any order) and from [[phrase]]'s slop (edit-distance
+    * chaining). Exact and O(Σ positions) per doc: p₁ sweeps ascending while
+    * each later slot keeps a forward-only pointer to its smallest position
+    * above the previous slot's — the greedy successor minimizes pₙ for
+    * every p₁, so the first window within budget is a true match and an
+    * exhausted slot ends the doc. Same scale shape as the span family:
+    * position scans pruned to the terms' buckets, bounded per-doc groups.
+    *
+    * @return distinct matching conv_ids.
+    */
+  def intervalsOrdered(termsIn: Seq[String], maxGaps: Int): DataFrame = {
+    val terms = termsIn.filter(t => t != null && t.nonEmpty)
+    if (terms.isEmpty || manifest.isEmpty) return emptyMembers
+    if (terms.length == 1) return membership(terms.head)
+    val m = manifest.get
+    if (m.posBuckets.isEmpty)
+      throw new IllegalStateException(
+        "no positional index at this snapshot — run IndexWriter.buildPositions once")
+    val uniq = terms.distinct
+    val posPaths = uniq.map(t => Hashing.termBucket(t, m.nBuckets)).distinct
+      .flatMap(m.posPath).filter(p => fs(p).exists(new Path(p)))
+    if (posPaths.isEmpty) return emptyMembers
+    val termsV: Array[String] = terms.toArray
+    val slack = math.max(0, maxGaps).toLong
+    val posSchema = org.apache.spark.sql.Encoders.product[killa.model.PosRow].schema
+    val matched = spark.read.schema(posSchema).parquet(posPaths: _*)
+      .where(col("term").isin(uniq: _*))
+      .select("term", "docId", "np", "posBin")
+      .as[(String, Long, Int, Array[Byte])]
+      .groupByKey(_._2)
+      .flatMapGroups { (docId, it) =>
+        val byTerm = scala.collection.mutable.Map.empty[String, Array[Long]]
+        it.foreach { case (t, _, n, bin) => byTerm(t) = Delta.decode(bin, n) }
+        val lists: Array[Array[Long]] =
+          termsV.map(t => byTerm.getOrElse(t, Array.empty[Long]))
+        if (lists.exists(_.isEmpty)) Iterator.empty
+        else {
+          val n = lists.length
+          val ptr = new Array[Int](n) // forward-only successor cursors
+          var hit = false
+          var i1 = 0
+          while (!hit && i1 < lists(0).length) {
+            var prev = lists(0)(i1)
+            var ok = true
+            var j = 1
+            while (ok && j < n) {
+              val lj = lists(j)
+              while (ptr(j) < lj.length && lj(ptr(j)) <= prev) ptr(j) += 1
+              if (ptr(j) >= lj.length) ok = false
+              else { prev = lj(ptr(j)); j += 1 }
+            }
+            if (!ok) i1 = lists(0).length // a slot exhausted: no later p₁ helps
+            else if (prev - lists(0)(i1) + 1L - n <= slack) hit = true
+            else i1 += 1
+          }
+          if (hit) Iterator.single(docId) else Iterator.empty
+        }
+      }
+      .toDF("docId")
+    matched.join(docsView, "docId").select(col("convId").as("conv_id"))
+  }
+
   /** Span-not (the Elasticsearch/Lucene `span_not` query, single-term
     * spans): conversations with an occurrence of `include` that does NOT
     * lie within `pre` positions after — nor `post` positions before — any
@@ -1923,6 +2067,224 @@ final class IndexReader(
       .withColumn("sdiff", col("hits") - lag(col("hits"), lagN).over(w))
   }
 
+  /** bucket_script pipeline aggregation (the Elasticsearch `bucket_script`
+    * agg): a per-bucket scalar computed FROM sibling metrics — here the
+    * share of `termA`'s hits among `termA`+`termB` hits per histogram
+    * bucket, the canonical "ratio of two counts" script. Buckets where
+    * either side is absent coalesce to 0 (ES treats a missing sibling
+    * bucket as gap-policy `insert_zeros` here); an all-zero denominator
+    * emits null, matching SQL division. Shape at scale: two pruned
+    * membership scans → two map-side-combinable groupBys → one outer join
+    * on the REDUCED bucket list — distribution lives in the histograms.
+    *
+    * @return (bucket, hits_a, hits_b, ratio) rows, bucket asc.
+    */
+  def bucketScript(termA: String, termB: String, meta: DataFrame,
+      convCol: String, tsCol: String, unit: String = "day"): DataFrame = {
+    val a = dateHistogram(termA, meta, convCol, tsCol, unit)
+      .withColumnRenamed("hits", "hits_a")
+    val b = dateHistogram(termB, meta, convCol, tsCol, unit)
+      .withColumnRenamed("hits", "hits_b")
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("hits_a"), lit(0L)).as("hits_a"),
+        coalesce(col("hits_b"), lit(0L)).as("hits_b"))
+      .withColumn("ratio",
+        round(col("hits_a").cast("double") /
+          nullif(col("hits_a") + col("hits_b"), lit(0L)), 4))
+  }
+
+  /** normalize pipeline aggregation (the Elasticsearch `normalize` agg):
+    * each histogram bucket's hits rescaled by a corpus-of-buckets method —
+    * `percent_of_sum` (hits / Σhits) or `rescale_0_1`
+    * ((hits − min) / (max − min); a single-bucket histogram rescales to 0,
+    * the ES convention for a degenerate range). The window runs over the
+    * REDUCED bucket list (coordinating-node shape, like [[statsBucket]]).
+    *
+    * @return (bucket, hits, norm) rows, bucket asc.
+    */
+  def normalizeAgg(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String = "day",
+      method: String = "percent_of_sum"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val hist = dateHistogram(term, meta, convCol, tsCol, unit)
+    val norm = method match {
+      case "percent_of_sum" =>
+        col("hits").cast("double") / sum(col("hits")).over(w)
+      case "rescale_0_1" =>
+        (col("hits") - min(col("hits")).over(w)).cast("double") /
+          nullif(max(col("hits")).over(w) - min(col("hits")).over(w), lit(0L))
+      case other => throw new IllegalArgumentException(
+        s"unknown normalize method: $other")
+    }
+    hist.withColumn("norm", round(coalesce(norm, lit(0.0)), 4))
+  }
+
+  /** cumulative_cardinality pipeline aggregation (the Elasticsearch
+    * `cumulative_cardinality` agg — "distinct users seen so far"): per
+    * TURN-level histogram bucket of the matching conversations' turns, the
+    * number of distinct conversations observed in buckets up to and
+    * including it. Scalable by the first-seen trick: cumulative distinct =
+    * cumulative sum of per-bucket FIRST-SEEN counts (each conv counts
+    * exactly once, at its min bucket), so no per-bucket distinct-set state
+    * ever shuffles — one groupBy to a conv's min bucket, one count, one
+    * window over the reduced bucket list. Buckets with activity but no
+    * first-seens still emit (their ccard carries forward).
+    *
+    * @param turns per-turn frame: `convCol` + `tsCol` at TURN granularity.
+    * @return (bucket, ccard) rows, bucket asc.
+    */
+  def cumulativeCardinality(term: String, turns: DataFrame, convCol: String,
+      tsCol: String, unit: String = "day"): DataFrame = {
+    val matched = membership(term)
+    val bucketed = turns
+      .select(col(convCol).as("conv_id"),
+        date_format(date_trunc(unit, col(tsCol)), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"))
+      .join(matched, "conv_id")
+      .groupBy("conv_id").agg(min(col("bucket")).as("first_bucket"))
+    val firstSeen = bucketed.groupBy(col("first_bucket").as("bucket"))
+      .agg(count(lit(1)).as("nfirst"))
+    val allBuckets = turns
+      .select(col(convCol).as("conv_id"),
+        date_format(date_trunc(unit, col(tsCol)), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"))
+      .join(matched, "conv_id")
+      .select("bucket").distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    allBuckets.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("ccard", sum(coalesce(col("nfirst"), lit(0L))).over(w))
+      .select("bucket", "ccard")
+  }
+
+  /** rate metric aggregation (the Elasticsearch `rate` agg inside a
+    * date_histogram): matching TURNS per histogram bucket expressed per
+    * `rateUnit` — e.g. minute buckets reported as events/second divide by
+    * 60. Turn-granularity (every matching conv's turn counts), one
+    * map-side-combinable groupBy.
+    *
+    * @return (bucket, hits, rate) rows, bucket asc.
+    */
+  def rateAgg(term: String, turns: DataFrame, convCol: String,
+      tsCol: String, unit: String = "minute",
+      rateUnit: String = "second"): DataFrame = {
+    val secs = Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+      "day" -> 86400L)
+    val span = secs.getOrElse(unit,
+      throw new IllegalArgumentException(s"unknown unit: $unit"))
+    val per = secs.getOrElse(rateUnit,
+      throw new IllegalArgumentException(s"unknown rateUnit: $rateUnit"))
+    membership(term)
+      .join(turns.select(col(convCol).as("conv_id"), col(tsCol).as("__ts")),
+        "conv_id")
+      .groupBy(date_format(date_trunc(unit, col("__ts")),
+        "yyyy-MM-dd HH:mm:ss").as("bucket"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("rate",
+        round(col("hits") * (per.toDouble / span.toDouble), 4))
+  }
+
+  /** boxplot metric aggregation (the Elasticsearch `boxplot` agg): the
+    * five-number summary (min, q1, median, q3, max) of a doc-values number
+    * over the matching documents, with EXACT linearly-interpolated
+    * quantiles (Spark's `percentile`, the same interpolation DuckDB's
+    * `quantile_cont` uses — ES itself ships TDigest approximations; an
+    * oracle-gated engine keeps the exact form and documents that choice).
+    * One pruned membership scan, one equi-join, one combinable aggregate.
+    *
+    * @return a single (n, min_v, q1, median, q3, max_v) row.
+    */
+  def boxplotAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String): DataFrame =
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), "conv_id")
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("__v")), 4).as("min_v"),
+        round(expr("percentile(__v, 0.25)"), 4).as("q1"),
+        round(expr("percentile(__v, 0.5)"), 4).as("median"),
+        round(expr("percentile(__v, 0.75)"), 4).as("q3"),
+        round(max(col("__v")), 4).as("max_v"))
+
+  /** t_test aggregation (the Elasticsearch `t_test` agg, `heteroscedastic`
+    * = Welch's unpaired t): the t statistic between a doc-values number
+    * over the docs matching `termA` vs those matching `termB` —
+    * t = (μ₁ − μ₂) / √(s₁²/n₁ + s₂²/n₂) with sample variances. Overlapping
+    * match sets contribute to both sides (ES filter semantics). Two pruned
+    * membership joins, one combinable aggregate each, a 1×1 cross join of
+    * the scalars.
+    *
+    * @return a single (n_a, n_b, mean_a, mean_b, t) row.
+    */
+  def tTestAgg(termA: String, termB: String, meta: DataFrame,
+      convCol: String, valCol: String): DataFrame = {
+    def side(term: String, tag: String): DataFrame =
+      membership(term)
+        .join(meta.select(col(convCol).as("conv_id"),
+          col(valCol).cast("double").as("__v")), "conv_id")
+        .where(col("__v").isNotNull && !isnan(col("__v")))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          avg(col("__v")).as(s"mean_$tag"),
+          var_samp(col("__v")).as(s"var_$tag"))
+    side(termA, "a").crossJoin(side(termB, "b"))
+      .withColumn("t",
+        round((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 4))
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a"), 4).as("mean_a"),
+        round(col("mean_b"), 4).as("mean_b"), col("t"))
+  }
+
+  /** percentiles_bucket pipeline aggregation (the Elasticsearch
+    * `percentiles_bucket` agg): exact linearly-interpolated percentiles of
+    * the date histogram's per-bucket hit counts — "what does a typical /
+    * busy minute look like". Same coordinating-node shape as
+    * [[statsBucket]]: one aggregate over the reduced bucket list.
+    *
+    * @return a single (p25, p50, p75) row.
+    */
+  def percentilesBucket(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String = "day"): DataFrame =
+    dateHistogram(term, meta, convCol, tsCol, unit)
+      .agg(round(expr("percentile(hits, 0.25)"), 4).as("p25"),
+        round(expr("percentile(hits, 0.5)"), 4).as("p50"),
+        round(expr("percentile(hits, 0.75)"), 4).as("p75"))
+
+  /** top_metrics aggregation (the Elasticsearch `top_metrics` agg under a
+    * `terms` bucket): for each value of a doc-values keyed field over the
+    * MATCHING docs, the metric carried by the bucket's top document under
+    * the sort (sortCol desc, conv_id asc tie) — "the latest reading per
+    * series". One membership join then a per-value window; values are
+    * low-cardinality by the agg's contract (it is a per-series latest-point
+    * lookup, not a scan).
+    *
+    * @return (value, conv_id, sort_v, metric) rows, value asc.
+    */
+  def topMetricsAgg(term: String, meta: DataFrame, convCol: String,
+      keyCol: String, sortCol: String, metricCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("value")
+      .orderBy(col("sort_v").desc, col("conv_id").asc)
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(keyCol).cast("string").as("value"),
+        col(sortCol).as("sort_v"),
+        col(metricCol).cast("double").as("metric")), "conv_id")
+      .where(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      // sort_v presents as a formatted string (timestamp columns compare
+      // engine-dependently; the sort above ran on the native value)
+      .select(col("value"), col("conv_id"),
+        date_format(col("sort_v"), "yyyy-MM-dd HH:mm:ss").as("sort_v"),
+        round(col("metric"), 4).as("metric"))
+  }
+
   /** Terms-set query (the Elasticsearch `terms_set` query with
     * `minimum_should_match_field`): documents matching at least their OWN
     * per-doc minimum number of the query terms — the doc-values field
@@ -2254,6 +2616,114 @@ final class IndexReader(
             Delta.encode(arr), Varint.encode(ones), Varint.encode(ones), -1)
         }
       }
+  }
+
+  /** Pinned query (the Elasticsearch `pinned` query): the promoted
+    * documents first, in their GIVEN order (existence-checked against the
+    * live dictionary — a pinned id that is not in the index is skipped, ES
+    * semantics), followed by the organic BM25 ranking with the pinned docs
+    * removed, to `k` total. Organic exactness by the subset argument: the
+    * top (k − pinned) non-pinned docs all lie within the unrestricted
+    * top-k (removing ≤ pinned rows from a prefix cannot pull a deeper doc
+    * above it), so ONE kernel call at k suffices — no over-fetch, no
+    * post-filter hole. Pinned rows carry a null score (ES surfaces them
+    * with a synthetic sort value, not a BM25 score).
+    *
+    * @return (rank, conv_id, score) rows, rank 1..≤k; pinned score null.
+    */
+  def pinned(promoted: Seq[String], terms: Seq[String], k: Int): DataFrame = {
+    val promo = promoted.filter(p => p != null && p.nonEmpty).distinct
+    require(promo.length <= 64, "promoted list is a hand-curated set (<= 64)")
+    val empty = Seq.empty[(Long, String, java.lang.Double)]
+      .toDF("rank", "conv_id", "score")
+    if (k <= 0 || manifest.isEmpty) return empty
+    val promoDf = promo.zipWithIndex
+      .toDF("convId", "pidx")
+    // existence check rides the dictionary (broadcast: the pinned list is
+    // tiny by contract) — a dead or never-indexed id silently drops
+    val live = docsView.join(broadcast(promoDf), "convId")
+      .select(col("convId").as("conv_id"), col("pidx"))
+    val pe = live.count().toInt
+    // ranks compact over the LIVE promoted ids (a dead id leaves no gap)
+    val wp = org.apache.spark.sql.expressions.Window.orderBy("pidx")
+    val pinnedRows = live
+      .select(row_number().over(wp).cast("long").as("rank"),
+        col("conv_id"), lit(null).cast("double").as("score"))
+    if (pe >= k) return pinnedRows.where(col("rank") <= k).orderBy("rank")
+    val organic = bm25TopK(terms, k)
+      .where(!col("conv_id").isin(promo: _*))
+    // rank on the EXACT score (rounding only at presentation, after the cut)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("conv_id").asc)
+    val organicRanked = organic
+      .withColumn("rank", (row_number().over(w) + lit(pe)).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("conv_id"), round(col("score"), 4).as("score"))
+    pinnedRows.unionByName(organicRanked).orderBy("rank")
+  }
+
+  /** rank_feature query (the Elasticsearch `rank_feature` query inside a
+    * bool `should`): BM25 of `terms` plus a feature-derived additive boost
+    * from a doc-values number — `saturation` (boost · f/(f + pivot)) or
+    * `log` (boost · ln(scaling + f)). Matching stays lexical (the feature
+    * only re-weights docs that match), scores combine additively exactly as
+    * ES folds a should-clause. Shape: the full scored set (pruned scans +
+    * one combinable fold) joins the caller's feature frame once, then one
+    * top-k window — the rescore shape, not a second index.
+    *
+    * @return (conv_id, score) rows, score desc then conv asc.
+    */
+  def rankFeature(terms: Seq[String], k: Int, meta: DataFrame,
+      convCol: String, featureCol: String, function: String = "saturation",
+      pivot: Double = 10.0, boost: Double = 1.0,
+      scaling: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val f = col("__f")
+    val featTerm = function match {
+      case "saturation" => lit(boost) * f / (f + lit(pivot))
+      case "log" => lit(boost) * log(lit(scaling) + f)
+      case other => throw new IllegalArgumentException(
+        s"unknown rank_feature function: $other")
+    }
+    // left join: a matching doc with no feature row keeps its lexical score
+    // (ES rank_feature contributes nothing when the feature is missing)
+    val scored = bm25ScoredAll(terms)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(featureCol).cast("double").as("__f")), Seq("conv_id"), "left")
+      .withColumn("score", col("score") + coalesce(featTerm, lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("conv_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("conv_id", "score")
+  }
+
+  /** distance_feature query (the Elasticsearch `distance_feature` query on
+    * a date field): BM25 plus boost · pivot / (pivot + |ts − origin|) — the
+    * reciprocal-distance recency boost, completing the feature-query family
+    * next to [[rankFeature]]'s saturation/log and the function_score gauss
+    * decay. Additive bool-should fold, exactly like rank_feature; a doc
+    * missing the date keeps its lexical score. Distances in seconds.
+    *
+    * @param pivotSecs distance at which the boost halves.
+    * @return (conv_id, score) rows, score desc then conv asc.
+    */
+  def distanceFeature(terms: Seq[String], k: Int, meta: DataFrame,
+      convCol: String, tsCol: String, origin: java.sql.Timestamp,
+      pivotSecs: Double, boost: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(pivotSecs > 0.0, "pivot must be > 0")
+    val dist = abs(col("__ts").cast("double") - lit(origin).cast("double"))
+    val featTerm = lit(boost) * lit(pivotSecs) / (lit(pivotSecs) + dist)
+    val scored = bm25ScoredAll(terms)
+      .join(meta.select(col(convCol).as("conv_id"), col(tsCol).as("__ts")),
+        Seq("conv_id"), "left")
+      .withColumn("score", col("score") + coalesce(featTerm, lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("conv_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("conv_id", "score")
   }
 
   /** The FULL scored match set — every qualifying document with its exact

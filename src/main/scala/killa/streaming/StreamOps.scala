@@ -102,6 +102,80 @@ object StreamOps {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming exact-dedup diagnosis (the training-pipeline dedup step run
+    * THROUGH the streaming engine): micro-batches of documents fold into
+    * per-content-digest groups — (text_md5, cnt, rep_id = min id), the
+    * streaming twin of [[killa.dedup.Dedup.exactGroups]] with the identical
+    * digest ([[killa.text.TextOps.fingerprintMd5]]), so results are
+    * engine-equal by construction. Complete mode over the bounded table for
+    * the oracle query; state is one (digest, count, min) triple per DISTINCT
+    * document — at unbounded-corpus scale use [[dedupStreamToPath]], whose
+    * state the watermark bounds.
+    */
+  def streamExactGroups(spark: SparkSession, docsPath: String,
+      queryName: String = "killa_stream_dedup"): DataFrame = {
+    val schema: StructType = spark.read.parquet(docsPath).schema
+    val p = new org.apache.hadoop.fs.Path(docsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dir, glob) =
+      if (fs.getFileStatus(p).isDirectory) (docsPath, None)
+      else (p.getParent.toString, Some(p.getName))
+    val reader0 = spark.readStream.schema(schema)
+    val docs = glob.fold(reader0)(g => reader0.option("pathGlobFilter", g)).parquet(dir)
+    val agg = docs
+      .groupBy(killa.text.TextOps.fingerprintMd5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("rep_id"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Production shape of streaming dedup: keep each content digest's FIRST
+    * arrival within the watermark horizon (`dropDuplicatesWithinWatermark`
+    * on the digest — state holds a digest only until the watermark passes
+    * it, so memory is bounded by the horizon's distinct-digest count, never
+    * the corpus), appended straight to parquet. The exactly-once-per-digest
+    * guarantee is scoped to the horizon: a re-crawl a week later re-admits —
+    * the standard streaming-dedup contract; whole-corpus exactness is the
+    * batch [[killa.dedup.Dedup.dropExactDuplicates]]'s job.
+    */
+  def dedupStreamToPath(spark: SparkSession, docsPath: String,
+      outPath: String, checkpoint: String,
+      horizon: String = "1 hour",
+      tsExpr: String =
+        "timestamp'2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, doc_id)"): Unit = {
+    val schema: StructType = spark.read.parquet(docsPath).schema
+    val p = new org.apache.hadoop.fs.Path(docsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dir, glob) =
+      if (fs.getFileStatus(p).isDirectory) (docsPath, None)
+      else (p.getParent.toString, Some(p.getName))
+    val reader0 = spark.readStream.schema(schema)
+    val docs = glob.fold(reader0)(g => reader0.option("pathGlobFilter", g)).parquet(dir)
+      // the documents table carries no event time; the corpus's
+      // deterministic derivation (arrival order = doc_id) stands in
+      .withColumn("ts", expr(tsExpr).cast("timestamp"))
+      .withColumn("text_md5", killa.text.TextOps.fingerprintMd5(col("text")))
+    val kept = docs
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("text_md5")
+    val q = kept.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Production shape of [[windowedEventCounts]]: the same watermarked
     * windowed aggregation in APPEND mode streamed to a parquet table —
     * state is bounded by the watermark and finalized windows flow straight
