@@ -499,6 +499,21 @@ object SparkEntry {
       new killa.query.IndexReader(s, posRoot(s, dir), conf)
         .intervalsOrdered(Seq("scan", "part", "filter"), maxGaps = 3)
         .orderBy("conv_id")),
+    // any_of intervals combinator: scan→filter OR agg→batch, each ordered
+    // within a max_gaps-3 budget — disjunction of two ordered interval
+    // sources, the ES intervals-query combinator shape
+    "q_intervals_any_of" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .intervalsAnyOf(Seq(Seq("scan", "filter"), Seq("agg", "batch")),
+          maxGaps = 3)
+        .orderBy("conv_id")),
+    // span_multi inside span_near: prefix 's' expands to its first 4
+    // dictionary terms (scan, slow, small, sort — spark/stream fall past the
+    // cap, so the cap is live) as ONE span_or slot, within slop 3 of 'batch'
+    "q_span_multi" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .spanMultiNear("s", 4, Seq("batch"), slop = 3)
+        .orderBy("conv_id")),
     // realtime term vectors of one conversation: tf + global df from the
     // index + the document-global occurrence positions
     "q_termvectors" -> ((s, dir) =>
@@ -856,6 +871,23 @@ object SparkEntry {
     // BM25 score as a distributed frame — no top-k heap, no driver collect
     "q_bm25_export" -> ((s, dir) =>
       present(reader(s, dir).bm25ScoredAll(Seq("filter")))),
+    // sliced scored export (sliced scroll): slice 1 of 3 by md5(conv_id) —
+    // a deterministic disjoint subset of q_bm25_export's rows, so the
+    // export can drain through 3 parallel consumers with no overlap
+    "q_bm25_sliced" -> ((s, dir) =>
+      present(reader(s, dir).slicedExport(Seq("filter"), sliceId = 1,
+        maxSlices = 3))),
+    // sparse_vector / text_expansion query: weighted-term dot product
+    // against the documents' tf features — no corpus statistics by design
+    // (the expansion weights already carry importance)
+    "q_sparse_vector" -> ((s, dir) =>
+      present(reader(s, dir).sparseVector(
+        Map("spark" -> 2.0, "query" -> 1.0, "join" -> 0.5), 10))),
+    // terms lookup: the term set comes from conv c00042's own text at query
+    // time, then runs as multi-term OR membership
+    "q_terms_lookup" -> ((s, dir) =>
+      reader(s, dir).termsLookup(transcripts(s, dir), "conv_id", "text",
+        "c00042").orderBy("conv_id")),
     // multi-field boosted BM25 (the ES multi_match): per-role sub-indexes
     // score with their OWN corpus stats, full scored sets union under the
     // boosts, per-conv sum, global top-k
@@ -933,6 +965,14 @@ object SparkEntry {
       killa.dedup.Dedup.stratifiedHashSample(documents(s, dir), "text", "source",
         Map("src0" -> 192, "src1" -> 32), 96)
         .select("doc_id").orderBy("doc_id")),
+    // temperature mixture resampling (T = 2): per-source keep rate
+    // min(1, 0.5·sqrt(c_max/c_s)) derived from the data — the largest
+    // source keeps half, smaller sources proportionally more; thresholds
+    // are IEEE-exact so the SQL oracle recomputes them bit-identically
+    "q_temperature_sample" -> ((s, dir) =>
+      killa.dedup.Dedup.temperatureSample(documents(s, dir), "text", "source",
+        rho = 0.5)
+        .select("doc_id").orderBy("doc_id")),
     // Gopher-style repetition filters: overlapping-bigram slots, top-bigram
     // fraction, duplicate-bigram fraction per document
     "q_repetition" -> ((s, dir) =>
@@ -1008,6 +1048,18 @@ object SparkEntry {
       val e = embeddings(s, dir)
       val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
       killa.ann.Ann.bruteForceTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")
+    }),
+    // kNN similarity floor (the ES knn `similarity` param): top-5 first,
+    // then neighbors under cosine 0.3 drop — on this fixture query 0 keeps
+    // 4, query 1 all 5, query 2 exactly 1, so the floor is live in both
+    // directions and ranks keep their pre-filter values
+    "q_ann_threshold" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+      killa.ann.Ann.thresholdTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
+          minCosine = 0.3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
@@ -1380,6 +1432,25 @@ object SparkEntry {
       " AND c.pos - a.pos <= 5" +
       " WHERE a.term = 'scan' AND b.term = 'part' AND c.term = 'filter'" +
       " ORDER BY conv_id"),
+    // any_of: either ordered pair within gap budget 3 (b.pos − a.pos ≤ 4)
+    "q_intervals_any_of" -> (TurnsCte + PposCte +
+      " SELECT DISTINCT conv_id FROM (" +
+      "SELECT a.conv_id FROM ppos a JOIN ppos b ON a.conv_id = b.conv_id" +
+      " AND b.pos > a.pos AND b.pos - a.pos <= 4" +
+      " WHERE a.term = 'scan' AND b.term = 'filter'" +
+      " UNION " +
+      "SELECT a.conv_id FROM ppos a JOIN ppos b ON a.conv_id = b.conv_id" +
+      " AND b.pos > a.pos AND b.pos - a.pos <= 4" +
+      " WHERE a.term = 'agg' AND b.term = 'batch') ORDER BY conv_id"),
+    // span_multi: slot a ∈ first-4 dictionary expansion of 's', slot b =
+    // batch, n = 2, slop = 3 ⇒ |diff| ≤ 4, any order
+    "q_span_multi" -> (TurnsCte + PposCte +
+      ", exp AS (SELECT DISTINCT term FROM ppos WHERE term LIKE 's%'" +
+      " ORDER BY term LIMIT 4)" +
+      " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND abs(a.pos - b.pos) <= 4" +
+      " WHERE a.term IN (SELECT term FROM exp) AND b.term = 'batch'" +
+      " ORDER BY conv_id"),
     // n = 3, slop = 4: max − min ≤ slop + n − 1 = 6, any order
     "q_span_near_tri" -> (TurnsCte + PposCte +
       " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
@@ -1656,6 +1727,24 @@ object SparkEntry {
     // export = the same exact total order with no top-k cut (LIMIT far above
     // any possible match count)
     "q_bm25_export" -> bm25OracleSql(Seq("filter"), 1000000, conjunctive = false),
+    // slice 1 of 3 by the first 8 md5(conv_id) hex chars mod 3
+    "q_bm25_sliced" -> bm25OracleSql(Seq("filter"), 1000000, conjunctive = false,
+      filterConvSql = Some("SELECT DISTINCT conv_id FROM turns WHERE" +
+        " CAST(concat('0x', substr(md5(conv_id), 1, 8)) AS BIGINT) % 3 = 1")),
+    // sparse_vector: Σ weight·tf, NO corpus statistics by design
+    "q_sparse_vector" -> (TurnsCte + TfCtes +
+      ", q(term, w) AS (VALUES ('spark', CAST(2.0 AS DOUBLE))," +
+      " ('query', CAST(1.0 AS DOUBLE)), ('join', CAST(0.5 AS DOUBLE)))" +
+      ", s AS (SELECT tf.conv_id, sum(q.w * tf.tf) AS s FROM tf" +
+      " JOIN q ON tf.term = q.term GROUP BY 1)" +
+      ", top AS (SELECT conv_id, s FROM s ORDER BY s DESC, conv_id ASC LIMIT 10)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top" +
+      " ORDER BY score DESC, conv_id ASC"),
+    // terms lookup: convs sharing any term with conv c00042's text
+    "q_terms_lookup" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term IN" +
+      " (SELECT DISTINCT term FROM tok2 WHERE conv_id = 'c00042')" +
+      " ORDER BY conv_id"),
     "q_bm25_multifield" -> multiFieldOracleSql(1.0, 2.0, Seq("query", "filter"), 10),
     "q_cross_fields" -> crossFieldsOracleSql(Seq("query", "filter"), 10),
     "q_combined_fields" -> combinedFieldsOracleSql(1.0, 2.0, Seq("query", "filter"), 10),
@@ -1719,6 +1808,21 @@ object SparkEntry {
         " SELECT doc_id FROM w WHERE substr(h, 1, 2) <" +
         " CASE source WHEN 'src0' THEN 'c0' WHEN 'src1' THEN '20' ELSE '60' END" +
         " ORDER BY doc_id"),
+    // temperature resampling: per-source threshold floor(min(1, 0.5 ·
+    // sqrt(c_max/c_s)) · 2^32) — every float step IEEE correctly-rounded,
+    // so both engines derive identical integer thresholds from the counts
+    "q_temperature_sample" ->
+      ("WITH w AS (SELECT doc_id, source, list_filter(string_split(text, ' ')," +
+        " x -> x <> '') AS toks FROM documents)" +
+        ", h AS (SELECT doc_id, source, CAST(concat('0x'," +
+        " substr(md5(array_to_string(toks, ' ')), 1, 8)) AS BIGINT) AS h32 FROM w)" +
+        ", c AS (SELECT source, count(*) AS c FROM w GROUP BY 1)" +
+        ", m AS (SELECT max(c) AS cm FROM c)" +
+        ", r AS (SELECT source, CAST(floor(least(1.0, 0.5 *" +
+        " sqrt(CAST((SELECT cm FROM m) AS DOUBLE) / CAST(c AS DOUBLE)))" +
+        " * 4294967296.0) AS BIGINT) AS thr FROM c)" +
+        " SELECT h.doc_id FROM h JOIN r ON h.source = r.source" +
+        " WHERE h.h32 < r.thr ORDER BY doc_id"),
     "q_repetition" -> (DocToksCte +
       ", g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS s FROM w WHERE len(toks) >= 2)" +
       ", pc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)" +
@@ -1841,6 +1945,14 @@ object SparkEntry {
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
       ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
       " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    // knn similarity floor: the top-5 rows minus those under cosine 0.3,
+    // ranks unchanged (only a suffix of a ranked list can fall below a floor)
+    "q_ann_threshold" -> (EmbCte +
+      ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
+      s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
+      ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
+      " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 AND cosine >= 0.3" +
+      " ORDER BY q_id, rank"),
     "q_rrf_hybrid" -> rrfOracleSql(Seq("query", "filter"), 10, 20, 60),
     "q_ann_filtered" -> (EmbCte +
       ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +

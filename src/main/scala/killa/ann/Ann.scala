@@ -41,6 +41,23 @@ object Ann {
       .select("q_id", "vec_id", "cosine", "rank")
   }
 
+  /** Exact cosine top-k with a similarity floor (the Elasticsearch `knn`
+    * query's `similarity` parameter): the top-k is computed first, then
+    * neighbors below `minCosine` drop — so a query returns UP TO k vectors,
+    * all at least `minCosine` similar, and never pulls a far vector in to
+    * fill the quota (ES semantics: the threshold prunes, it does not
+    * re-rank). Ranks keep their pre-filter values: a caller paging by rank
+    * sees a gap-free prefix because only a SUFFIX of each query's ranked
+    * list can fall below a similarity floor. Same broadcast × one-scan plan
+    * as [[bruteForceTopK]]; the floor compares against the presentation-
+    * rounded cosine so engines agree at the boundary.
+    */
+  def thresholdTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      minCosine: Double): DataFrame =
+    bruteForceTopK(embeddings, idCol, vecCol, queries, qIdCol, qVecCol, k)
+      .where(col("cosine") >= minCosine)
+
   /** Metadata-filtered exact cosine top-k (the Elasticsearch `knn` query's
     * `filter` clause): the top-k is computed over the ALLOWED vectors only —
     * PRE-filter semantics, so k survivors always come back when k allowed

@@ -77,6 +77,42 @@ object Dedup {
     df.where(cond)
   }
 
+  /** Temperature-based mixture resampling (the multilingual-training
+    * "temperature sampling" step, T = 2 form): per-source keep rates that
+    * FLATTEN the source distribution — rate_s = min(1, rho ·
+    * sqrt(c_max / c_s)), so the largest source keeps `rho` of its documents
+    * and smaller sources keep proportionally more (a source 100× smaller
+    * keeps 10× the rate), the α = 0.5 exponent of the classic p_s^α
+    * reweighting family. Rates are DERIVED FROM THE DATA (unlike
+    * [[stratifiedHashSample]]'s caller-fixed numerators) yet fully
+    * deterministic and engine-independent: counts are exact, max is exact,
+    * and every float step (divide, sqrt, multiply, floor) is an IEEE 754
+    * correctly-rounded operation, so any engine computes bit-identical
+    * per-source thresholds; membership then keys on the same md5 content
+    * hash the whole sampling family uses (first 8 hex chars as a 32-bit
+    * point in [0, 2^32)). Shape at scale: one tiny per-source count agg,
+    * a broadcast rate join, one codegen'd filter — the corpus itself never
+    * shuffles.
+    *
+    * @param rho keep rate of the LARGEST source, in (0, 1].
+    */
+  def temperatureSample(df: DataFrame, textCol: String, strataCol: String,
+      rho: Double): DataFrame = {
+    require(rho > 0.0 && rho <= 1.0, "rho must be in (0, 1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+    val cmax = counts.agg(max(col("__c")).as("__cmax"))
+    val thr = counts.crossJoin(broadcast(cmax))
+      .withColumn("__thr",
+        floor(least(lit(1.0),
+          lit(rho) * sqrt(col("__cmax").cast("double") / col("__c").cast("double")))
+          * lit(4294967296.0)).cast("long"))
+      .select(col(strataCol), col("__thr"))
+    val h32 = conv(substring(TextOps.fingerprintMd5(col(textCol)), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(thr), strataCol).where(h32 < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Connected components over a near-dup pair set: every document labeled
     * with the MINIMUM id reachable through the undirected edge set — the
     * step that turns pairwise near-dup evidence into dedup CLUSTERS (pairs

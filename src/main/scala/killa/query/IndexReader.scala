@@ -1706,6 +1706,128 @@ final class IndexReader(
     matched.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 
+  /** `any_of` intervals combinator (the Elasticsearch `intervals` query's
+    * `any_of` rule over `match` sources): a document matches if ANY of the
+    * alternative ordered term sequences matches under the shared `maxGaps`
+    * budget — "install then failed, or setup then error". Pure disjunctive
+    * composition over [[intervalsOrdered]]: each alternative keeps its own
+    * bucket-pruned position scan and O(Σ positions) per-doc walk, and the
+    * union dedups on conv_id (one shuffle over match-set-sized inputs). An
+    * alternative list that is empty after cleaning is dropped; no live
+    * alternatives means no matches.
+    *
+    * @param alternatives one ordered term sequence per `any_of` branch.
+    * @return distinct matching conv_ids.
+    */
+  def intervalsAnyOf(alternatives: Seq[Seq[String]], maxGaps: Int): DataFrame = {
+    val cleaned = alternatives.map(_.filter(t => t != null && t.nonEmpty))
+      .filter(_.nonEmpty)
+    if (cleaned.isEmpty || manifest.isEmpty) return emptyMembers
+    cleaned.map(a => intervalsOrdered(a, maxGaps)).reduce(_ unionByName _)
+      .distinct()
+  }
+
+  /** span_multi inside span_near (the Elasticsearch `span_multi` wrapper —
+    * a multi-term query used as ONE span clause): the `prefix` slot rewrites
+    * to a span_or over its dictionary expansion, exactly Lucene's
+    * `SpanMultiTermQueryWrapper` top-terms rewrite, and then proximity runs
+    * as plain [[spanNearAny]] ("scan* within slop 4 of failed"). The
+    * expansion is [[expandPrefix]]'s deterministic rule — first
+    * `maxExpansions` matching dictionary terms, lexicographic — so results
+    * are stable across shard counts and rebuilds (ES's default rewrite
+    * ranks by score and is shard-dependent; determinism is the contract
+    * here). Scale shape: one sidecar-pruned dictionary scan bounded by
+    * `maxExpansions`, then the span family's bucket-pruned position scan.
+    *
+    * @param terms the remaining literal span slots.
+    * @return distinct matching conv_ids.
+    */
+  def spanMultiNear(prefix: String, maxExpansions: Int, terms: Seq[String],
+      slop: Int): DataFrame = {
+    val expanded = expandPrefix(prefix, maxExpansions)
+    if (expanded.isEmpty) return emptyMembers
+    spanNearAny(expanded +: terms.map(Seq(_)), slop)
+  }
+
+  /** Sparse-vector query (the Elasticsearch `sparse_vector` /
+    * `text_expansion` query shape, ELSER-style): the query is a weighted
+    * term set and a document scores Σ_t weight(t) · tf(t, d) — a pure
+    * dot product between the query's sparse vector and the document's
+    * term-frequency features, NO corpus statistics (that is the point:
+    * the expansion model already encoded importance in the weights, so df
+    * must not rescale them). Exact and fully distributed: the terms'
+    * bucket-pruned blocks decode in [[termTf]], the weights ride a
+    * broadcast join, per-doc scores fold in one map-side-combinable
+    * groupBy, and only the top-k window orders. Zero or negative weights
+    * are rejected rather than silently dropped.
+    *
+    * @return (conv_id, score) rows, score desc then conv asc, ≤ k of them.
+    */
+  def sparseVector(weights: Map[String, Double], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(weights.values.forall(_ > 0.0), "weights must be > 0")
+    val clean = weights.filter { case (t, _) => t != null && t.nonEmpty }
+    if (clean.isEmpty || manifest.isEmpty) return emptyHits
+    val wdf = clean.toSeq.toDF("term", "__w")
+    val scored = termTf(clean.keys.toSeq)
+      .join(broadcast(wdf), "term")
+      .groupBy("conv_id")
+      .agg(sum(col("__w") * col("tf")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("conv_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("conv_id", "score")
+  }
+
+  /** Sliced scored export (the Elasticsearch sliced-scroll contract,
+    * `slice: {id, max}`): deterministic disjoint partition of the FULL
+    * scored match set by a hash of the document id, so `max` independent
+    * consumers can drain one export in parallel and their union is exactly
+    * [[bm25ScoredAll]] with no overlap. The slice key is the first 8 hex
+    * chars of md5(conv_id) taken mod `max` — content-independent,
+    * engine-independent, and reproducible anywhere (the same operator the
+    * hash-sampling family uses), unlike ES's internal-doc-id slicing which
+    * shifts with shard topology. Each slice's scan is the export's own
+    * plan plus one codegen'd filter; slices are meant to run concurrently,
+    * so aggregate work stays one export.
+    *
+    * @return (conv_id, score) rows of slice `sliceId`, unordered.
+    */
+  def slicedExport(terms: Seq[String], sliceId: Int, maxSlices: Int,
+      conjunctive: Boolean = false): DataFrame = {
+    require(maxSlices >= 1, "maxSlices must be >= 1")
+    require(sliceId >= 0 && sliceId < maxSlices, "sliceId must be in [0, maxSlices)")
+    val all = bm25ScoredAll(terms, conjunctive = conjunctive)
+    if (maxSlices == 1) return all
+    val h = conv(substring(md5(col("conv_id")), 1, 8), 16, 10).cast("long")
+    all.where(pmod(h, lit(maxSlices.toLong)) === sliceId.toLong)
+  }
+
+  /** Terms-lookup query (the Elasticsearch `terms` query with a `lookup`
+    * block: "documents sharing any term with document X"): the term set is
+    * fetched from one source document at query time, then runs as a plain
+    * multi-term OR membership over the index. The lookup itself is ONE
+    * filtered, column-pruned scan of the source table and collects only
+    * that document's distinct tokens — bounded by a single document's
+    * length, the same driver-cost contract as [[moreLikeThis]]'s term
+    * selection (which this generalizes: no tf ranking, ALL the lookup
+    * doc's terms qualify, ES semantics). The membership fan-out is
+    * [[membershipAny]]'s: scans pruned to exactly the terms' buckets.
+    *
+    * @param source frame holding `idCol` and `textCol` at document grain.
+    * @return distinct matching conv_ids (the lookup doc matches itself).
+    */
+  def termsLookup(source: DataFrame, idCol: String, textCol: String,
+      lookupId: String): DataFrame = {
+    if (lookupId == null || lookupId.isEmpty || manifest.isEmpty)
+      return emptyMembers
+    val terms = source.where(col(idCol) === lookupId)
+      .select(explode(killa.tokenize.Tokenize.termsCol(col(textCol))).as("term"))
+      .distinct().as[String].collect().toSeq
+    if (terms.isEmpty) emptyMembers else membershipAny(terms)
+  }
+
   /** Span-not (the Elasticsearch/Lucene `span_not` query, single-term
     * spans): conversations with an occurrence of `include` that does NOT
     * lie within `pre` positions after — nor `post` positions before — any

@@ -1,0 +1,181 @@
+package killa
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import killa.build.IndexWriter
+import killa.model.Turn
+import killa.query.IndexReader
+
+/** Round-5v layer: any_of intervals, span_multi prefix spans, sparse_vector
+  * weighted-term scoring, sliced scored export, terms lookup, knn similarity
+  * floor, and temperature mixture resampling — each pinned against a
+  * hand-computed oracle or an exact partition/subset law on a tiny corpus.
+  */
+class Round5vSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 8, blockSize = 16)
+  private val epoch = 1704067200000L
+
+  private def mkTurns(rows: (String, Int, String)*): DataFrame =
+    rows.map { case (c, off, txt) =>
+      Turn(c, 0, "user", txt, "", new Timestamp(epoch + off * 1000L))
+    }.toDS().toDF()
+
+  private def build(corpus: DataFrame, positions: Boolean = false): IndexReader = {
+    val root = TestSpark.freshDir("r5v")
+    val w = new IndexWriter(spark, root, conf)
+    w.fullBuild(corpus, "b0")
+    if (positions) w.buildPositions(corpus, "pos1")
+    new IndexReader(spark, root, conf)
+  }
+
+  private def members(df: DataFrame): Set[String] =
+    df.collect().map(_.getString(0)).toSet
+
+  // ------------------------------------------------------- any_of intervals
+
+  test("intervalsAnyOf: union of ordered alternatives; one alternative degenerates to intervalsOrdered") {
+    val corpus = mkTurns(
+      ("a", 0, "scan x filter"),      // alt 1 ordered, gap 1 ≤ 3 ✓
+      ("b", 60, "filter x scan"),     // alt 1 present but wrong order ✗
+      ("c", 120, "agg y y batch"),    // alt 2 ordered, slack 2 ≤ 3 ✓
+      ("d", 180, "agg q q q q batch"),// slack 4 > 3 ✗
+      ("e", 240, "scan filter agg batch")) // both alternatives ✓ (dedup to one row)
+    val r = build(corpus, positions = true)
+    val alts = Seq(Seq("scan", "filter"), Seq("agg", "batch"))
+    assert(members(r.intervalsAnyOf(alts, maxGaps = 3)) == Set("a", "c", "e"))
+    // disjunction law: any_of = union of the per-alternative ordered matches
+    val viaUnion = alts.map(a => members(r.intervalsOrdered(a, 3))).reduce(_ union _)
+    assert(members(r.intervalsAnyOf(alts, 3)) == viaUnion)
+    assert(members(r.intervalsAnyOf(Seq(Seq("scan", "filter")), 3)) ==
+      members(r.intervalsOrdered(Seq("scan", "filter"), 3)))
+    assert(members(r.intervalsAnyOf(Seq(Seq.empty, Seq.empty), 3)).isEmpty)
+  }
+
+  // ------------------------------------------------------------- span_multi
+
+  test("spanMultiNear: prefix expands to a span_or slot; the expansion cap is live") {
+    val corpus = mkTurns(
+      ("a", 0, "scan x batch"),    // scan within slop-2 window of batch ✓
+      ("b", 60, "sort batch"),     // sort also matches the s* slot ✓
+      ("c", 120, "spark y batch"), // spark is 3rd lexicographic s-term
+      ("d", 180, "scan q q q q batch"), // |5-0| = 5 > slop+1 = 3 ✗
+      ("e", 240, "batch only here"))    // no s* term ✗
+    val r = build(corpus, positions = true)
+    // dictionary s-terms here: scan, sort, spark (lexicographic)
+    assert(members(r.spanMultiNear("s", 8, Seq("batch"), slop = 2)) ==
+      Set("a", "b", "c"))
+    // cap at 2 keeps scan+sort only: spark falls past the deterministic cap
+    assert(members(r.spanMultiNear("s", 2, Seq("batch"), slop = 2)) ==
+      Set("a", "b"))
+    assert(members(r.spanMultiNear("zz", 8, Seq("batch"), slop = 2)).isEmpty)
+  }
+
+  // ---------------------------------------------------------- sparse_vector
+
+  test("sparseVector: score is exactly Σ weight·tf, no corpus statistics; ties break conv asc") {
+    val corpus = mkTurns(
+      ("a", 0, "hot hot hot"),        // 3·2.0 = 6.0
+      ("b", 60, "hot warm warm"),     // 2.0 + 2·0.5 = 3.0
+      ("c", 120, "warm warm warm warm warm warm"), // 6·0.5 = 3.0 (tie with b)
+      ("d", 180, "cold cold"))        // no query term
+    val r = build(corpus)
+    val got = r.sparseVector(Map("hot" -> 2.0, "warm" -> 0.5), 10)
+      .collect().map(x => (x.getString(0), x.getDouble(1)))
+    assert(got.toSeq == Seq(("a", 6.0), ("b", 3.0), ("c", 3.0)))
+    // k truncates after the (score desc, conv asc) order
+    assert(r.sparseVector(Map("hot" -> 2.0, "warm" -> 0.5), 2)
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    intercept[IllegalArgumentException] {
+      r.sparseVector(Map("hot" -> 0.0), 5)
+    }
+  }
+
+  // ---------------------------------------------------------- sliced export
+
+  test("slicedExport: slices are pairwise disjoint and union EXACTLY to the full scored export") {
+    val corpus = mkTurns((0 until 40).map(i =>
+      (f"c$i%03d", i, if (i % 3 == 0) "alpha beta" else "alpha gamma")): _*)
+    val r = build(corpus)
+    val full = r.bm25ScoredAll(Seq("alpha")).collect()
+      .map(x => (x.getString(0), x.getDouble(1))).toSet
+    val slices = (0 until 3).map(i =>
+      r.slicedExport(Seq("alpha"), i, 3).collect()
+        .map(x => (x.getString(0), x.getDouble(1))).toSet)
+    assert(slices.reduce(_ union _) == full)
+    for (i <- 0 until 3; j <- (i + 1) until 3)
+      assert(slices(i).intersect(slices(j)).isEmpty)
+    // every slice is non-trivial at this corpus size (40 docs / 3 slices)
+    assert(slices.forall(_.nonEmpty))
+    assert(r.slicedExport(Seq("alpha"), 0, 1).collect().length == full.size)
+    intercept[IllegalArgumentException] { r.slicedExport(Seq("alpha"), 3, 3) }
+  }
+
+  // ------------------------------------------------------------ terms lookup
+
+  test("termsLookup: the lookup doc's terms drive an OR membership; the doc matches itself") {
+    val corpus = mkTurns(
+      ("a", 0, "alpha beta"),
+      ("b", 60, "beta gamma"),
+      ("c", 120, "gamma delta"),
+      ("d", 180, "epsilon zeta"))
+    val r = build(corpus)
+    // a's terms {alpha, beta}: a itself and b (shares beta); c/d share nothing
+    assert(members(r.termsLookup(corpus, "conv_id", "text", "a")) == Set("a", "b"))
+    assert(members(r.termsLookup(corpus, "conv_id", "text", "zz_absent")).isEmpty)
+  }
+
+  // ---------------------------------------------------- knn similarity floor
+
+  test("thresholdTopK: subset of bruteForceTopK with ranks preserved; only a rank suffix drops") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val all = killa.ann.Ann.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "q_id", "embedding", 3).collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getInt(3))).toSeq
+    val kept = killa.ann.Ann.thresholdTopK(emb, "vec_id", "embedding",
+      q, "q_id", "embedding", 3, minCosine = 0.7).collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getInt(3))).toSeq
+    assert(kept.toSet.subsetOf(all.toSet))
+    assert(kept.forall(_._2 >= 0.7))
+    // ranks survive the filter and form a gap-free prefix of the base ranks
+    assert(kept.map(_._3) == (1 to kept.length))
+    // the floor actually prunes here (vec 2 is orthogonal to the query)
+    assert(kept.length < all.length && kept.nonEmpty)
+  }
+
+  // ----------------------------------------------------- temperature sample
+
+  test("temperatureSample: data-derived per-source rates flatten the mixture, deterministically") {
+    val docs = (0 until 1024).map(i =>
+      (i.toLong, if (i < 960) "big" else "small", s"tok$i uniq${i * 7}"))
+      .toDF("doc_id", "source", "text")
+    val kept = killa.dedup.Dedup.temperatureSample(docs, "text", "source", rho = 0.5)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigRate = bySrc.getOrElse("big", 0L).toDouble / 960
+    val smallRate = bySrc.getOrElse("small", 0L).toDouble / 64
+    // the largest source keeps ~rho; a 15x smaller source keeps
+    // ~rho·sqrt(15) ≈ 1.94 — capped at 1.0, so near-everything
+    assert(math.abs(bigRate - 0.5) < 0.1, s"bigRate $bigRate")
+    assert(smallRate == 1.0, s"smallRate $smallRate") // threshold caps at 2^32
+    // deterministic: same input → identical row set, and a subset of df
+    val again = killa.dedup.Dedup.temperatureSample(docs, "text", "source", 0.5)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      killa.dedup.Dedup.temperatureSample(docs, "text", "source", 0.0)
+    }
+  }
+}
