@@ -198,6 +198,30 @@ object SparkEntry {
       present(killa.query.QueryString.topK(r,
         "\"batch agg\" -dup", 10))
     }),
+    // FULL query_string dialect (the classic Lucene parser): keyword
+    // operators, a field-scoped filter clause answered by the role
+    // sub-index, a boosted group, a half-open term range, and NOT — the
+    // range and scope are filter-context, query/filter^2 score
+    "q_query_string_full" -> ((s, dir) =>
+      present(killa.query.QueryStringFull.topK(reader(s, dir),
+        "role:assistant AND (query OR filter^2) AND [so TO st} AND NOT dup",
+        10, fields = (f, v) =>
+          if (f == "role" && Set("user", "assistant")(v))
+            Some(killa.build.FieldIndexes.reader(s, fieldRoot(s, dir), f, v, conf))
+          else None))),
+    // full dialect, multi-term filter leaves: OSA fuzzy ~1 and a ?-wildcard
+    // constrain the match set, 'batch' alone carries the BM25 ranking
+    "q_query_string_multi" -> ((s, dir) =>
+      present(killa.query.QueryStringFull.topK(reader(s, dir),
+        "quer~1 AND sc?n AND batch", 10))),
+    // full dialect, pure filter (no scoring terms): constant-score 1.0,
+    // conv asc — Lucene's ConstantScore(filter) with the default boost
+    "q_query_string_const" -> ((s, dir) =>
+      killa.query.QueryStringFull.topK(reader(s, dir),
+        "role:user AND [so TO sp]", 10, fields = (f, v) =>
+          if (f == "role" && Set("user", "assistant")(v))
+            Some(killa.build.FieldIndexes.reader(s, fieldRoot(s, dir), f, v, conf))
+          else None)),
     // phrase-filtered BM25 (the ES match_phrase-inside-bool shape): the
     // positional index answers the phrase, its conv set rides bm25TopKFiltered
     // as the include cursor — ranked top-k restricted to exact-phrase docs,
@@ -1546,6 +1570,41 @@ object SparkEntry {
         " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +
         " WHERE a.term = 'batch' AND b.term = 'agg'" +
         " EXCEPT SELECT conv_id FROM tf WHERE term = 'dup'")),
+    // full dialect: assistant-turn convs ∩ (query ∪ filter) ∩ term-range
+    // [so, st) minus dup convs; query + filter^2 carry the scores
+    "q_query_string_full" -> bm25OracleSql(Seq("query", "filter"), 10,
+      conjunctive = false, boosts = Map("filter" -> 2.0),
+      extraCtes = ", atok AS (SELECT printf('c%05d', doc_id // 5) AS conv_id," +
+        " unnest(string_split(text, ' ')) AS term FROM documents" +
+        " WHERE doc_id % 2 = 1)" +
+        ", atok2 AS (SELECT conv_id, term FROM atok WHERE term <> '')",
+      filterConvSql = Some("SELECT DISTINCT conv_id FROM atok2" +
+        " WHERE conv_id IN (SELECT DISTINCT conv_id FROM tok2" +
+        " WHERE term IN ('query', 'filter'))" +
+        " AND conv_id IN (SELECT DISTINCT conv_id FROM tok2" +
+        " WHERE term >= 'so' AND term < 'st')" +
+        " AND conv_id NOT IN (SELECT DISTINCT conv_id FROM tok2" +
+        " WHERE term = 'dup')")),
+    // full dialect, fuzzy + wildcard filters: OSA dist ≤ 1 of 'quer' and a
+    // term matching sc?n, scored by 'batch' alone
+    "q_query_string_multi" -> bm25OracleSql(Seq("batch"), 10,
+      conjunctive = false,
+      filterConvSql = Some("SELECT conv_id FROM" +
+        " (SELECT DISTINCT conv_id FROM tok2" +
+        " WHERE damerau_levenshtein(term, 'quer') <= 1)" +
+        " WHERE conv_id IN (SELECT DISTINCT conv_id FROM tok2" +
+        " WHERE regexp_matches(term, '^sc.n$'))")),
+    // full dialect, pure filter: user-turn convs with a term in [so, sp],
+    // constant score 1.0, conv asc, first 10
+    "q_query_string_const" -> (TurnsCte + TfCtes +
+      ", utok AS (SELECT printf('c%05d', doc_id // 5) AS conv_id," +
+      " unnest(string_split(text, ' ')) AS term FROM documents" +
+      " WHERE doc_id % 2 = 0)" +
+      ", utok2 AS (SELECT conv_id, term FROM utok WHERE term <> '')" +
+      " SELECT conv_id, 1.0 AS score FROM (SELECT DISTINCT conv_id FROM utok2)" +
+      " WHERE conv_id IN (SELECT DISTINCT conv_id FROM tok2" +
+      " WHERE term >= 'so' AND term <= 'sp')" +
+      " ORDER BY conv_id LIMIT 10"),
     // phrase filter = the ppos consecutive-position join feeding the same
     // conv_id IN (...) predicate the engine's include cursor enforces
     "q_bm25_phrase_filtered" -> bm25OracleSql(Seq("query", "filter", "join"), 10,

@@ -215,6 +215,30 @@ final class IndexReader(
     membershipWhere(col("term") >= lo && col("term") < hi)
   }
 
+  /** Term-range membership with explicit bounds (the Lucene/ES range-clause
+    * surface behind `[a TO b]` / `{a TO b}` / `[a TO *]`): either bound may
+    * be open (None) and either may be inclusive or exclusive —
+    * [[membershipTermRange]] generalized to the full query-string range
+    * grammar. Same pushed, payload-free scan.
+    */
+  def membershipTermRangeBounds(lo: Option[String], hi: Option[String],
+      incLo: Boolean, incHi: Boolean): DataFrame = {
+    val conds = Seq(
+      lo.map(v => if (incLo) col("term") >= v else col("term") > v),
+      hi.map(v => if (incHi) col("term") <= v else col("term") < v)).flatten
+    if (conds.isEmpty) allMembers
+    else membershipWhere(conds.reduce(_ && _))
+  }
+
+  /** Every live conversation at this snapshot — the dictionary's distinct
+    * labels, ONE column-pruned scan of the docId→conv mapping with no
+    * posting payload touched. This is the `match_all` surface, and the
+    * field-scoped filter clause ("conv has a turn with field = v" ≡ all
+    * members of that value's sub-index).
+    */
+  def allMembers: DataFrame =
+    docsView.select(col("convId").as("conv_id")).distinct()
+
   /** Wildcard term search (`*` = any run, `?` = any one char — reference
     * mask semantics, FileAnalyzerTests.cs:54-84): the mask's literal prefix
     * pushes down as a range filter, the full mask applies as a residual
