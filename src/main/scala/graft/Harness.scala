@@ -734,6 +734,20 @@ object Harness {
       "CAST(count(*) AS BIGINT) AS hits " +
       "FROM hits h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1)"
 
+  /** Gap-filled date-histogram oracle (minute unit): the [lo, hi] ladder
+    * from generate_series full-outer-joined to the sparse histogram, zero
+    * hits filled — the min_doc_count:0 + extended_bounds contract.
+    */
+  def dateHistogramFilledOracleSql(term: String, lo: String, hi: String): String =
+    histCtes(term) +
+      s", ladder AS (SELECT strftime(g, '%Y-%m-%d %H:%M:%S') AS bucket" +
+      s" FROM generate_series(TIMESTAMP '$lo', TIMESTAMP '$hi'," +
+      " INTERVAL 1 MINUTE) AS s(g))" +
+      " SELECT coalesce(l.bucket, h.bucket) AS bucket," +
+      " CAST(coalesce(h.hits, 0) AS BIGINT) AS hits" +
+      " FROM ladder l FULL OUTER JOIN hist h ON l.bucket = h.bucket" +
+      " ORDER BY bucket"
+
   /** bucket_selector + bucket_sort oracle: surviving histogram buckets
     * (hits ≥ minHits), top `topN` by hits desc then bucket asc.
     */

@@ -937,6 +937,16 @@ object SparkEntry {
       reader(s, dir).dateHistogram("spark", meta, "conv_id", "ts", "minute")
         .orderBy("bucket")
     }),
+    // gap-filled histogram (min_doc_count 0 + extended_bounds): the full
+    // [lo, hi] minute ladder emits — zero-hit buckets included, the
+    // gap-free sequence the pipeline aggs need
+    "q_date_histogram_filled" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).dateHistogramFilled("spark", meta, "conv_id", "ts", "minute",
+        java.sql.Timestamp.valueOf("2023-12-31 23:58:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:12:00"))
+        .orderBy("bucket")
+    }),
     // term facet: top-N terms by document frequency, read from the committed
     // posting blocks (df is stored in every block — no posting decode)
     "q_top_terms" -> ((s, dir) => {
@@ -1045,6 +1055,17 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) =>
       killa.text.Packing.packSequences(documents(s, dir), "doc_id", "text", 512L)
         .orderBy("doc_id")),
+    // SFT loss-mask packing: conversations pack in conv order, each
+    // reporting total vs TRAINABLE (assistant-turn) tokens — the per-conv
+    // loss-mask accounting a packed fine-tuning writer budgets by
+    "q_pack_transcripts" -> ((s, dir) =>
+      killa.text.Packing.packTranscripts(transcripts(s, dir), "conv_id",
+        "role", "text", 1024L).orderBy("conv_id")),
+    // transcript well-formedness: dense turn indexes, strict role
+    // alternation, no empty turns — the corpus-quality gate
+    "q_validate_transcripts" -> ((s, dir) =>
+      killa.text.TextOps.validateTranscripts(transcripts(s, dir), "conv_id",
+        "turn_idx", "role", "text").orderBy("conv_id")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       killa.dedup.Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text", 3, 0.8)
         .orderBy("a_id", "b_id")),
@@ -1808,6 +1829,40 @@ object SparkEntry {
     "q_cross_fields" -> crossFieldsOracleSql(Seq("query", "filter"), 10),
     "q_combined_fields" -> combinedFieldsOracleSql(1.0, 2.0, Seq("query", "filter"), 10),
     "q_date_histogram" -> dateHistogramOracleSql("spark"),
+    "q_date_histogram_filled" -> dateHistogramFilledOracleSql("spark",
+      "2023-12-31 23:58:00", "2024-01-01 00:12:00"),
+    // loss-mask packing: per-conv totals + exclusive prefix sum in conv
+    // order, seq_id = start // budget — pure integer math on both engines
+    "q_pack_transcripts" ->
+      ("WITH t AS (SELECT printf('c%05d', doc_id // 5) AS conv_id," +
+        " CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role," +
+        " len(list_filter(string_split(text, ' '), x -> x <> '')) AS n" +
+        " FROM documents)" +
+        ", pc AS (SELECT conv_id, CAST(sum(n) AS BIGINT) AS n_tokens," +
+        " CAST(sum(CASE WHEN role = 'assistant' THEN n ELSE 0 END) AS BIGINT)" +
+        " AS n_train_tokens FROM t GROUP BY 1)" +
+        ", o AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (ORDER BY conv_id" +
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)" +
+        " AS start_offset FROM pc)" +
+        " SELECT conv_id, n_tokens, n_train_tokens, start_offset," +
+        " CAST(start_offset // 1024 AS BIGINT) AS seq_id FROM o" +
+        " ORDER BY conv_id"),
+    // well-formedness: dense 0..n-1 turn indexes, strict role alternation
+    // (lag window), any empty-tokenizing turn
+    "q_validate_transcripts" ->
+      ("WITH t AS (SELECT printf('c%05d', doc_id // 5) AS conv_id," +
+        " CAST(doc_id % 5 AS INT) AS turn_idx," +
+        " CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role," +
+        " len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok" +
+        " FROM documents)" +
+        ", l AS (SELECT *, lag(role) OVER (PARTITION BY conv_id" +
+        " ORDER BY turn_idx) AS pr FROM t)" +
+        " SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns," +
+        " (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1" +
+        " AND count(DISTINCT turn_idx) = count(*)) AS dense_idx," +
+        " (sum(CASE WHEN pr = role THEN 1 ELSE 0 END) = 0) AS roles_alternate," +
+        " (sum(CASE WHEN ntok = 0 THEN 1 ELSE 0 END) > 0) AS has_empty_turn" +
+        " FROM l GROUP BY 1 ORDER BY 1"),
     "q_top_terms" -> (TurnsCte + TfCtes +
       " SELECT term, count(*) AS df FROM tf GROUP BY term" +
       " ORDER BY df DESC, term ASC LIMIT 20"),

@@ -403,6 +403,39 @@ final class IndexReader(
       .groupBy(date_format(date_trunc(unit, col("__ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"))
       .agg(count(lit(1)).as("hits"))
 
+  /** Gap-filled date histogram (the Elasticsearch `min_doc_count: 0` +
+    * `extended_bounds` contract): every bucket of the [lo, hi] ladder is
+    * emitted — zero hits included — and data buckets OUTSIDE the ladder
+    * still appear (extended_bounds extends the range, it never truncates;
+    * truncation is ES's separate `hard_bounds`). Pipeline aggregations
+    * (derivative, moving_fn, serial_diff) are only correct over gap-free
+    * bucket sequences, which is exactly what this surface feeds them.
+    * Shape at scale: the ladder is a generated one-row-per-bucket frame
+    * (bounded by the requested range, never by the data) full-outer-joined
+    * to the REDUCED histogram — the corpus is touched only by
+    * [[dateHistogram]]'s pruned scan.
+    *
+    * @return (bucket, hits) rows, every ladder bucket present, bucket asc.
+    */
+  def dateHistogramFilled(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String, lo: java.sql.Timestamp,
+      hi: java.sql.Timestamp): DataFrame = {
+    require(!hi.before(lo), "hi bound must be >= lo bound")
+    val step = unit match {
+      case "minute" => "interval 1 minute"
+      case "hour"   => "interval 1 hour"
+      case "day"    => "interval 1 day"
+      case u => throw new IllegalArgumentException(s"unsupported unit '$u'")
+    }
+    val ladder = spark.range(1)
+      .select(explode(sequence(date_trunc(unit, lit(lo)),
+        date_trunc(unit, lit(hi)), expr(step))).as("__b"))
+      .select(date_format(col("__b"), "yyyy-MM-dd HH:mm:ss").as("bucket"))
+    ladder.join(dateHistogram(term, meta, convCol, tsCol, unit),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
   /** Numeric range facet (the Elasticsearch `range` aggregation): matching
     * documents of `term` bucketed by which [from, to) interval of `bounds`
     * their doc-values number falls in — ES convention: from inclusive, to

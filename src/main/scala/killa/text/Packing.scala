@@ -76,4 +76,58 @@ object Packing {
       }
     }.toDF(idCol, "n_tokens", "start_offset", "seq_id")
   }
+
+  /** Transcript packing with SFT loss-mask accounting: conversations (not
+    * turns) are the packing unit — a conversation's turns concatenate in
+    * turn order, conversations lay end to end in conv_id order, and each
+    * conversation reports how many of its tokens are TRAINABLE under the
+    * standard supervised-fine-tuning mask (only `trainRole` turns take
+    * loss; user/tool turns are context). The per-conv `n_train_tokens` /
+    * `n_tokens` pair IS the loss mask at the granularity a packing planner
+    * needs — budgeting packed sequences by trainable density without
+    * materializing per-token masks (which the sequence writer derives from
+    * the role spans at serialization time).
+    *
+    * Same two-pass distributed prefix sum as [[packSequences]] (no global
+    * window, O(partitions) driver state); conv keys are strings, which the
+    * RangePartitioner orders exactly like the SQL `ORDER BY conv_id` an
+    * oracle uses.
+    *
+    * @return (convCol, n_tokens, n_train_tokens, start_offset, seq_id) —
+    *         one row per conversation.
+    */
+  def packTranscripts(turns: DataFrame, convCol: String, roleCol: String,
+      textCol: String, budget: Long, trainRole: String = "assistant"): DataFrame = {
+    require(budget > 0, "budget must be > 0")
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val perConv = turns
+      .select(col(convCol).as("__c"), col(roleCol).as("__r"),
+        size(Tokenize.termsCol(col(textCol))).cast("long").as("__n"))
+      .groupBy("__c")
+      .agg(sum(col("__n")).as("__nt"),
+        sum(when(col("__r") === trainRole, col("__n")).otherwise(0L)).as("__tr"))
+      .repartitionByRange(col("__c"))
+      .sortWithinPartitions("__c")
+      .as[(String, Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val partSums = perConv.mapPartitions { it =>
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((TaskContext.getPartitionId(), s))
+    }.collect().toMap
+    val base: Map[Int, Long] = {
+      val ordered = partSums.toSeq.sortBy(_._1)
+      var acc = 0L
+      ordered.map { case (p, s) => val b = (p, acc); acc += s; b }.toMap
+    }
+    perConv.mapPartitions { it =>
+      var run = base.getOrElse(TaskContext.getPartitionId(), 0L)
+      it.map { case (c, n, tr) =>
+        val start = run
+        run += n
+        (c, n, tr, start, start / budget)
+      }
+    }.toDF(convCol, "n_tokens", "n_train_tokens", "start_offset", "seq_id")
+  }
 }

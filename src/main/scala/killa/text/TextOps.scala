@@ -264,6 +264,39 @@ object TextOps {
         md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
   }
 
+  /** Transcript well-formedness validation — the data-quality gate a
+    * conversation corpus needs before training on it: per conversation,
+    * whether turn indexes are dense 0..n−1 (no holes, no duplicates — the
+    * "stable turn ordering" invariant every downstream op assumes), whether
+    * roles strictly alternate (no dropped or doubled speaker turns), and
+    * whether any turn tokenizes to nothing (empty/whitespace text). Shape
+    * at scale: one bounded per-conversation window (turn counts are small
+    * by construction) + one combinable aggregation — no collect, no skew
+    * risk beyond the longest conversation.
+    *
+    * @return (conv_id, n_turns, dense_idx, roles_alternate, has_empty_turn)
+    *         — one row per conversation.
+    */
+  def validateTranscripts(turns: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("__i"))
+    turns
+      .select(col(convCol).as("conv_id"), col(idxCol).as("__i"),
+        col(roleCol).as("__r"),
+        (size(Tokenize.termsCol(col(textCol))) === 0).as("__empty"))
+      .withColumn("__pr", lag(col("__r"), 1).over(w))
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        (min(col("__i")) === 0 &&
+          max(col("__i")).cast("long") === count(lit(1)) - 1 &&
+          countDistinct(col("__i")) === count(lit(1))).as("dense_idx"),
+        (sum(when(col("__pr") === col("__r"), 1L).otherwise(0L)) === 0)
+          .as("roles_alternate"),
+        (sum(when(col("__empty"), 1L).otherwise(0L)) > 0).as("has_empty_turn"))
+  }
+
   /** 64-bit Rabin-Karp rolling hash over a token sequence (pure Scala; used
     * by simhash/minhash internals and available as a cheap shift-resistant
     * document fingerprint).

@@ -157,6 +157,78 @@ class Round5vSpec extends AnyFunSuite {
 
   // ----------------------------------------------------- temperature sample
 
+  // ------------------------------------------------- gap-filled histogram
+
+  test("dateHistogramFilled: full ladder with zero buckets; out-of-bounds data still appears") {
+    val corpus = mkTurns(
+      ("a", 0, "hit x"),     // minute 00:00
+      ("b", 120, "hit y"),   // minute 00:02
+      ("c", 600, "hit z"))   // minute 00:10 — OUTSIDE the [00:00, 00:04] ladder
+    val r = build(corpus)
+    val meta = corpus.select(col("conv_id"), col("ts"))
+    val got = r.dateHistogramFilled("hit", meta, "conv_id", "ts", "minute",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:04:00"))
+      .orderBy("bucket").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(got == Seq(
+      ("2024-01-01 00:00:00", 1L), ("2024-01-01 00:01:00", 0L),
+      ("2024-01-01 00:02:00", 1L), ("2024-01-01 00:03:00", 0L),
+      ("2024-01-01 00:04:00", 0L),
+      ("2024-01-01 00:10:00", 1L))) // extended_bounds extends, never truncates
+    intercept[IllegalArgumentException] {
+      r.dateHistogramFilled("hit", meta, "conv_id", "ts", "week",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:04:00"))
+    }
+  }
+
+  // ---------------------------------------------- transcript well-formedness
+
+  test("validateTranscripts: dense-index holes, role repeats, and empty turns are each caught") {
+    val rows = Seq(
+      // good: dense 0..2, alternating, non-empty
+      ("g", 0, "user", "a"), ("g", 1, "assistant", "b"), ("g", 2, "user", "c"),
+      // hole: idx 0, 2 (missing 1)
+      ("h", 0, "user", "a"), ("h", 2, "assistant", "b"),
+      // duplicate idx: 0, 0, 1
+      ("d", 0, "user", "a"), ("d", 0, "assistant", "b"), ("d", 1, "user", "c"),
+      // role repeat at idx 1→2
+      ("r", 0, "user", "a"), ("r", 1, "assistant", "b"), ("r", 2, "assistant", "c"),
+      // empty turn (whitespace only)
+      ("e", 0, "user", "a"), ("e", 1, "assistant", "   "))
+    val turns = rows.map { case (c, i, role, txt) =>
+      killa.model.Turn(c, i, role, txt, "", new java.sql.Timestamp(epoch))
+    }.toDS().toDF()
+    val got = killa.text.TextOps.validateTranscripts(turns, "conv_id",
+      "turn_idx", "role", "text").collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4)))).toMap
+    assert(got("g") == ((3L, true, true, false)))
+    assert(got("h") == ((2L, false, true, false)))
+    assert(got("d")._2 == false) // duplicate idx breaks density
+    assert(got("r") == ((3L, true, false, false)))
+    assert(got("e") == ((2L, true, true, true)))
+  }
+
+  // ------------------------------------------------------ loss-mask packing
+
+  test("packTranscripts: conv-order offsets, trainable-token accounting, boundary spans") {
+    val rows = Seq(
+      ("a", 0, "user", "u1 u2 u3"), ("a", 1, "assistant", "a1 a2"),   // 5 tokens, 2 train
+      ("b", 0, "user", "u1"), ("b", 1, "assistant", "a1 a2 a3 a4"),   // 5 tokens, 4 train
+      ("c", 0, "user", "u1 u2"), ("c", 1, "assistant", "a1"))         // 3 tokens, 1 train
+    val turns = rows.map { case (c, i, role, txt) =>
+      killa.model.Turn(c, i, role, txt, "", new java.sql.Timestamp(epoch))
+    }.toDS().toDF()
+    val got = killa.text.Packing.packTranscripts(turns, "conv_id", "role",
+        "text", budget = 8L).orderBy("conv_id").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // offsets: a@0, b@5, c@10; seq_id = offset / 8 → a:0, b:0 (spans into 1), c:1
+    assert(got.toSeq == Seq(
+      ("a", 5L, 2L, 0L, 0L), ("b", 5L, 4L, 5L, 0L), ("c", 3L, 1L, 10L, 1L)))
+  }
+
   test("temperatureSample: data-derived per-source rates flatten the mixture, deterministically") {
     val docs = (0 until 1024).map(i =>
       (i.toLong, if (i < 960) "big" else "small", s"tok$i uniq${i * 7}"))
