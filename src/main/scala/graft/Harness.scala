@@ -734,6 +734,35 @@ object Harness {
       "CAST(count(*) AS BIGINT) AS hits " +
       "FROM hits h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1)"
 
+  /** rank_eval oracle: per query, the bm25 top-k rank list (same scoring
+    * CTE chain as [[bm25OracleSql]]) joined to that query's judged-relevant
+    * VALUES — precision@k, recall@k, MRR. One self-contained subquery per
+    * query, UNION ALL'd.
+    */
+  def rankEvalOracleSql(queries: Seq[(String, Seq[String], Seq[String])],
+      k: Int): String =
+    queries.map { case (qid, terms, relIds) =>
+      val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+      val jvals = relIds.map(c => s"('$c')").mkString(", ")
+      "SELECT * FROM (" +
+        TurnsCte + TfCtes +
+        s", q(term, tidx) AS (VALUES $vals)" +
+        ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q" +
+        " LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
+        ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
+        "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * " +
+        "tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+        "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+        ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)" +
+        ", top AS (SELECT conv_id, row_number() OVER (ORDER BY s DESC, conv_id ASC)" +
+        s" AS rank FROM scored QUALIFY rank <= $k)" +
+        s", j(conv_id) AS (VALUES $jvals)" +
+        ", m AS (SELECT count(*) AS hits, min(rank) AS fr FROM top JOIN j USING (conv_id))" +
+        s" SELECT '$qid' AS query_id, round(hits / $k.0, 4) AS precision_k," +
+        s" round(hits / ${relIds.length}.0, 4) AS recall_k," +
+        " round(coalesce(1.0 / fr, 0.0), 4) AS mrr FROM m)"
+    }.mkString(" UNION ALL ") + " ORDER BY query_id"
+
   /** Gap-filled date-histogram oracle (minute unit): the [lo, hi] ladder
     * from generate_series full-outer-joined to the sparse histogram, zero
     * hits filled — the min_doc_count:0 + extended_bounds contract.

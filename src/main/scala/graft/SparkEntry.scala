@@ -895,6 +895,21 @@ object SparkEntry {
     // BM25 score as a distributed frame — no top-k heap, no driver collect
     "q_bm25_export" -> ((s, dir) =>
       present(reader(s, dir).bm25ScoredAll(Seq("filter")))),
+    // multi-search: two independent top-k queries in one call, slot-tagged
+    "q_msearch" -> ((s, dir) =>
+      present(reader(s, dir).msearch(
+        Seq("a" -> Seq("query", "filter"), "b" -> Seq("batch", "agg")), 10))),
+    // rank_eval: precision@10 / recall@10 / MRR of two queries against a
+    // fixed judgments table — the offline search-quality gate
+    "q_rank_eval" -> ((s, dir) => {
+      import s.implicits._
+      val judgments = Seq(
+        ("qa", "c00020"), ("qa", "c00077"), ("qa", "c00042"),
+        ("qb", "c00050"), ("qb", "c00001")).toDF("query_id", "conv_id")
+      reader(s, dir).rankEval(
+        Seq("qa" -> Seq("query", "filter"), "qb" -> Seq("batch", "agg")),
+        judgments, "query_id", "conv_id", 10).orderBy("query_id")
+    }),
     // sliced scored export (sliced scroll): slice 1 of 3 by md5(conv_id) —
     // a deterministic disjoint subset of q_bm25_export's rows, so the
     // export can drain through 3 parallel consumers with no overlap
@@ -1807,6 +1822,15 @@ object SparkEntry {
     // export = the same exact total order with no top-k cut (LIMIT far above
     // any possible match count)
     "q_bm25_export" -> bm25OracleSql(Seq("filter"), 1000000, conjunctive = false),
+    // msearch: each slot's full bm25 statement as a slot-tagged subquery
+    "q_msearch" ->
+      ("SELECT 'a' AS slot, * FROM (" +
+        bm25OracleSql(Seq("query", "filter"), 10, conjunctive = false) +
+        ") UNION ALL SELECT 'b' AS slot, * FROM (" +
+        bm25OracleSql(Seq("batch", "agg"), 10, conjunctive = false) + ")"),
+    "q_rank_eval" -> rankEvalOracleSql(Seq(
+      ("qa", Seq("query", "filter"), Seq("c00020", "c00077", "c00042")),
+      ("qb", Seq("batch", "agg"), Seq("c00050", "c00001"))), 10),
     // slice 1 of 3 by the first 8 md5(conv_id) hex chars mod 3
     "q_bm25_sliced" -> bm25OracleSql(Seq("filter"), 1000000, conjunctive = false,
       filterConvSql = Some("SELECT DISTINCT conv_id FROM turns WHERE" +

@@ -1885,6 +1885,69 @@ final class IndexReader(
     if (terms.isEmpty) emptyMembers else membershipAny(terms)
   }
 
+  /** Multi-search (the Elasticsearch `_msearch` API): several independent
+    * top-k queries in one call, results tagged by slot — the batch serving
+    * shape (one dashboard refresh = one msearch). Each slot is a full
+    * [[bm25TopK]] with its own pruning; the union is a plan combinator, not
+    * a shuffle (each branch is already ≤ k rows). The slot list is
+    * request-sized, like the API it mirrors.
+    *
+    * @return (slot, conv_id, score) rows, each slot's rows in its own
+    *         exact (score desc, conv asc) top-k.
+    */
+  def msearch(slots: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    require(slots.nonEmpty, "msearch needs at least one slot")
+    require(slots.map(_._1).distinct.length == slots.length, "duplicate slot names")
+    slots.map { case (slot, terms) =>
+      bm25TopK(terms, k).withColumn("slot", lit(slot))
+    }.reduce(_ unionByName _).select("slot", "conv_id", "score")
+  }
+
+  /** Ranked-result evaluation (the Elasticsearch `_rank_eval` API): run each
+    * query, intersect its exact top-k with the caller's relevance judgments,
+    * and report the standard ranking metrics per query — precision@k,
+    * recall@k (against that query's judged-relevant count), and MRR
+    * (reciprocal rank of the first relevant hit, 0 when none lands in the
+    * top k). This is the offline search-quality gate (and the dedup/recall
+    * harness a training pipeline runs after every index or ranking change).
+    * The query list is request-sized (driver loop bounded by the request,
+    * like [[msearch]]); judgments stay a distributed frame and every metric
+    * folds in one combinable aggregation.
+    *
+    * @param queries    (query_id, terms) pairs to evaluate.
+    * @param judgments  frame of (qidCol, convCol) relevant pairs.
+    * @return (query_id, precision_k, recall_k, mrr) — one row per query,
+    *         queries with no results included at 0.
+    */
+  def rankEval(queries: Seq[(String, Seq[String])], judgments: DataFrame,
+      qidCol: String, convCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(queries.nonEmpty, "rank_eval needs at least one query")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("conv_id").asc)
+    val ranked = queries.map { case (qid, terms) =>
+      bm25TopK(terms, k).withColumn("query_id", lit(qid))
+    }.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+    val rel = judgments.select(col(qidCol).as("query_id"),
+      col(convCol).as("conv_id"), lit(1L).as("__rel")).distinct()
+    val relCounts = rel.groupBy("query_id").agg(count(lit(1)).as("__nrel"))
+    val perQuery = ranked.join(rel, Seq("query_id", "conv_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("__hits"),
+        min(when(col("__rel").isNotNull, col("rank"))).as("__fr"))
+    queries.map(_._1).toDF("query_id")
+      .join(perQuery, Seq("query_id"), "left")
+      .join(relCounts, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("__hits"), lit(0L)) / lit(k.toDouble), 4)
+          .as("precision_k"),
+        round(coalesce(col("__hits"), lit(0L)) /
+          coalesce(col("__nrel"), lit(1L)).cast("double"), 4).as("recall_k"),
+        round(coalesce(lit(1.0) / col("__fr").cast("double"), lit(0.0)), 4)
+          .as("mrr"))
+  }
+
   /** Span-not (the Elasticsearch/Lucene `span_not` query, single-term
     * spans): conversations with an occurrence of `include` that does NOT
     * lie within `pre` positions after — nor `post` positions before — any

@@ -157,6 +157,45 @@ class Round5vSpec extends AnyFunSuite {
 
   // ----------------------------------------------------- temperature sample
 
+  // --------------------------------------------------- msearch + rank_eval
+
+  test("msearch: slot-tagged union of independent exact top-ks") {
+    val corpus = mkTurns(
+      ("a", 0, "alpha alpha"), ("b", 60, "alpha beta"), ("c", 120, "beta beta"))
+    val r = build(corpus)
+    val got = r.msearch(Seq("s1" -> Seq("alpha"), "s2" -> Seq("beta")), 2)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val s1 = r.bm25TopK(Seq("alpha"), 2).collect().map("s1" -> _.getString(0)).toSet
+    val s2 = r.bm25TopK(Seq("beta"), 2).collect().map("s2" -> _.getString(0)).toSet
+    assert(got == (s1 union s2))
+    intercept[IllegalArgumentException] {
+      r.msearch(Seq("x" -> Seq("alpha"), "x" -> Seq("beta")), 2)
+    }
+  }
+
+  test("rankEval: precision/recall/MRR hand-computed; no-hit and no-result queries report zeros") {
+    val corpus = mkTurns(
+      ("a", 0, "alpha alpha alpha"), // top for alpha
+      ("b", 60, "alpha beta"),
+      ("c", 120, "alpha gamma gamma gamma gamma gamma gamma gamma gamma"))
+    val r = build(corpus)
+    val judgments = Seq(
+      ("q1", "a"), ("q1", "zz"),  // judged: a (hit, rank 1), zz (never returned)
+      ("q2", "b"),                // q2 searches a term with no matches
+      ("q3", "b")).toDF("qid", "conv")
+    val got = r.rankEval(Seq(
+        "q1" -> Seq("alpha"), "q2" -> Seq("qqq_absent"), "q3" -> Seq("beta")),
+        judgments, "qid", "conv", k = 2)
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getDouble(3)))).toMap
+    // q1: top-2 of alpha = (a, then b or c by score); a relevant at rank 1
+    assert(got("q1") == ((0.5, 0.5, 1.0)))
+    // q2: no results at all → all zeros
+    assert(got("q2") == ((0.0, 0.0, 0.0)))
+    // q3: beta's only match is b, judged relevant, rank 1 of a 1-row list
+    assert(got("q3") == ((0.5, 1.0, 1.0)))
+  }
+
   // ------------------------------------------------- gap-filled histogram
 
   test("dateHistogramFilled: full ladder with zero buckets; out-of-bounds data still appears") {
