@@ -222,11 +222,42 @@ object Bench {
     * taken (r2's artifact ran the aggregate once against a best-of-3
     * baseline — asymmetry that could only bias the ratio down).
     */
+  private final case class ReplResult(base: Double, agg: Double, eff: Double,
+      baseSamples: Seq[Double], aggSamples: Seq[Double])
+
   private def replicationEfficiency(root: String, nConvs: Int, secs: Int,
-      samples: Int): (Double, Double, Double) = {
-    val base = (1 to samples).map(i => probePhase(1, root, nConvs, secs, s"base$i")).max
-    val agg = (1 to samples).map(i => probePhase(4, root, nConvs, secs, s"agg$i")).max
-    (base, agg, if (base > 0) (agg / base) / 4.0 else 0.0)
+      samples: Int): ReplResult = {
+    // Pre-touch every store file once so the OS page cache is
+    // deterministically WARM for all phases. Without this, successive probe
+    // JVMs warm the cache as a side effect and absolute qps drifts upward
+    // across samples (measured 19.8 → 31.8 over three otherwise-identical
+    // 1-frontend phases on a quiet box) — and because best-of-N then picks
+    // the warmest base against possibly-colder agg windows, the published
+    // ratio swung 0.65..1.0 run to run. Cache-warm serving is a frontend's
+    // steady state, so warm-on-both-sides is the honest measurement.
+    Files.walk(Paths.get(root)).forEach { p =>
+      if (Files.isRegularFile(p)) { Files.readAllBytes(p); () }
+    }
+    // MEDIAN of samples on BOTH sides, not best-of-N. Quiet-box calibration
+    // (18 single-frontend phases, warm cache, identical JVMs) measured the
+    // host's deliverable CPU swinging ±25% on a 10-60 s timescale with
+    // steal% ≈ 0 — invisible to the weather gate. A ratio of maxes is then
+    // doubly unstable: the numerator (a 4-JVM SUM) regresses to the mean
+    // while the denominator (3 draws of one noisy JVM) picks the luckiest
+    // draw, structurally biasing the published ratio DOWN (r5 measured the
+    // same tree at 1.00 and 0.65 hours apart). Medians of interleaved
+    // samples estimate the same steady state on both sides.
+    // ... and INTERLEAVED in time (b,a,b,a,…): the noise's timescale is
+    // comparable to a whole phase group, so running all base then all agg
+    // lets one drift episode land entirely on one side of the ratio.
+    val pairs = (1 to samples).map { i =>
+      (probePhase(1, root, nConvs, secs, s"base$i"),
+       probePhase(4, root, nConvs, secs, s"agg$i"))
+    }
+    val base = median(pairs.map(_._1))
+    val agg = median(pairs.map(_._2))
+    ReplResult(base, agg, if (base > 0) (agg / base) / 4.0 else 0.0,
+      pairs.map(_._1), pairs.map(_._2))
   }
 
   /** One parallelism level: timed index builds (best + median of N after
@@ -366,8 +397,8 @@ object Bench {
     val timedBuilds = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val queryReps = 5
-    val probeSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_SECS", "12").toInt
-    val probeSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_SAMPLES", "3").toInt
+    val probeSecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_SECS", "20").toInt
+    val probeSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_SAMPLES", "5").toInt
 
     val quietWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_SECS", "90").toInt
     def level(c: Int) = weathered(quietWait) {
@@ -399,18 +430,19 @@ object Bench {
     val effQuery = effQ
     // horizontal serving scaling over the hi level's committed index; the
     // parent stays pinned to the hi mask but is idle while probes run
-    var ((qpsBase, qpsAgg, effRepl), replW) = weathered(quietWait) {
+    var (repl, replW) = weathered(quietWait) {
       replicationEfficiency(hi.lastRoot, nConvs, probeSecs, probeSamples)
     }
-    val attempt1Repl = effRepl
+    val attempt1Repl = repl.eff
     var replRetried = false
     if (replW.dirty) {
       val r = weathered(quietWait) {
         replicationEfficiency(hi.lastRoot, nConvs, probeSecs, probeSamples)
       }
-      qpsBase = r._1._1; qpsAgg = r._1._2; effRepl = r._1._3; replW = r._2
+      repl = r._1; replW = r._2
       replRetried = true
     }
+    val qpsBase = repl.base; val qpsAgg = repl.agg; val effRepl = repl.eff
 
     def r2(d: Double) = math.rint(d * 100) / 100
     val qmap = Map(
@@ -431,6 +463,13 @@ object Bench {
       "qps_one_frontend_2cores" -> r2(qpsBase),
       "qps_four_frontends_8cores" -> r2(qpsAgg),
       "scaling_efficiency_query_replicated" -> r2(effRepl),
+      // full interleaved sample series (median per side is the headline):
+      // the artifact carries its own variance under the host's ±25% CPU
+      // noise — judge the ratio against this spread, not a point estimate
+      "repl_base_qps_min" -> r2(repl.baseSamples.min),
+      "repl_base_qps_max" -> r2(repl.baseSamples.max),
+      "repl_agg_qps_min" -> r2(repl.aggSamples.min),
+      "repl_agg_qps_max" -> r2(repl.aggSamples.max),
       // the artifact's own weather (VERDICT r4 next #1): external busy cores
       // sampled while idle at each phase start, hypervisor-steal % across
       // each phase, and whether the weather gate retried a phase (0/1).
@@ -492,15 +531,27 @@ object Bench {
          |
          || serving replication (its own axis) | 1 × 2-core frontend | 4 × 2-core frontends | 1→4 frontends efficiency (target ≥ 0.8) |
          ||---|---|---|---|
-         || aggregate qps over the shared store | ${r2(qpsBase)} | ${r2(qpsAgg)} | **${r2(effRepl)}** |
+         || aggregate qps over the shared store (median of $probeSamples) | ${r2(qpsBase)} | ${r2(qpsAgg)} | **${r2(effRepl)}** |
+         |
+         |Interleaved sample series (qps): base [${repl.baseSamples.map(r2).mkString(", ")}],
+         |4-frontend aggregate [${repl.aggSamples.map(r2).mkString(", ")}].
          |
          |Replication protocol: each frontend is a child JVM pinned to its own
          |2 cores (stderr discarded — an unread pipe would deadlock it; a probe
          |that fails to report ABORTS the bench rather than summing 0.0), warms
-         |up, signals ready, and all measure the SAME wall-clock window from a
-         |shared barrier-release instant for $probeSecs s. BOTH phases sampled
-         |$probeSamples× (best taken) — symmetric, unlike the r2 artifact's
-         |once-vs-best-of-3.
+         |up to steady state (time-based, ≥8 s — C2 + reader caches settle
+         |before the window), signals ready, and all measure the SAME
+         |wall-clock window from a shared barrier-release instant for
+         |$probeSecs s. Store page cache is pre-touched once before the first
+         |phase (cache-warm serving is a frontend's steady state; without it
+         |successive JVMs warm the cache as a side effect and qps drifts
+         |across samples). BOTH phases sampled $probeSamples×, INTERLEAVED
+         |(b,a,b,a,…), MEDIAN taken per side: quiet-box calibration measured
+         |the host's deliverable CPU swinging ±25% on a 10-60 s timescale at
+         |steal ≈ 0, and a ratio of per-side maxes under that noise is biased
+         |down (a 4-JVM sum regresses to the mean; a single JVM's max picks
+         |the luckiest draw) — medians of interleaved samples estimate the
+         |same steady state on both sides.
          |
          |## Weather (the artifact carries its own environment)
          |

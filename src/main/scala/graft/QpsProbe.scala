@@ -54,7 +54,20 @@ object QpsProbe {
       () => reader.bm25TopKRows(Seq("query"), 10).length.toLong,
       () => reader.bm25TopKRows(Seq("query", "filter", "join"), 10).length.toLong,
       () => reader.bm25TopKRows(Seq("query", "filter"), 10, conjunctive = true).length.toLong)
-    (0 until 2).foreach(_ => queries.foreach(_.apply())) // warmup: dict + label caches, codegen
+    // warmup to STEADY STATE, not a fixed pass count: loop the mix for a
+    // fixed duration (≥ 2 full passes) so C2 compilation of the DAAT kernel
+    // and the reader's block/label caches settle BEFORE the measured window.
+    // With only 2 passes (~1 s) the first seconds of a 12 s window were
+    // still paying JIT on 2-core frontends, and how much of it landed
+    // inside the window varied run to run — the dominant term in the
+    // replication ratio's 0.65..1.0 spread across otherwise-clean runs.
+    val warmupSecs = sys.env.getOrElse("KILLA_PROBE_WARMUP_SECS", "8").toDouble
+    val warmDeadline = System.nanoTime() + (warmupSecs * 1e9).toLong
+    var warmPasses = 0
+    while (warmPasses < 2 || System.nanoTime() < warmDeadline) {
+      queries.foreach(_.apply())
+      warmPasses += 1
+    }
 
     barrier.foreach { case (dir, id) =>
       val d = Paths.get(dir)

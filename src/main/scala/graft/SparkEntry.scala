@@ -876,6 +876,11 @@ object SparkEntry {
     // ones that differ there)
     "q_suggest_prefix" -> ((s, dir) =>
       reader(s, dir).suggest("sow", maxDist = 1, n = 5, boostPrefixLen = 1)),
+    // dictionary enumeration (the ES _terms_enum API): first n index terms
+    // under a prefix, term-ordered, with document frequencies — a pruned
+    // (term, df) dictionary-column scan, payloads never decode
+    "q_terms_enum" -> ((s, dir) =>
+      reader(s, dir).termsEnum("s", n = 8)),
     // window rescore (the ES rescore / function-score pattern): exact BM25
     // top-window, each hit multiplied by a rational recency decay
     // halfLife/(halfLife+age) from the doc-values table, re-ranked, top-k.
@@ -998,6 +1003,14 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       killa.dedup.Dedup.exactGroups(documents(s, dir), "doc_id", "text")
         .orderBy("text_md5")),
+    // frequent co-occurring term pairs (the ES frequent_item_sets agg at
+    // size 2, exact): Apriori-pruned two-pass fold, no all-pairs self-join
+    "q_frequent_pairs" -> ((s, dir) => {
+      val toks = documents(s, dir).select(col("doc_id"),
+        explode(Tokenize.termsCol(col("text"))).as("term"))
+      killa.mine.Itemsets.frequentItemPairs(toks, "doc_id", "term",
+        minSupport = 300L, k = 20)
+    }),
     // dedup as a pipeline step: corpus minus non-representative exact dups
     "q_dedup_keep" -> ((s, dir) =>
       killa.dedup.Dedup.dropExactDuplicates(documents(s, dir), "doc_id", "text")
@@ -1081,6 +1094,11 @@ object SparkEntry {
     "q_validate_transcripts" -> ((s, dir) =>
       killa.text.TextOps.validateTranscripts(transcripts(s, dir), "conv_id",
         "turn_idx", "role", "text").orderBy("conv_id")),
+    // role→role adjacent-turn transition counts (agent-behavior Markov
+    // matrix): one bounded per-conv lag window + one combinable fold
+    "q_turn_transitions" -> ((s, dir) =>
+      killa.text.TextOps.turnTransitions(transcripts(s, dir), "conv_id",
+        "turn_idx", "role")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       killa.dedup.Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text", 3, 0.8)
         .orderBy("a_id", "b_id")),
@@ -1818,6 +1836,10 @@ object SparkEntry {
     "q_more_like_this" -> mltOracleSql("c00007", 5, 10, maxDfPct = 100),
     "q_suggest" -> suggestOracleSql("sow", 1, 5),
     "q_suggest_prefix" -> suggestOracleSql("sow", 1, 5, boostPrefixLen = 1),
+    // terms_enum ≡ the term-ordered head of the prefix-filtered dictionary
+    "q_terms_enum" -> (TurnsCte + TfCtes +
+      " SELECT term, count(*) AS df FROM tf WHERE term LIKE 's%'" +
+      " GROUP BY term ORDER BY term LIMIT 8"),
     "q_rescore_recency" -> rescoreOracleSql(Seq("query", "filter", "join"), 10, 30, 120L),
     // export = the same exact total order with no top-k cut (LIMIT far above
     // any possible match count)
@@ -1871,6 +1893,16 @@ object SparkEntry {
         " SELECT conv_id, n_tokens, n_train_tokens, start_offset," +
         " CAST(start_offset // 1024 AS BIGINT) AS seq_id FROM o" +
         " ORDER BY conv_id"),
+    // adjacent-turn role transitions under the stable (conv, idx) order
+    "q_turn_transitions" ->
+      ("WITH t AS (SELECT printf('c%05d', doc_id // 5) AS conv_id," +
+        " CAST(doc_id % 5 AS INT) AS turn_idx," +
+        " CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role" +
+        " FROM documents)" +
+        ", l AS (SELECT role AS to_v, lag(role) OVER (PARTITION BY conv_id" +
+        " ORDER BY turn_idx) AS from_v FROM t)" +
+        " SELECT from_v, to_v, count(*) AS n FROM l WHERE from_v IS NOT NULL" +
+        " GROUP BY 1, 2 ORDER BY n DESC, from_v, to_v"),
     // well-formedness: dense 0..n-1 turn indexes, strict role alternation
     // (lag window), any empty-tokenizing turn
     "q_validate_transcripts" ->
@@ -1926,6 +1958,14 @@ object SparkEntry {
       " FROM w ORDER BY doc_id"),
     "q_fingerprint" -> (DocToksCte +
       " SELECT doc_id, md5(array_to_string(toks, ' ')) AS text_md5 FROM w ORDER BY doc_id"),
+    // frequent pairs ≡ the support-ordered head of the distinct-item
+    // co-occurrence counts (set semantics per doc, pair ordered a < b)
+    "q_frequent_pairs" -> (DocToksCte +
+      ", di AS (SELECT DISTINCT doc_id, unnest(toks) AS i FROM w)" +
+      " SELECT a.i AS item_a, b.i AS item_b, count(*) AS support" +
+      " FROM di a JOIN di b ON a.doc_id = b.doc_id AND a.i < b.i" +
+      " GROUP BY 1, 2 HAVING count(*) >= 300" +
+      " ORDER BY support DESC, item_a, item_b LIMIT 20"),
     "q_dedup_exact" -> (DocToksCte +
       " SELECT md5(array_to_string(toks, ' ')) AS text_md5, count(*) AS cnt," +
       " min(doc_id) AS rep_id FROM w GROUP BY 1 ORDER BY 1"),

@@ -343,6 +343,31 @@ final class IndexReader(
     }
   }
 
+  /** Dictionary enumeration (the Elasticsearch `_terms_enum` API — the
+    * index-backed autocomplete/discovery surface): the first `n` index terms
+    * starting with `prefix`, in term order, each with its document
+    * frequency. Serving shape: the manifest's per-bucket prefix sidecars
+    * skip whole buckets, the pushed StartsWith prunes row groups inside the
+    * survivors (terms are each file's sort key), and only the (term, df)
+    * dictionary columns are read — posting payloads never decode, so the
+    * scan is kilobytes per surviving bucket at any corpus scale. max(df)
+    * folds multi-block terms exactly (every block carries the global df,
+    * same argument as [[suggest]]).
+    *
+    * @return (term, df) rows, term asc, ≤ n rows.
+    */
+  def termsEnum(prefix: String, n: Int = 10): DataFrame = {
+    val empty = Seq.empty[(String, Long)].toDF("term", "df")
+    if (prefix == null || prefix.isEmpty || n <= 0 || manifest.isEmpty) return empty
+    val paths = prunedBucketPaths(Some(prefix), None)
+    if (paths.isEmpty) return empty
+    spark.read.schema(blockSchema).parquet(paths: _*)
+      .where(col("term").startsWith(prefix))
+      .groupBy("term").agg(max(col("df")).as("df"))
+      .orderBy(col("term").asc)
+      .limit(n)
+  }
+
   /** Spell-suggest / did-you-mean (the Elasticsearch `term` suggester): the
     * `n` dictionary terms within Levenshtein distance ≤ `maxDist` of the
     * (possibly misspelled) input, ranked by document frequency desc then

@@ -297,6 +297,30 @@ object TextOps {
         (sum(when(col("__empty"), 1L).otherwise(0L)) > 0).as("has_empty_turn"))
   }
 
+  /** Adjacent-turn transition counts (the role→role / tool→tool Markov
+    * matrix of a transcript corpus — agent-behavior mining: "how often does
+    * a tool call follow a user turn?"): for every conversation, count each
+    * (value at turn i, value at turn i+1) pair under the stable
+    * (conv_id, turn_idx) order, folded corpus-wide. Shape at scale: one
+    * bounded per-conversation window (same lag shape [[validateTranscripts]]
+    * uses — turn counts are small by construction) + one combinable fold;
+    * no self-join, nothing driver-side.
+    *
+    * @return (from_v, to_v, n), n desc then pair asc — deterministic.
+    */
+  def turnTransitions(turns: DataFrame, convCol: String, idxCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__c")).orderBy(col("__i"))
+    turns
+      .select(col(convCol).as("__c"), col(idxCol).as("__i"),
+        col(valueCol).cast("string").as("to_v"))
+      .withColumn("from_v", lag(col("to_v"), 1).over(w))
+      .where(col("from_v").isNotNull)
+      .groupBy("from_v", "to_v").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_v").asc, col("to_v").asc)
+  }
+
   /** 64-bit Rabin-Karp rolling hash over a token sequence (pure Scala; used
     * by simhash/minhash internals and available as a cheap shift-resistant
     * document fingerprint).
