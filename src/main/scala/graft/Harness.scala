@@ -842,6 +842,16 @@ object Harness {
       s" SELECT bucket, hits, hits - lag(hits, $lagN) OVER (ORDER BY bucket) AS sdiff" +
       " FROM hist ORDER BY bucket"
 
+  /** moving_percentiles oracle: trailing-window quantile_cont (the same
+    * (n−1)·p interpolation the engine computes) over the minute histogram.
+    */
+  def movingPercentilesOracleSql(term: String, window: Int): String =
+    histCtes(term) +
+      s" SELECT bucket, hits," +
+      s" round(quantile_cont(hits, 0.5) OVER (ORDER BY bucket ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW), 4) AS p50," +
+      s" round(quantile_cont(hits, 0.95) OVER (ORDER BY bucket ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW), 4) AS p95" +
+      " FROM hist ORDER BY bucket"
+
   /** bucket_script oracle: per minute-bucket share of `termA`'s hits among
     * `termA`+`termB` hits, absent sides coalesced to 0.
     */

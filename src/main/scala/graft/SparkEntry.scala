@@ -626,6 +626,13 @@ object SparkEntry {
       reader(s, dir).dateHistogramPipeline("spark", meta, "conv_id", "ts",
         "minute", movingWindow = 3).orderBy("bucket")
     }),
+    // moving_percentiles pipeline agg: trailing-window exact interpolated
+    // p50/p95 of the histogram hit counts (ES sketches; reduced list = exact)
+    "q_moving_percentiles" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).movingPercentiles("spark", meta, "conv_id", "ts",
+        "minute", window = 3).orderBy("bucket")
+    }),
     // serial_diff pipeline agg: hits minus the hits `lag` buckets earlier
     // (seasonal differencing; lag 2 here so it provably isn't derivative)
     "q_serial_diff" -> ((s, dir) => {
@@ -1129,6 +1136,12 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
+    // conversation-level embedding pooling (turn/chunk vectors → one
+    // unit-norm mean vector per conv, exploded (grp, i, v) presentation):
+    // the pipeline step that feeds corpus-level ANN/dedup
+    "q_embed_pool" -> ((s, dir) =>
+      killa.ann.Pooling.meanPoolNormalized(embeddings(s, dir),
+        floor(col("vec_id") / 5).cast("long"), col("embedding"))),
     // kNN similarity floor (the ES knn `similarity` param): top-5 first,
     // then neighbors under cosine 0.3 drop — on this fixture query 0 keeps
     // 4, query 1 all 5, query 2 exactly 1, so the floor is live in both
@@ -1726,6 +1739,7 @@ object SparkEntry {
       " SELECT term, df FROM gdf WHERE df <= 99 ORDER BY df ASC, term ASC LIMIT 10"),
     "q_date_histogram_pipeline" -> dateHistogramPipelineOracleSql("spark", 3),
     "q_serial_diff" -> serialDiffOracleSql("spark", 2),
+    "q_moving_percentiles" -> movingPercentilesOracleSql("spark", 3),
     "q_bucket_script" -> bucketScriptOracleSql("spark", "query"),
     "q_normalize_agg" -> normalizeOracleSql("spark"),
     "q_cumulative_cardinality" -> cumulativeCardinalityOracleSql("spark"),
@@ -2179,6 +2193,17 @@ object SparkEntry {
       s" SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(${cosSql("a.v", "b.v")}, 4) AS cosine" +
       " FROM e a JOIN e b ON a.vec_id < b.vec_id" +
       s" WHERE round(${cosSql("a.v", "b.v")}, 4) >= 0.45 ORDER BY a_id, b_id"),
+    // pooled embedding ≡ per-(grp, dim) mean over the group's vectors, each
+    // group's vector L2-normalized; zipped unnest + generate_subscripts
+    // recovers the dimension index
+    "q_embed_pool" -> ("WITH e AS (SELECT vec_id // 5 AS grp," +
+      " generate_subscripts(embedding, 1) - 1 AS i," +
+      " CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)" +
+      ", m AS (SELECT grp, i, avg(x) AS m FROM e GROUP BY 1, 2)" +
+      ", n AS (SELECT grp, sqrt(sum(m * m)) AS nrm FROM m GROUP BY 1" +
+      " HAVING sqrt(sum(m * m)) > 0)" +
+      " SELECT CAST(m.grp AS BIGINT) AS grp, CAST(m.i AS BIGINT) AS i," +
+      " round(m.m / n.nrm, 4) AS v FROM m JOIN n USING (grp) ORDER BY grp, i"),
     "q_mm_features" -> ("SELECT doc_id AS id, 'text/plain' AS kind," +
       " octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5" +
       " FROM documents ORDER BY id"),

@@ -1,0 +1,48 @@
+package killa.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding pooling — the training-pipeline step between turn/chunk-level
+  * embeddings and document/conversation-level retrieval units: collapse a
+  * group of vectors (a conversation's turn embeddings, a document's chunk
+  * embeddings) into one unit-norm mean vector, the standard construction
+  * for corpus-level ANN/dedup over multi-part documents (the reference has
+  * no vector surface at all; this sits beside [[Ann]]'s search family and
+  * feeds it).
+  */
+object Pooling {
+
+  /** Element-wise mean of each group's vectors, L2-normalized, presented as
+    * exploded (grp, i, v) rows rounded to 4dp (the repo-wide float
+    * presentation contract; selection/arithmetic stay exact doubles).
+    *
+    * Scale shape: posexplode → one map-side-combinable (grp, dim) average →
+    * one (grp) norm fold → broadcast-size join back. No per-group
+    * collect_list ever materializes (group vector COUNT is unbounded in
+    * principle — a conversation can have any number of turns — so folding
+    * per (grp, dim) keeps every task bounded regardless of group skew), no
+    * UDF, nothing driver-side. Dim is a schema constant, so the exploded
+    * input is dim × rows — the same linear pass every scan of the vector
+    * column already pays.
+    *
+    * All-zero groups (norm 0) are dropped rather than emitting NaN — the
+    * convention ANN search itself uses for degenerate vectors.
+    *
+    * @param vecs   frame holding the vector column.
+    * @param grpCol pooling key expression.
+    * @param vecCol array&lt;float&gt; (or double) column.
+    * @return (grp, i, v) rows, grp asc then dimension index asc.
+    */
+  def meanPoolNormalized(vecs: DataFrame, grpCol: Column, vecCol: Column): DataFrame = {
+    val ex = vecs
+      .select(grpCol.as("grp"), posexplode(vecCol).as(Seq("i", "x")))
+      .select(col("grp"), col("i").cast("long").as("i"), col("x").cast("double").as("x"))
+    val m = ex.groupBy("grp", "i").agg(avg(col("x")).as("m"))
+    val nrm = m.groupBy("grp").agg(sqrt(sum(col("m") * col("m"))).as("nrm"))
+      .where(col("nrm") > 0.0)
+    m.join(nrm, "grp")
+      .select(col("grp"), col("i"), round(col("m") / col("nrm"), 4).as("v"))
+      .orderBy("grp", "i")
+  }
+}

@@ -1,7 +1,7 @@
 package killa.query
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import killa.Conf
@@ -2332,6 +2332,45 @@ final class IndexReader(
     val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
     dateHistogram(term, meta, convCol, tsCol, unit)
       .withColumn("sdiff", col("hits") - lag(col("hits"), lagN).over(w))
+  }
+
+  /** moving_percentiles pipeline aggregation (the Elasticsearch
+    * `moving_percentiles` agg — the robust-statistics sibling of
+    * [[dateHistogramPipeline]]'s moving_fn average): per histogram bucket,
+    * exact linearly-interpolated percentiles of the trailing `window`
+    * buckets' hit counts (rank = (n−1)·p, the quantile_cont / Spark
+    * `percentile` scheme; partial leading windows use what exists, the
+    * moving_fn convention). ES computes this over TDigest sketches —
+    * over the REDUCED bucket list exactness is free, so this is exact.
+    * Same coordinating-node shape as every pipeline sibling: one
+    * single-partition window whose cardinality is the time range over the
+    * unit, never the corpus; the sort + interpolation per bucket is pure
+    * codegen column arithmetic over a ≤ `window`-element array (no UDF).
+    *
+    * @return (bucket, hits, p50, p95) rows, bucket asc; percentiles 4dp.
+    */
+  def movingPercentiles(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String = "day", window: Int = 3,
+      ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p95" -> 0.95)): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      "percentiles must lie in [0, 1]")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(-(window - 1).toLong, 0L)
+    val withWin = dateHistogram(term, meta, convCol, tsCol, unit)
+      .withColumn("__w", sort_array(collect_list(col("hits")).over(w)))
+    def pct(p: Double): Column = {
+      val n = size(col("__w"))
+      val rank = (n - lit(1)).cast("double") * lit(p)
+      val lo = floor(rank).cast("int")
+      val frac = rank - lo.cast("double")
+      val vLo = element_at(col("__w"), lo + lit(1)).cast("double")
+      val vHi = element_at(col("__w"), least(lo + lit(2), n)).cast("double")
+      round(vLo * (lit(1.0) - frac) + vHi * frac, 4)
+    }
+    withWin.select(
+      Seq(col("bucket"), col("hits")) ++
+        ps.map { case (name, p) => pct(p).as(name) }: _*)
   }
 
   /** bucket_script pipeline aggregation (the Elasticsearch `bucket_script`

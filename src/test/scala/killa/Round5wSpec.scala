@@ -93,6 +93,51 @@ class Round5wSpec extends AnyFunSuite {
     assert(top1 == Seq(("x", "y")))
   }
 
+  // -------------------------------------------------- moving_percentiles
+
+  test("movingPercentiles: trailing-window interpolated p50/p95, partial leading windows") {
+    import org.apache.spark.sql.functions.col
+    // hits per minute bucket: 1, 3, 2, 5
+    val offs = Seq(0) ++ Seq(60, 61, 62) ++ Seq(120, 121) ++ Seq(180, 181, 182, 183, 184)
+    val corpus = mkTurns(offs.zipWithIndex.map { case (off, i) =>
+      (f"m$i%02d", off, "hit pad")
+    }: _*)
+    val r = build(corpus)
+    val meta = offs.zipWithIndex.map { case (off, i) =>
+      (f"m$i%02d", new Timestamp(epoch + off * 1000L))
+    }.toDF("conv_id", "ts")
+    val rows = r.movingPercentiles("hit", meta, "conv_id", "ts", "minute", window = 3)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L, 5L))
+    // windows (sorted): [1] / [1,3] / [1,2,3] / [2,3,5] under rank=(n-1)p
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 2.0, 3.0))    // p50
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(1.0, 2.9, 2.9, 4.8))    // p95
+    // degenerate window/percentile arguments refuse loudly
+    intercept[IllegalArgumentException] {
+      r.movingPercentiles("hit", meta, "conv_id", "ts", "minute", window = 0)
+    }
+    intercept[IllegalArgumentException] {
+      r.movingPercentiles("hit", meta, "conv_id", "ts", "minute",
+        ps = Seq("p" -> 1.5))
+    }
+  }
+
+  // ------------------------------------------------------ embedding pooling
+
+  test("meanPoolNormalized: element-wise mean, unit norm, zero groups dropped") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq(
+      (0L, Array(3f, 4f)), (0L, Array(1f, 0f)),  // mean [2,2] → [.7071,.7071]
+      (1L, Array(0f, 5f)),                       // → [0,1]
+      (2L, Array(0f, 0f))                        // zero norm → dropped
+    ).toDF("g", "v")
+    val got = killa.ann.Pooling.meanPoolNormalized(vecs, col("g"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 0.7071), (0L, 1L, 0.7071),
+      (1L, 0L, 0.0), (1L, 1L, 1.0)))
+  }
+
   test("termsEnum: df stays global and enumeration stays exact across a maintenance batch") {
     val corpus = mkTurns(("a", 0, "sort spark"), ("b", 60, "sort scan"))
     val root = TestSpark.freshDir("r5w-incr")
