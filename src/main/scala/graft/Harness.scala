@@ -959,6 +959,100 @@ object Harness {
       " SELECT n_a, n_b, round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b," +
       " round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) AS t FROM sa, sb"
 
+  /** change_point oracle: argmax over split points of |mean(left) −
+    * mean(right)| on the minute histogram, ties on the earliest bucket.
+    */
+  def changePointOracleSql(term: String): String =
+    histCtes(term) +
+      ", o AS (SELECT bucket, hits, row_number() OVER (ORDER BY bucket) AS i," +
+      " count(*) OVER () AS n, sum(hits) OVER (ORDER BY bucket" +
+      " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum," +
+      " sum(hits) OVER () AS tot FROM hist)" +
+      ", s AS (SELECT bucket, CAST(cum - hits AS DOUBLE) / (i - 1) AS lm," +
+      " CAST(tot - cum + hits AS DOUBLE) / (n - i + 1) AS rm FROM o WHERE i >= 2)" +
+      " SELECT bucket, round(lm, 4) AS left_mean, round(rm, 4) AS right_mean," +
+      " round(abs(lm - rm), 4) AS diff FROM s" +
+      " ORDER BY abs(lm - rm) DESC, bucket ASC LIMIT 1"
+
+  /** categorize_text oracle: digit-masked first-n-token templates of the
+    * matching convs' turns, top buckets by turn count.
+    */
+  def categorizeTextOracleSql(term: String, nTokens: Int, size: Int): String =
+    TurnsCte + TfCtes +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", cat AS (SELECT array_to_string(list_slice(string_split(" +
+      s"regexp_replace(t.text, '[0-9]+', '<num>', 'g'), ' '), 1, $nTokens), ' ') AS category" +
+      " FROM turns t JOIN hits h ON t.conv_id = h.conv_id)" +
+      " SELECT category, CAST(count(*) AS BIGINT) AS n_turns FROM cat" +
+      " WHERE length(category) > 0 GROUP BY 1" +
+      s" ORDER BY n_turns DESC, category ASC LIMIT $size"
+
+  /** random_sampler oracle: md5(seed ‖ conv) first-byte sample of the match
+    * set, count/sum of dl scaled by 256/numerator.
+    */
+  def randomSamplerOracleSql(term: String, numerator: Int, seed: String): String = {
+    // mirror of the engine's 256-keeps-all boundary
+    val where = if (numerator == 256) ""
+      else f" WHERE substr(md5('$seed' || h.conv_id), 1, 2) < '$numerator%02x'"
+    TurnsCte + TfCtes +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", smp AS (SELECT h.conv_id, CAST(dl.dl AS DOUBLE) AS v FROM hits h" +
+      s" JOIN dl ON h.conv_id = dl.conv_id$where)" +
+      " SELECT CAST(count(*) AS BIGINT) AS n_sampled," +
+      s" round(count(*) * 256.0 / $numerator, 4) AS est_n_docs," +
+      s" round(sum(v) * 256.0 / $numerator, 4) AS est_sum FROM smp"
+  }
+
+  /** variable_width_histogram oracle: SQL-standard NTILE equal-depth
+    * buckets over (dl, conv) order, per-bucket count/min/centroid/max.
+    */
+  def varWidthHistOracleSql(term: String, buckets: Int): String =
+    TurnsCte + TfCtes +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      ", v AS (SELECT h.conv_id, CAST(dl.dl AS DOUBLE) AS x FROM hits h" +
+      " JOIN dl ON h.conv_id = dl.conv_id)" +
+      s", t AS (SELECT x, CAST(ntile($buckets) OVER (ORDER BY x, conv_id) AS BIGINT) AS bucket FROM v)" +
+      " SELECT bucket, CAST(count(*) AS BIGINT) AS n, round(min(x), 4) AS min_v," +
+      " round(avg(x), 4) AS centroid, round(max(x), 4) AS max_v FROM t" +
+      " GROUP BY 1 ORDER BY 1"
+
+  /** ids/mget oracle over the time-travel root's LIVE corpus (conv ordinal
+    * % 10 = 0 deleted): found + stored dl per requested id.
+    */
+  def idsOracleSql(ids: Seq[String]): String = {
+    val vals = ids.distinct.map(id => s"('$id')").mkString(", ")
+    TurnsCte + TfCtes +
+      ", alive AS (SELECT conv_id, CAST(dl AS BIGINT) AS dl FROM dl" +
+      " WHERE CAST(substring(conv_id, 2) AS INT) % 10 <> 0)" +
+      s", req(conv_id) AS (VALUES $vals)" +
+      " SELECT r.conv_id, a.dl IS NOT NULL AS found, a.dl AS dl" +
+      " FROM req r LEFT JOIN alive a ON r.conv_id = a.conv_id" +
+      " ORDER BY r.conv_id"
+  }
+
+  /** has_child (min_children) oracle: parents by count of distinct turns
+    * containing the term, floor applied.
+    */
+  def hasChildOracleSql(term: String, minChildren: Int): String =
+    TurnsNestedCte + TfCtes +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      " SELECT split_part(conv_id, '#', 1) AS conv_id," +
+      " CAST(count(*) AS BIGINT) AS n_children FROM hits GROUP BY 1" +
+      s" HAVING count(*) >= $minChildren ORDER BY conv_id"
+
+  /** has_parent oracle: every turn of each conv matching ALL terms at the
+    * conversation level.
+    */
+  def hasParentOracleSql(terms: Seq[String]): String =
+    TurnsCte + TfCtes +
+      terms.zipWithIndex.map { case (t, i) =>
+        s", h$i AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$t')"
+      }.mkString +
+      ", hit AS (" +
+      terms.indices.map(i => s"SELECT conv_id FROM h$i").mkString(" INTERSECT ") +
+      ") SELECT t.conv_id, t.turn_idx FROM turns t JOIN hit p" +
+      " ON t.conv_id = p.conv_id ORDER BY t.conv_id, t.turn_idx"
+
   /** top_metrics oracle: per first-turn tool value of the matching convs,
     * the dl of the top conv under (min-ts desc, conv asc).
     */

@@ -726,6 +726,74 @@ object SparkEntry {
       val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
       reader(s, dir).statsBucket("spark", meta, "conv_id", "ts", "minute")
     }),
+    // change_point (step-change family): the minute bucket best splitting
+    // the match series into two mean regimes — argmax |mean(L) − mean(R)|
+    "q_change_point" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).changePointAgg("spark", meta, "conv_id", "ts", "minute")
+    }),
+    // categorize_text: digit-masked first-3-token templates of the matching
+    // convs' turns, top 8 buckets by turn count
+    "q_categorize_text" -> ((s, dir) =>
+      reader(s, dir).categorizeTextAgg("spark", transcripts(s, dir),
+        "conv_id", "text", nTokens = 3, size = 8)),
+    // random_sampler: deterministic 64/256 content-hash sample of the match
+    // set, count + dl-sum estimates scaled by the inverse probability
+    "q_random_sampler" -> ((s, dir) => {
+      val dlMeta = transcripts(s, dir)
+        .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+        .groupBy("conv_id").agg(count(lit(1)).as("dl"))
+      reader(s, dir).randomSamplerAgg("the", dlMeta, "conv_id", "dl",
+        numerator = 64, seed = "rs1")
+    }),
+    // variable_width_histogram: four equal-depth buckets of the matching
+    // convs' doc lengths (SQL-standard NTILE split, distributed prefix rank)
+    "q_var_width_hist" -> ((s, dir) => {
+      val dlMeta = transcripts(s, dir)
+        .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+        .groupBy("conv_id").agg(count(lit(1)).as("dl"))
+      reader(s, dir).variableWidthHistogramAgg("spark", dlMeta, "conv_id",
+        "dl", buckets = 4)
+    }),
+    // ids query / _mget: found flags + stored dl from the post-delete
+    // time-travel root's LIVE dictionary — c00010 was deleted (found=false
+    // while its rows still sit in the lake), zzz-missing never existed
+    "q_ids_mget" -> ((s, dir) => {
+      val (root, _) = ttRootVersion(s, dir)
+      new killa.query.IndexReader(s, root, conf)
+        .idsQuery(Seq("c00003", "c00007", "c00010", "zzz-missing"))
+    }),
+    // has_child with min_children = 2: conversations where >= 2 separate
+    // turns contain the term, counted on the child (turn) index
+    "q_has_child_min" -> ((s, dir) =>
+      killa.build.NestedIndex.hasChild(nestedReader(s, dir), Seq("spark"),
+        minChildren = 2).orderBy("conv_id")),
+    // has_parent: every turn of each conversation matching BOTH terms at
+    // the conversation level (parent query on the main index, children
+    // enumerated from the child index's alive dictionary)
+    "q_has_parent" -> ((s, dir) =>
+      killa.build.NestedIndex.hasParent(reader(s, dir), nestedReader(s, dir),
+        Seq("spark", "query")).orderBy("conv_id", "turn_idx")),
+    // exists-filter BM25 (the ES bool { must: term, filter: exists }):
+    // doc-values v nulled for conv ordinal % 3 = 0, admission-time filter
+    // keeps only convs where the field exists — stats stay global
+    "q_bm25_exists" -> ((s, dir) => {
+      val flt = transcripts(s, dir).select(col("conv_id")).distinct()
+        .where(expr("CAST(substr(conv_id, 2, 10) AS INT) % 3") =!= 0)
+      present(reader(s, dir).bm25TopKFiltered(Seq("query", "filter", "join"),
+        10, flt))
+    }),
+    // point-in-time + search_after (the ES PIT/scroll contract): page 2 of
+    // the PINNED pre-delete snapshot stays exact while the live root has
+    // already dropped every ordinal-%10 conversation
+    "q_pit_page2" -> ((s, dir) => {
+      val (root, v0) = ttRootVersion(s, dir)
+      val r = new killa.query.IndexReader(s, root, conf, pinVersion = Some(v0))
+      val terms = Seq("query", "filter", "join")
+      val p1 = r.bm25TopKRows(terms, 10)
+      if (p1.isEmpty) present(r.bm25TopK(terms, 0))
+      else present(r.bm25TopKAfter(terms, 10, p1.last._1, p1.last._2))
+    }),
     // terms_set: per-doc minimum_should_match carried by a doc-values column
     // (min_req = conv ordinal mod 4 — 0 exercises the never-matches edge)
     "q_terms_set" -> ((s, dir) => {
@@ -1151,6 +1219,18 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
       killa.ann.Ann.thresholdTopK(e, "vec_id", "embedding", q, "q_id", "embedding", 5,
           minCosine = 0.3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")
+    }),
+    // hard-negative mining (contrastive training data): per anchor, top-5
+    // corpus vectors in the semi-hard cosine band [0.15, 0.30) — informative
+    // negatives above the easy floor, near-dups excluded by the ceiling;
+    // both bounds live on this fixture (max cosine 0.37)
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding"))
+      killa.ann.Ann.hardNegatives(e, "vec_id", "embedding", q, "q_id", "embedding",
+          5, lo = 0.15, hi = 0.30)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
@@ -1752,6 +1832,18 @@ object SparkEntry {
     "q_missing_agg" -> missingAggOracleSql("spark"),
     "q_bucket_selector" -> bucketSelectorOracleSql("spark", 5L, 5),
     "q_stats_bucket" -> statsBucketOracleSql("spark"),
+    "q_change_point" -> changePointOracleSql("spark"),
+    "q_categorize_text" -> categorizeTextOracleSql("spark", 3, 8),
+    "q_random_sampler" -> randomSamplerOracleSql("the", 64, "rs1"),
+    "q_var_width_hist" -> varWidthHistOracleSql("spark", 4),
+    "q_ids_mget" -> idsOracleSql(Seq("c00003", "c00007", "c00010", "zzz-missing")),
+    "q_has_child_min" -> hasChildOracleSql("spark", 2),
+    "q_has_parent" -> hasParentOracleSql(Seq("spark", "query")),
+    "q_bm25_exists" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
+      conjunctive = false, filterConvSql = Some(
+        "SELECT DISTINCT conv_id FROM turns WHERE CAST(substr(conv_id, 2, 10) AS INT) % 3 <> 0")),
+    "q_pit_page2" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
+      conjunctive = false, offset = 10),
     "q_terms_set" -> (TurnsCte + TfCtes +
       ", f(fterm) AS (VALUES ('dup'), ('big'), ('window'))" +
       ", dm AS (SELECT DISTINCT t.conv_id, t.term FROM tok2 t JOIN f ON t.term = f.fterm)" +
@@ -2136,6 +2228,14 @@ object SparkEntry {
       ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
       ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
+      " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    // hard negatives: rank densely INSIDE the band (ceiling removes a
+    // prefix, floor a suffix — so rank assignment happens after both cuts)
+    "q_hard_negatives" -> (EmbCte +
+      ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
+      s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
+      ", b AS (SELECT * FROM s WHERE cosine >= 0.15 AND cosine < 0.30)" +
+      ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM b)" +
       " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
     // knn similarity floor: the top-5 rows minus those under cosine 0.3,
     // ranks unchanged (only a suffix of a ranked list can fall below a floor)

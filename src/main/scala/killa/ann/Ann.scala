@@ -58,6 +58,41 @@ object Ann {
     bruteForceTopK(embeddings, idCol, vecCol, queries, qIdCol, qVecCol, k)
       .where(col("cosine") >= minCosine)
 
+  /** Hard-negative mining for contrastive training (the FaceNet/DPR
+    * "semi-hard negative" band): for each anchor, the top-`k` corpus
+    * vectors whose cosine lies in [`lo`, `hi`) — above `lo` so the negative
+    * is informative (not a random easy one the model already separates),
+    * below `hi` so near-duplicates / paraphrases of the anchor are never
+    * mislabeled as negatives. Rank is dense within the band (unlike
+    * [[thresholdTopK]]'s suffix-only floor, a ceiling removes a PREFIX of
+    * the ranked list, so ranks must be assigned after both cuts).
+    *
+    * Shape at scale: anchors broadcast × one corpus scan (the
+    * [[bruteForceTopK]] plan — the band filter is a codegen'd predicate on
+    * the scan, so far-and-dup vectors never reach the per-anchor top-k
+    * shuffle); the LSH/IVF candidate generators compose the same way as
+    * [[filteredTopK]] when the corpus outgrows a full scan. Both bounds
+    * compare against the presentation-rounded cosine so engines agree at
+    * the boundary.
+    *
+    * @return (q_id, vec_id, cosine, rank) — rank 1..≤k per anchor inside
+    *         the band, cosine desc then vec_id asc.
+    */
+  def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, "band must be non-empty: lo < hi")
+    val banded = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(cosineCol(col("v"), col("qv")), 4))
+      .where(col("cosine") >= lo && col("cosine") < hi)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    banded.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cosine", "rank")
+  }
+
   /** Metadata-filtered exact cosine top-k (the Elasticsearch `knn` query's
     * `filter` clause): the top-k is computed over the ALLOWED vectors only —
     * PRE-filter semantics, so k survivors always come back when k allowed

@@ -102,6 +102,51 @@ object NestedIndex {
       childIdx(col("conv_id")).as("turn_idx"))
   }
 
+  /** Parents with at least `minChildren` turns matching the nested query
+    * (the Elasticsearch `has_child` query with its `min_children`
+    * constraint): the parent qualifies on the NUMBER of matching children,
+    * not just existence — "conversations where the assistant used the tool
+    * in ≥ 2 separate turns" is this query. `min_children = 1` degrades to
+    * plain has_child (= [[sameTurnMembership]] for conjunctive terms, but
+    * carrying the count).
+    *
+    * Shape at scale: [[matchingChildren]]'s pruned scans → one map-side-
+    * combinable count keyed by the parent prefix → a post-agg filter.
+    *
+    * @return (conv_id, n_children) rows, parents meeting the floor only.
+    */
+  def hasChild(reader: IndexReader, terms: Seq[String], minChildren: Int = 1,
+      conjunctive: Boolean = true): DataFrame = {
+    require(minChildren >= 1, "minChildren must be >= 1")
+    matchingChildren(reader, terms, conjunctive)
+      .groupBy("conv_id").agg(count(lit(1)).as("n_children"))
+      .where(col("n_children") >= minChildren)
+  }
+
+  /** Child documents whose PARENT matches — the Elasticsearch `has_parent`
+    * query: every turn of each conversation the parent-level (conv-corpus)
+    * query admits. The parent query runs on the MAIN index (conv docs,
+    * conv statistics); the children come from the child index's alive
+    * dictionary — so a turn deleted from the child index drops out even
+    * while its parent still matches.
+    *
+    * Shape at scale: parent membership is the usual pruned-scan intersect;
+    * the child side is ONE column-pruned dictionary scan (no posting
+    * payloads); one equi-join on the parent key.
+    *
+    * @return (conv_id, turn_idx) rows — the admitted child keys.
+    */
+  def hasParent(parentReader: IndexReader, childReader: IndexReader,
+      terms: Seq[String]): DataFrame = {
+    val ts = terms.filter(t => t != null && t.nonEmpty).distinct
+    require(ts.nonEmpty, "at least one term")
+    val parents = ts.map(parentReader.membership).reduce(_ intersect _)
+    childReader.allMembers
+      .select(parent(col("conv_id")).as("conv_id"),
+        childIdx(col("conv_id")).as("turn_idx"))
+      .join(parents, "conv_id")
+  }
+
   /** Nested terms aggregation (the ES `nested` aggregation): doc counts of
     * a CHILD-level doc value over the turns matching the nested query —
     * e.g. "of the turns containing both terms, how many are user vs

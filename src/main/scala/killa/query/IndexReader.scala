@@ -909,6 +909,209 @@ final class IndexReader(
       .where(col("__v").isNotNull)
       .agg(approx_count_distinct(col("__v"), rsd).as("n_distinct"))
 
+  /** Change-point detection over the match set's date histogram (the
+    * Elasticsearch `change_point` pipeline aggregation, its `step_change`
+    * family): the bucket where splitting the series best separates the two
+    * sides' mean hit rates — argmax over split points of |mean(left) −
+    * mean(right)|, ties on the earliest bucket. A deterministic two-sample
+    * mean-shift scan (the CUSUM estimate of a single step change); ES layers
+    * p-values on the same statistic, which a caller can do from the reported
+    * means and the sibling histogram.
+    *
+    * Shape at scale: the corpus is touched only by [[dateHistogram]]'s
+    * pruned scan + combinable count; the split scan runs over the REDUCED
+    * bucket list (bounded by the time range, never the corpus — the same
+    * single-partition-window contract every pipeline agg here documents).
+    *
+    * @return one (bucket, left_mean, right_mean, diff) row — the first
+    *         bucket of the right (post-change) regime; empty if the series
+    *         has < 2 buckets.
+    */
+  def changePointAgg(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String = "minute"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("bucket").asc)
+    val all = Window.partitionBy()
+    dateHistogram(term, meta, convCol, tsCol, unit)
+      .withColumn("__i", row_number().over(ord))
+      .withColumn("__cum", sum(col("hits")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__tot", sum(col("hits")).over(all))
+      .where(col("__i") >= 2)
+      .withColumn("__lm",
+        (col("__cum") - col("hits")).cast("double") / (col("__i") - 1))
+      .withColumn("__rm",
+        (col("__tot") - col("__cum") + col("hits")).cast("double") /
+          (col("__n") - col("__i") + 1))
+      .orderBy(abs(col("__lm") - col("__rm")).desc, col("bucket").asc)
+      .limit(1)
+      .select(col("bucket"), round(col("__lm"), 4).as("left_mean"),
+        round(col("__rm"), 4).as("right_mean"),
+        round(abs(col("__lm") - col("__rm")), 4).as("diff"))
+  }
+
+  /** Categorize-text aggregation (the Elasticsearch `categorize_text`
+    * aggregation — log-message pattern clustering): each matching
+    * conversation's TURN texts reduce to a template — digit runs masked to
+    * `<num>`, then the first `nTokens` whitespace tokens — and templates
+    * bucket by how many turns produce them, top `size` by count desc then
+    * template asc. ES clusters with a token-weight drift algorithm; the
+    * leading-token template is the deterministic core of it (identical
+    * heads land in one bucket) and is reproducible by any engine, which the
+    * drift form is not.
+    *
+    * Shape at scale: pruned membership scan → equi-join to the caller's
+    * turn frame → one codegen'd projection (regexp + split + slice) → one
+    * combinable count → TakeOrdered(size). No driver materialization.
+    *
+    * @param turns turn-level frame carrying `convCol` and `textCol`.
+    * @return (category, n_turns) rows, count desc then category asc.
+    */
+  def categorizeTextAgg(term: String, turns: DataFrame, convCol: String,
+      textCol: String, nTokens: Int = 3, size: Int = 10): DataFrame = {
+    require(nTokens >= 1, "nTokens must be >= 1")
+    require(size >= 1, "size must be >= 1")
+    membership(term)
+      .join(turns.select(col(convCol).as("conv_id"), col(textCol).as("__t")),
+        "conv_id")
+      .select(concat_ws(" ", slice(split(
+        regexp_replace(col("__t"), "[0-9]+", "<num>"), " "), 1, nTokens))
+        .as("category"))
+      .where(length(col("category")) > 0)
+      .groupBy("category").agg(count(lit(1)).as("n_turns"))
+      .orderBy(col("n_turns").desc, col("category").asc).limit(size)
+  }
+
+  /** Random-sampler aggregation (the Elasticsearch `random_sampler`
+    * aggregation): metric estimates computed over a DETERMINISTIC
+    * `numerator`/256 sample of the matching documents, scaled back by the
+    * inverse sampling probability — the agg that makes a metric affordable
+    * over a huge match set by touching a fixed fraction of it. ES samples
+    * with a seeded per-shard RNG; here the sample is content-addressed
+    * (first md5(seed ‖ conv) byte below the threshold, the
+    * [[killa.dedup.Dedup.hashSample]] family), so it is partitioning- and
+    * engine-independent and any SQL engine reproduces it exactly.
+    *
+    * Shape at scale: the sample predicate is one codegen'd projection ON
+    * TOP of the pruned membership scan — docs outside the sample still ride
+    * the scan but never reach the doc-values join, which is where the
+    * per-doc cost lives (ES's sampler skips index blocks instead; postings
+    * here are already block-pruned by term).
+    *
+    * @return one (n_sampled, est_n_docs, est_sum) row — the sampled count,
+    *         the scaled match-count estimate, the scaled sum estimate of
+    *         `valCol`.
+    */
+  def randomSamplerAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String, numerator: Int, seed: String): DataFrame = {
+    require(numerator >= 1 && numerator <= 256, "numerator must be in [1, 256]")
+    // 256/256 keeps everything — a 3-hex-char "100" would misorder against
+    // the 2-char digest prefix in the string compare
+    val keep = if (numerator == 256) lit(true)
+      else substring(md5(concat(lit(seed), col("conv_id"))), 1, 2) < f"$numerator%02x"
+    val v = col("__v")
+    membership(term)
+      .where(keep)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), "conv_id")
+      .where(v.isNotNull && !isnan(v))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(count(lit(1)) * 256.0 / numerator, 4).as("est_n_docs"),
+        round(sum(v) * 256.0 / numerator, 4).as("est_sum"))
+  }
+
+  /** Variable-width histogram (the Elasticsearch `variable_width_histogram`
+    * aggregation): the match set's doc values split into `buckets`
+    * EQUAL-DEPTH buckets — rank order under (value, conv) ties — each
+    * reporting its count, min, centroid (mean) and max. ES clusters
+    * per-shard and merges (result depends on shard routing, documented as
+    * approximate); the equi-depth form answers the same "where does the
+    * distribution sit" question deterministically, so it cross-checks
+    * against any engine.
+    *
+    * Shape at scale: pruned scan → semi-join → a RANGE-partitioned sort on
+    * (value, conv) + the two-pass distributed prefix rank
+    * ([[killa.text.Packing]]'s idiom: per-partition counts → O(partitions)
+    * driver state → exclusive base offsets), NOT a global ntile window
+    * (which would single-partition the whole match set) → one combinable
+    * per-bucket agg. Bucket assignment follows the SQL-standard NTILE rule
+    * (first n mod b buckets one row larger), so any engine's ntile
+    * reproduces it.
+    *
+    * @return (bucket 1-based, n, min_v, centroid, max_v) rows, bucket asc.
+    */
+  def variableWidthHistogramAgg(term: String, meta: DataFrame,
+      convCol: String, valCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    import org.apache.spark.TaskContext
+    val v = col("__v")
+    val vals = membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("__v")), "conv_id")
+      .where(v.isNotNull && !isnan(v))
+      .select(v, col("conv_id"))
+      .repartitionByRange(v.asc, col("conv_id").asc)
+      .sortWithinPartitions(v.asc, col("conv_id").asc)
+      .as[(Double, String)]
+      // pin the partitions: pass 2 must see the boundaries pass 1 counted
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partCounts = vals.mapPartitions { it =>
+      var c = 0L; it.foreach(_ => c += 1)
+      Iterator.single((TaskContext.getPartitionId(), c))
+    }.collect().toMap
+    val n = partCounts.values.sum
+    if (n == 0L)
+      return Seq.empty[(Long, Long, Double, Double, Double)]
+        .toDF("bucket", "n", "min_v", "centroid", "max_v")
+    val base: Map[Int, Long] = {
+      var acc = 0L
+      partCounts.toSeq.sortBy(_._1).map { case (p, c) =>
+        val b = (p, acc); acc += c; b
+      }.toMap
+    }
+    // SQL-standard NTILE: first rem buckets hold q+1 rows, the rest q
+    val q = n / buckets; val rem = n % buckets
+    val cut = rem * (q + 1)
+    vals.mapPartitions { it =>
+      var r = base.getOrElse(TaskContext.getPartitionId(), 0L)
+      it.map { case (x, _) =>
+        r += 1
+        // q == 0 (more buckets than rows) ⇒ cut == n ⇒ first branch always
+        val b = if (r <= cut) (r - 1) / (q + 1) + 1
+                else rem + (r - 1 - cut) / q + 1
+        (b, x)
+      }
+    }.toDF("bucket", "__v")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(min(v), 4).as("min_v"),
+        round(avg(v), 4).as("centroid"), round(max(v), 4).as("max_v"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /** Multi-get (the Elasticsearch `ids` query / `_mget` API): for each
+    * requested document id, whether it is alive at this snapshot and its
+    * stored doc length — answered from the INDEX's docId dictionary (the
+    * forward store), never from the source table, so a deleted doc reports
+    * found = false even while its rows still sit in the lake.
+    *
+    * Shape at scale: the request list is a broadcast literal frame; one
+    * column-pruned scan of the dictionary with an isin filter pushed to the
+    * scan — no posting payload, no full dictionary materialization.
+    *
+    * @return one (conv_id, found, dl) row per requested id, request ids
+    *         deduplicated, conv asc; dl null when not found.
+    */
+  def idsQuery(ids: Seq[String]): DataFrame = {
+    val req = ids.distinct.toDF("conv_id")
+    val alive = docs
+      .where(col("convId").isin(ids.distinct: _*))
+      .select(col("convId").as("conv_id"), col("dl"))
+    req.join(alive, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("dl").isNotNull.as("found"), col("dl"))
+      .orderBy(col("conv_id").asc)
+  }
+
   /** Multi-terms aggregation (the Elasticsearch `multi_terms` aggregation):
     * doc counts bucketed by a TUPLE of doc-value sources, the top `size`
     * buckets by count desc with ties on the key pair asc — the count-ordered
