@@ -1222,6 +1222,34 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
+    // reverse_nested agg: of the parents with a same-turn match, doc counts
+    // per first-turn tool value (parent-level values over a child query)
+    "q_reverse_nested" -> ((s, dir) => {
+      val keyv = transcripts(s, dir).groupBy("conv_id")
+        .agg(min_by(col("tool"), col("turn_idx")).as("tool0"))
+      killa.build.NestedIndex.reverseNestedAgg(nestedReader(s, dir),
+        Seq("spark", "query"), keyv, "conv_id", "tool0")
+    }),
+    // late-interaction MaxSim (ColBERT / ES rank_vectors): docs are 5-vector
+    // sets (vec_id div 5), the query is a 3-token vector set; score =
+    // Σ over query tokens of the best cosine inside each doc
+    "q_maxsim_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val docs = e.select(floor(col("vec_id") / 5).cast("long").as("doc_id"),
+        col("embedding"))
+      val q = e.where(col("vec_id") < 3)
+        .select(lit(0L).as("q_id"), col("vec_id").as("q_tok"),
+          col("embedding").as("qv"))
+      killa.ann.Ann.maxSimTopK(docs, "doc_id", "embedding", q,
+          "q_id", "q_tok", "qv", 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")
+    }),
+    // soft dedup: inverse-multiplicity example weights — a doc repeated m
+    // times carries weight 1/m so the group contributes one doc in aggregate
+    "q_dedup_weights" -> ((s, dir) =>
+      killa.dedup.Dedup.duplicationWeights(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // hard-negative mining (contrastive training data): per anchor, top-5
     // corpus vectors in the semi-hard cosine band [0.15, 0.30) — informative
     // negatives above the easy floor, near-dups excluded by the ceiling;
@@ -2229,6 +2257,32 @@ object SparkEntry {
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
       ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
       " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    // reverse_nested: parents of same-turn child matches, bucketed by the
+    // parent's first-turn tool value
+    "q_reverse_nested" -> (TurnsNestedCte + TfCtes +
+      ", h0 AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark')" +
+      ", h1 AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = 'query')" +
+      ", hit AS (SELECT conv_id FROM h0 INTERSECT SELECT conv_id FROM h1)" +
+      ", par AS (SELECT DISTINCT split_part(conv_id, '#', 1) AS conv_id FROM hit)" +
+      ", t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, source FROM documents)" +
+      ", keyv AS (SELECT conv_id, min_by(source, doc_id) AS value FROM t2 GROUP BY 1)" +
+      " SELECT k.value, CAST(count(*) AS BIGINT) AS n_parents FROM par p" +
+      " JOIN keyv k ON p.conv_id = k.conv_id WHERE k.value IS NOT NULL" +
+      " GROUP BY 1 ORDER BY n_parents DESC, value ASC"),
+    // MaxSim: per (doc, query token) best cosine, summed per doc, top-5
+    "q_maxsim_topk" -> (EmbCte +
+      ", d AS (SELECT vec_id // 5 AS doc_id, v FROM e)" +
+      ", q AS (SELECT CAST(0 AS BIGINT) AS q_id, vec_id AS q_tok, v AS qv FROM e WHERE vec_id < 3)" +
+      s", s AS (SELECT q_id, doc_id, q_tok, max(${cosSql("v", "qv")}) AS mx FROM d, q GROUP BY 1, 2, 3)" +
+      ", sc AS (SELECT q_id, doc_id, round(sum(mx), 4) AS score FROM s GROUP BY 1, 2)" +
+      ", r AS (SELECT q_id, doc_id, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)" +
+      " SELECT q_id, doc_id, score, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    // soft dedup weights: 1 / exact-group multiplicity per doc
+    "q_dedup_weights" -> (DocToksCte +
+      ", g AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS h FROM w)" +
+      ", c AS (SELECT h, count(*) AS cnt FROM g GROUP BY 1)" +
+      " SELECT g.doc_id, round(CAST(1.0 AS DOUBLE) / c.cnt, 4) AS weight FROM g JOIN c ON g.h = c.h" +
+      " ORDER BY g.doc_id"),
     // hard negatives: rank densely INSIDE the band (ceiling removes a
     // prefix, floor a suffix — so rank assignment happens after both cuts)
     "q_hard_negatives" -> (EmbCte +

@@ -111,6 +111,44 @@ object Ann {
     bruteForceTopK(kept, idCol, vecCol, queries, qIdCol, qVecCol, k)
   }
 
+  /** Late-interaction ranking (the ColBERT MaxSim operator — the ES
+    * `rank_vectors` / multi-vector scoring surface): documents and queries
+    * are SETS of token vectors, and a document's score for a query is
+    * Σ over query tokens of the maximum cosine against any of the
+    * document's vectors. The per-token max is what makes late interaction
+    * beat single-vector retrieval (each query token independently finds its
+    * best-matching document span); the sum folds token evidence.
+    *
+    * Shape at scale: the query token set is a broadcast literal (queries
+    * have few tokens); ONE scan of the doc-vector table scores every
+    * (doc token, query token) pair with codegen'd cosines, then two
+    * map-side-combinable folds — max keyed by (q, doc, q_tok), sum keyed by
+    * (q, doc) — and a per-query top-k. No shuffle carries more than one row
+    * per (doc, query token). For corpora past a full scan, any candidate
+    * generator ([[lshTopK]] buckets over the doc vectors) composes in front
+    * exactly as in [[filteredTopK]].
+    *
+    * @param docVecs   (docIdCol, vecCol) — one row per document token vector.
+    * @param queryVecs (qIdCol, qTokCol, qVecCol) — one row per query token.
+    * @return (q_id, doc_id, score, rank) — score rounded 4dp at
+    *         presentation, rank 1..≤k per query under (score desc, doc asc).
+    */
+  def maxSimTopK(docVecs: DataFrame, docIdCol: String, vecCol: String,
+      queryVecs: DataFrame, qIdCol: String, qTokCol: String,
+      qVecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pairs = docVecs.select(col(docIdCol).as("doc_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(queryVecs.select(col(qIdCol).as("q_id"),
+        col(qTokCol).as("q_tok"), col(qVecCol).as("qv"))))
+      .withColumn("c", cosineCol(col("v"), col("qv")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
+    pairs.groupBy("q_id", "doc_id", "q_tok").agg(max(col("c")).as("mx"))
+      .groupBy("q_id", "doc_id").agg(round(sum(col("mx")), 4).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "doc_id", "score", "rank")
+  }
+
   /** nPlanes-bit signature of a vector under the fixed hyperplane family
     * (scalar twin of the native [[killa.expr.HyperplaneSig]] expression the
     * registered paths run — bit-identical, property-pinned).

@@ -168,6 +168,30 @@ object NestedIndex {
       .agg(count(lit(1)).as("n_children"))
       .orderBy(col("n_children").desc, col(valCol).asc)
 
+  /** Reverse-nested aggregation (the ES `reverse_nested` agg): bucket
+    * PARENT-level doc values over the parents of the matching children —
+    * the inverse direction of [[childTermsAgg]] ("of the conversations with
+    * a turn matching the nested query, how many per first-turn tool").
+    * A parent counts once however many of its turns match (the dedup to
+    * parents is the reverse_nested step itself).
+    *
+    * Shape at scale: pruned child scans → parent-prefix dedup → one
+    * equi-join to the parent doc-values frame → combinable count.
+    *
+    * @param parentMeta parent-level doc values: (convCol, valCol).
+    * @return (`valCol`, n_parents), count desc then value asc.
+    */
+  def reverseNestedAgg(childReader: IndexReader, terms: Seq[String],
+      parentMeta: DataFrame, convCol: String, valCol: String,
+      conjunctive: Boolean = true): DataFrame =
+    matchingChildren(childReader, terms, conjunctive)
+      .select("conv_id").distinct()
+      .join(parentMeta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("string").as("value")), "conv_id")
+      .where(col("value").isNotNull)
+      .groupBy("value").agg(count(lit(1)).as("n_parents"))
+      .orderBy(col("n_parents").desc, col("value").asc)
+
   /** Inner hits: for each of the top-`k` parents (under `scoreMode`), the
     * matching turns themselves — (conv_id, turn_idx, score), at most
     * `kChildren` per parent, best turn first (the ES `inner_hits` block).

@@ -43,6 +43,26 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("rep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Soft dedup — inverse-multiplicity example weights: every row keeps its
+    * place in the corpus but carries weight 1/|its exact-duplicate group|,
+    * so a document repeated m times contributes ONE document's worth of
+    * gradient in aggregate (the reweighting alternative to
+    * [[dropExactDuplicates]] when downstream wants to keep all provenance
+    * rows, e.g. per-source loss accounting). Weights are presentation-
+    * rounded to 4dp so any engine reproduces them.
+    *
+    * Shape at scale: one digest shuffle ([[exactGroups]]) + one equi-join
+    * back on the digest — the same cost as keep-one dedup.
+    *
+    * @return (idCol, weight) — weight in (0, 1], 1.0 for unique rows.
+    */
+  def duplicationWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      TextOps.fingerprintMd5(col(textCol)).as("text_md5"))
+    keyed.join(exactGroups(df, idCol, textCol).select("text_md5", "cnt"), "text_md5")
+      .select(col("id").as(idCol), round(lit(1.0) / col("cnt"), 4).as("weight"))
+  }
+
   /** Deterministic content-hash sampling: keep rows whose normalized-content
     * md5 falls in the first `numerator`/256 of hash space (first hex byte <
     * numerator). The standard reproducible train/val split — stable across

@@ -219,6 +219,54 @@ class Round5xSpec extends AnyFunSuite {
     assert(conj == Seq(("p0", 1L)))
   }
 
+  test("reverseNestedAgg: parent-level buckets over child matches; parent counted once; nulls drop") {
+    val meta = Seq(("p0", "t1"), ("p1", "t1"), ("p2", "t2"))
+      .toDF("conv_id", "tool0")
+    // same-turn (alpha AND beta): only p0's turn 0
+    val conj = NestedIndex.reverseNestedAgg(childReader, Seq("alpha", "beta"),
+      meta, "conv_id", "tool0")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(conj == Seq(("t1", 1L)))
+    // disjunctive 'alpha': p0 matches in TWO turns but counts once
+    val dis = NestedIndex.reverseNestedAgg(childReader, Seq("alpha"),
+      meta, "conv_id", "tool0", conjunctive = false)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(dis == Seq(("t1", 2L)))
+    // a null parent value contributes nothing
+    val metaN = Seq(("p0", null.asInstanceOf[String]), ("p1", "t1"))
+      .toDF("conv_id", "tool0")
+    val gotN = NestedIndex.reverseNestedAgg(childReader, Seq("alpha"),
+      metaN, "conv_id", "tool0", conjunctive = false)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(gotN == Seq(("t1", 1L)))
+  }
+
+  test("maxSimTopK: per-token best cosine summed per doc; rank order; k cut") {
+    val docs = Seq(
+      ("A", Seq(1f, 0f)), ("A", Seq(0f, 1f)),
+      ("B", Seq(1f, 1f)),
+      ("C", Seq(-1f, 0f))).toDF("doc_id", "embedding")
+    val q = Seq((0L, 0L, Seq(1f, 0f)), (0L, 1L, Seq(0f, 1f)))
+      .toDF("q_id", "q_tok", "qv")
+    val got = killa.ann.Ann.maxSimTopK(docs, "doc_id", "embedding",
+      q, "q_id", "q_tok", "qv", 5)
+      .collect().map(x => (x.getString(1), x.getDouble(2), x.getInt(3)))
+      .sortBy(_._3).toSeq
+    assert(got == Seq(("A", 2.0, 1), ("B", 1.4142, 2), ("C", -1.0, 3)))
+    val cut = killa.ann.Ann.maxSimTopK(docs, "doc_id", "embedding",
+      q, "q_id", "q_tok", "qv", 2)
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(cut == Seq("A", "B"))
+  }
+
+  test("duplicationWeights: 1/group-multiplicity, whitespace-normalized grouping, uniques weigh 1.0") {
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x  y"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = killa.dedup.Dedup.duplicationWeights(df, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0.3333), (2L, 0.3333), (3L, 0.3333), (4L, 1.0)))
+  }
+
   test("hasParent: children of conv-level matches; child-index deletes drop turns") {
     // parent query 'alpha beta' (cross-turn conjunction): p0 and p1 match
     val got = NestedIndex.hasParent(parentReader, childReader, Seq("alpha", "beta"))
