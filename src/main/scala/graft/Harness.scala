@@ -1506,6 +1506,34 @@ object Harness {
       root
     })
 
+  /** The shared index root with the trigram dictionary sub-index
+    * additionally built (infix wildcard queries; main tree untouched).
+    */
+  def gramIdxRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#gram", {
+      val root = indexRoot(spark, sfDir)
+      killa.build.GramIndex.build(spark, root, conf)
+      root
+    })
+
+  /** Gram index built over a 3-of-5-turns main index, then the main index
+    * brought to the full corpus via one maintenance batch and the gram
+    * index refreshed from the grown dictionary — infix queries against it
+    * must match the full-corpus oracle exactly (the owed-maintenance gate
+    * every sub-index carries).
+    */
+  def gramIncrRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#gramincr", {
+      val root = freshRoot(sfDir, "gramincr")
+      val all = transcripts(spark, sfDir)
+      new IndexWriter(spark, root, conf).fullBuild(all.where(col("turn_idx") < 3), "b0")
+      killa.build.GramIndex.build(spark, root, conf)
+      new killa.maintain.IndexMaintainer(spark, root, conf)
+        .applyChangesDf(all, None, batchId = "d1")
+      killa.build.GramIndex.refresh(spark, root, conf)
+      root
+    })
+
   /** Time-travel root: full build, version captured, then every 10th conv
     * deleted — a reader pinned to the captured version must answer from the
     * PRE-delete corpus (Iceberg snapshot-read semantics; the engine's

@@ -817,6 +817,19 @@ object SparkEntry {
     "q_leading_wildcard" -> ((s, dir) =>
       killa.build.ReverseIndex.membershipWildcardReversed(s,
         reverseIdxRoot(s, dir), conf, "*do?").orderBy("conv_id")),
+    // infix wildcard (*mer* — 'merge' and 'customer' here): trigram
+    // dictionary sub-index prunes candidates (the ES wildcard-field
+    // technique), residual regex verifies, main buckets answer postings —
+    // the mask shape neither prefix nor suffix trees can prune
+    "q_membership_infix" -> ((s, dir) =>
+      killa.build.GramIndex.membershipInfix(s, gramIdxRoot(s, dir), conf,
+        "*mer*").orderBy("conv_id")),
+    // incremental maintenance of the gram tree: main index built on 3/5 of
+    // turns, one delta batch grows the dictionary, refresh() diffs it into
+    // the gram index — infix results must match the full-corpus oracle
+    "q_infix_incr" -> ((s, dir) =>
+      killa.build.GramIndex.membershipInfix(s, gramIncrRoot(s, dir), conf,
+        "*mer*").orderBy("conv_id")),
     // incremental maintenance of the reversed tree: built on 3/5 of turns,
     // one delta batch brings it to the full corpus — suffix results must
     // match the full-corpus oracle
@@ -1800,6 +1813,10 @@ object SparkEntry {
       " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE '%do_' ORDER BY conv_id"),
     "q_suffix_incr" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE '%up' ORDER BY conv_id"),
+    "q_membership_infix" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE '%mer%' ORDER BY conv_id"),
+    "q_infix_incr" -> (TurnsCte + TfCtes +
+      " SELECT DISTINCT conv_id FROM tok2 WHERE term LIKE '%mer%' ORDER BY conv_id"),
     "q_membership_fuzzy_prefix" -> (TurnsCte + TfCtes +
       " SELECT DISTINCT conv_id FROM tok2 WHERE levenshtein(term, 'bag') <= 2" +
       " AND term LIKE 'b%' ORDER BY conv_id"),

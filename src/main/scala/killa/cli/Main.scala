@@ -26,6 +26,8 @@ import killa.streaming.StreamOps
   *   qs <suffix>               suffix search (reversed-term sub-index)
   *   qlw <glob>                leading-wildcard search via the reversed tree
   *   revbuild <parquet>        build the reversed-term sub-index
+  *   grambuild                 build the trigram dictionary sub-index
+  *   qin <glob>                infix wildcard via the trigram tree
   *   suggest <term> [d] [n]    did-you-mean: close spellings by df desc
   *   qr <pattern>              regex term search (anchor with ^...$)
   *   bm25 <k> <term>... [NOT <term>...]  top-k BM25, boolean NOT exclusions
@@ -166,7 +168,7 @@ object Main {
       "slop" -> 2, "mlt" -> 1, "qat" -> 2, "page" -> 4, "suggest" -> 1,
       "qr" -> 1, "qany" -> 1, "sig" -> 1, "qsyn" -> 2, "dbq" -> 1,
       "qpp" -> 1, "qsf" -> 2, "explain" -> 2,
-      "qs" -> 1, "qlw" -> 1, "revbuild" -> 1)
+      "qs" -> 1, "qlw" -> 1, "revbuild" -> 1, "qin" -> 1)
     minArity.get(verb).filter(rest.length < _).foreach { n =>
       throw new IllegalArgumentException(s"$verb requires at least $n argument(s)")
     }
@@ -229,6 +231,12 @@ object Main {
           .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
       case "qlw" => // qlw <glob>: leading-wildcard mask via the reversed tree
         killa.build.ReverseIndex.membershipWildcardReversed(spark, root, conf, rest.head)
+          .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
+      case "grambuild" => // trigram dictionary sub-index (infix masks)
+        killa.build.GramIndex.build(spark, root, conf)
+        println("gram index built")
+      case "qin" => // qin <glob>: infix wildcard via the trigram tree
+        killa.build.GramIndex.membershipInfix(spark, root, conf, rest.head)
           .orderBy("conv_id").collect().foreach(r => println(r.getString(0)))
       case "suggest" => // suggest <term> [maxDist] [n]: did-you-mean
         val d = rest.lift(1).map(_.toInt).getOrElse(1)

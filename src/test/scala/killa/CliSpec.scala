@@ -242,4 +242,27 @@ class CliSpec extends AnyFunSuite {
     assert(capture("qlw", Array("?ark")) == Seq("cB"))      // park only
     intercept[IllegalArgumentException](Main.run(spark, root, "qs", Array.empty))
   }
+
+  test("gram-index verbs: grambuild / qin (infix wildcard)") {
+    val root = TestSpark.freshDir("cligram")
+    val data = TestSpark.freshDir("cligramdata")
+    Seq(
+      Turn("cA", 0, "user", "spark merge", "", new Timestamp(0L)),
+      Turn("cB", 0, "user", "customer walk", "", new Timestamp(0L)),
+      Turn("cC", 0, "user", "order only", "", new Timestamp(0L))
+    ).toDS().toDF().write.mode("overwrite").parquet(data)
+    Main.run(spark, root, "build", Array(data))
+
+    def capture(verb: String, args: Array[String]): Seq[String] = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Main.run(spark, root, verb, args) }
+      out.toString.split("\n").filter(_.nonEmpty).toSeq
+    }
+
+    assert(capture("grambuild", Array.empty) == Seq("gram index built"))
+    assert(capture("qin", Array("*mer*")) == Seq("cA", "cB")) // merge, customer
+    assert(capture("qin", Array("*alk*")) == Seq("cB"))
+    assert(capture("qin", Array("*zzz*")).isEmpty)
+    intercept[IllegalArgumentException](Main.run(spark, root, "qin", Array.empty))
+  }
 }

@@ -1,0 +1,88 @@
+package killa
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import killa.build.{GramIndex, IndexWriter}
+import killa.maintain.IndexMaintainer
+import killa.model.Turn
+
+/** Round-5y layer: the trigram dictionary sub-index (the ES `wildcard`
+  * field-type technique) — infix masks pruned by n-gram conjunction, regex
+  * verification of out-of-order gram false positives, fallbacks, and
+  * dictionary-diff maintenance.
+  */
+class Round5ySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val conf = Conf(nBuckets = 8, rangeDocs = 16, waveBuckets = 8, blockSize = 16)
+  private val epoch = 1704067200000L
+
+  private def mkTurns(rows: (String, Int, String)*): DataFrame =
+    rows.map { case (c, off, txt) =>
+      Turn(c, 0, "user", txt, "", new Timestamp(epoch + off * 1000L))
+    }.toDS().toDF()
+
+  private def buildWithGrams(corpus: DataFrame, tag: String): String = {
+    val root = TestSpark.freshDir(tag)
+    new IndexWriter(spark, root, conf).fullBuild(corpus, "b0")
+    GramIndex.build(spark, root, conf)
+    root
+  }
+
+  private def infix(root: String, mask: String, cap: Int = 4096): Set[String] =
+    GramIndex.membershipInfix(spark, root, conf, mask, cap)
+      .collect().map(_.getString(0)).toSet
+
+  test("membershipInfix: trigram pruning finds infix matches across terms; anchors via mask edges") {
+    val root = buildWithGrams(mkTurns(
+      ("a", 0, "spark merge"),
+      ("b", 1, "customer data"),
+      ("c", 2, "order by")), "r5y-base")
+    // 'mer' appears inside merge AND customer
+    assert(infix(root, "*mer*") == Set("a", "b"))
+    // suffix-anchored infix: '*ta' has no gram, 'ata' does via *ata
+    assert(infix(root, "*ata*") == Set("b"))
+    // miss
+    assert(infix(root, "*zzz*") == Set())
+  }
+
+  test("membershipInfix: out-of-order gram false positive dies in the verify pass") {
+    // 'xyzxy' carries grams {xyz, yzx, zxy} — the conjunction for mask
+    // '*zxyz*' (grams zxy, xyz) holds, but the mask itself does not match
+    val root = buildWithGrams(mkTurns(
+      ("fp", 0, "xyzxy filler"),
+      ("tp", 1, "azxyzb other")), "r5y-fp")
+    assert(infix(root, "*zxyz*") == Set("tp"))
+  }
+
+  test("membershipInfix: gramless masks and over-cap candidate sets fall back to the wildcard scan, same answer") {
+    val corpus = mkTurns(
+      ("a", 0, "spark merge"), ("b", 1, "customer part"), ("c", 2, "order"))
+    val root = buildWithGrams(corpus, "r5y-fb")
+    val main = new killa.query.IndexReader(spark, root, conf)
+    // every literal run < 3 chars → no gram → fallback
+    val viaWild = main.membershipWildcard("*ar*").collect().map(_.getString(0)).toSet
+    assert(infix(root, "*ar*") == viaWild && viaWild == Set("a", "b")) // spark, part
+    // cap 1 with 2 candidates ('mer' hits merge + customer) → fallback path
+    assert(infix(root, "*mer*", cap = 1) == Set("a", "b"))
+  }
+
+  test("refresh: dictionary diff applies adds AND removes after main-index maintenance") {
+    val root = buildWithGrams(mkTurns(
+      ("a", 0, "foobar alpha"),
+      ("b", 1, "alpha beta")), "r5y-maint")
+    assert(infix(root, "*oba*") == Set("a"))
+    // rewrite conv a: 'foobar' dies (last carrier), 'quxish' is born
+    new IndexMaintainer(spark, root, conf).applyChangesDf(
+      mkTurns(("a", 0, "quxish alpha")), None, batchId = "d1")
+    GramIndex.refresh(spark, root, conf)
+    assert(infix(root, "*uxi*") == Set("a"))
+    assert(infix(root, "*oba*") == Set())
+    // untouched terms still answer
+    assert(infix(root, "*lph*") == Set("a", "b"))
+  }
+}
