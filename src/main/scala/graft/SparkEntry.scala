@@ -1235,6 +1235,19 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")
     }),
+    // two-sample KS over bucket-count distributions: are 'spark' and
+    // 'query' minute-histogram hit counts drawn from the same distribution
+    "q_ks_test" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).ksTestAgg("spark", "query", meta, "conv_id", "ts", "minute")
+    }),
+    // int8 embedding quantization: exact integer codes (scale = max|x|/127,
+    // round-half-up) — the 4x storage path for vector corpora; codes are
+    // deterministic IEEE arithmetic so the oracle reproduces them bit-exactly
+    "q_embed_int8" -> ((s, dir) =>
+      killa.ann.Quant.int8Codes(
+        embeddings(s, dir).where(col("vec_id") < 5), "vec_id", "embedding")
+        .orderBy("vec_id", "i")),
     // reverse_nested agg: of the parents with a same-turn match, doc counts
     // per first-turn tool value (parent-level values over a child query)
     "q_reverse_nested" -> ((s, dir) => {
@@ -2274,6 +2287,30 @@ object SparkEntry {
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
       ", r AS (SELECT q_id, vec_id, cosine, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank FROM s)" +
       " SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank"),
+    // two-sample KS: ECDFs with RANGE frames so tied counts weigh fully
+    "q_ks_test" -> ("WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      ", ha AS (SELECT DISTINCT conv_id FROM toks WHERE term = 'spark')" +
+      ", hb AS (SELECT DISTINCT conv_id FROM toks WHERE term = 'query')" +
+      ", convts AS (SELECT conv_id, TIMESTAMP '2024-01-01 00:00:00' + to_seconds(min(doc_id)) AS ts FROM t2 GROUP BY 1)" +
+      ", hista AS (SELECT date_trunc('minute', c.ts) AS bucket, CAST(count(*) AS DOUBLE) AS v FROM ha h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1)" +
+      ", histb AS (SELECT date_trunc('minute', c.ts) AS bucket, CAST(count(*) AS DOUBLE) AS v FROM hb h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1)" +
+      ", pts AS (SELECT v, 'a' AS side FROM hista UNION ALL SELECT v, 'b' AS side FROM histb)" +
+      ", w AS (SELECT v," +
+      " sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca," +
+      " sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb," +
+      " (SELECT count(*) FROM hista) AS na, (SELECT count(*) FROM histb) AS nb FROM pts)" +
+      " SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b," +
+      " round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 4) AS d FROM w"),
+    // int8 codes: identical IEEE double chain on both engines → exact ints
+    "q_embed_int8" -> ("WITH s AS (SELECT vec_id," +
+      " list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale" +
+      " FROM embeddings WHERE vec_id < 5)" +
+      ", e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i," +
+      " CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings WHERE vec_id < 5)" +
+      " SELECT e.vec_id, CAST(e.i AS BIGINT) AS i," +
+      " CASE WHEN s.scale = 0 THEN 0 ELSE CAST(floor(e.x / s.scale + 0.5) AS BIGINT) END AS q" +
+      " FROM e JOIN s USING (vec_id) ORDER BY e.vec_id, i"),
     // reverse_nested: parents of same-turn child matches, bucketed by the
     // parent's first-turn tool value
     "q_reverse_nested" -> (TurnsNestedCte + TfCtes +

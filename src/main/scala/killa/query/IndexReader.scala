@@ -2749,6 +2749,40 @@ final class IndexReader(
         round(col("mean_b"), 4).as("mean_b"), col("t"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov over bucket-count distributions (the
+    * Elasticsearch `bucket_count_ks_test` pipeline aggregation, its
+    * two-sided two-sample form): are term A's and term B's per-bucket hit
+    * counts drawn from the same distribution? D = max over the pooled
+    * sample points of |ECDF_A − ECDF_B|, ECDFs evaluated with a RANGE
+    * window frame so ties count fully on both sides. ES layers a p-value on
+    * the same statistic; with n_a/n_b reported the caller applies the
+    * standard √((n_a+n_b)/(n_a·n_b)) scaling.
+    *
+    * Shape at scale: two pruned histogram scans (the parents); the KS scan
+    * runs over the REDUCED bucket lists — the single-partition-window
+    * contract every pipeline agg here documents.
+    *
+    * @return one (n_a, n_b, d) row; empty-series sides yield null d.
+    */
+  def ksTestAgg(termA: String, termB: String, meta: DataFrame,
+      convCol: String, tsCol: String, unit: String = "minute"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(term: String, tag: String): DataFrame =
+      dateHistogram(term, meta, convCol, tsCol, unit)
+        .select(col("hits").cast("double").as("v"), lit(tag).as("side"))
+    val pts = side(termA, "a").unionByName(side(termB, "b"))
+    val ecdf = Window.orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    pts
+      .withColumn("__ca", sum(when(col("side") === "a", 1L).otherwise(0L)).over(ecdf))
+      .withColumn("__cb", sum(when(col("side") === "b", 1L).otherwise(0L)).over(ecdf))
+      .withColumn("__na", sum(when(col("side") === "a", 1L).otherwise(0L)).over(all))
+      .withColumn("__nb", sum(when(col("side") === "b", 1L).otherwise(0L)).over(all))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        round(max(abs(col("__ca") / col("__na") - col("__cb") / col("__nb"))), 4).as("d"))
+  }
+
   /** percentiles_bucket pipeline aggregation (the Elasticsearch
     * `percentiles_bucket` agg): exact linearly-interpolated percentiles of
     * the date histogram's per-bucket hit counts — "what does a typical /

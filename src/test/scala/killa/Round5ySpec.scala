@@ -71,6 +71,40 @@ class Round5ySpec extends AnyFunSuite {
     assert(infix(root, "*mer*", cap = 1) == Set("a", "b"))
   }
 
+  test("ksTestAgg: ECDF max gap with full tie weight; identical series give d = 0") {
+    import org.apache.spark.sql.functions.{col, min}
+    // A's minute hits {2, 1}; B's {1, 2, 1} → pooled D at v=1: |1/2 − 2/3|
+    val corpus = mkTurns(
+      ("a1", 0, "aa x"), ("a2", 5, "aa y"), ("a3", 60, "aa z"),
+      ("b1", 10, "bb x"), ("b2", 61, "bb y"), ("b3", 62, "bb z"), ("b4", 120, "bb w"))
+    val root = TestSpark.freshDir("r5y-ks")
+    new IndexWriter(spark, root, conf).fullBuild(corpus, "b0")
+    val r = new killa.query.IndexReader(spark, root, conf)
+    val meta = corpus.groupBy("conv_id").agg(min(col("ts")).as("ts"))
+    val got = r.ksTestAgg("aa", "bb", meta, "conv_id", "ts", "minute").collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2)) == (2L, 3L, 0.1667))
+    // a distribution against itself: d = 0
+    val self = r.ksTestAgg("aa", "aa", meta, "conv_id", "ts", "minute").collect()(0)
+    assert(self.getDouble(2) == 0.0)
+  }
+
+  test("int8Codes: exact round-half-up codes, zero-vector zeros, reconstruction within scale/2") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = killa.ann.Quant.int8Codes(vecs, "vec_id", "embedding")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    assert(got == Seq(
+      (0L, 0L, 127L), (0L, 1L, -63L), (0L, 2L, 32L), (0L, 3L, 0L),
+      (1L, 0L, 0L), (1L, 1L, 0L)))
+    // reconstruction bound: |x − q·scale| ≤ scale/2 for every element
+    val scale = 1.0 / 127.0
+    val xs = Seq(1.0, -0.5, 0.25, 0.0)
+    got.filter(_._1 == 0L).foreach { case (_, i, q) =>
+      assert(math.abs(xs(i.toInt) - q * scale) <= scale / 2 * 1.0000001)
+    }
+  }
+
   test("refresh: dictionary diff applies adds AND removes after main-index maintenance") {
     val root = buildWithGrams(mkTurns(
       ("a", 0, "foobar alpha"),
