@@ -279,14 +279,16 @@ object Harness {
     * derivation), ties on conv_id — the SQL mirror of
     * IndexReader.searchSorted.
     */
-  def searchSortedOracleSql(term: String, k: Int, ascending: Boolean): String = {
+  def searchSortedOracleSql(term: String, k: Int, ascending: Boolean,
+      offset: Int = 0): String = {
     val dir = if (ascending) "ASC" else "DESC"
+    val off = if (offset > 0) s" OFFSET $offset" else ""
     "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
       ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
       s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
       ", convt0 AS (SELECT conv_id, CAST(min(doc_id) AS DOUBLE) AS t0 FROM t2 GROUP BY 1)" +
       s", top AS (SELECT h.conv_id, c.t0 AS sort_val FROM hits h JOIN convt0 c ON h.conv_id = c.conv_id" +
-      s" ORDER BY c.t0 $dir, h.conv_id ASC LIMIT $k)" +
+      s" ORDER BY c.t0 $dir, h.conv_id ASC LIMIT $k$off)" +
       s" SELECT conv_id, sort_val FROM top ORDER BY sort_val $dir, conv_id ASC"
   }
 

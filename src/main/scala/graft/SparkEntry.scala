@@ -256,6 +256,24 @@ object SparkEntry {
         ascending = false, k = 10)
         .orderBy(col("sort_val").desc, col("conv_id").asc)
     }),
+    // search_after on the sort clause: page 2 strictly after page 1's
+    // (sort_val, conv) cursor — admission filter, so deep pages cost page 1
+    "q_search_sorted_page2" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id")
+        .agg((min(unix_timestamp(col("ts"))) -
+          unix_timestamp(lit("2024-01-01 00:00:00"))).as("t0"))
+      val r = reader(s, dir)
+      val p1 = r.searchSorted("spark", meta, "conv_id", "t0",
+          ascending = false, k = 10)
+        .orderBy(col("sort_val").desc, col("conv_id").asc).collect()
+      if (p1.isEmpty) r.searchSorted("spark", meta, "conv_id", "t0", false, 0)
+      else {
+        val last = p1.last
+        r.searchSortedAfter("spark", meta, "conv_id", "t0", ascending = false,
+            k = 10, last.getDouble(1), last.getString(0))
+          .orderBy(col("sort_val").desc, col("conv_id").asc)
+      }
+    }),
     // field collapsing (the ES collapse clause): the single best-scoring
     // conv per doc-level group — full scored set, window top-1 per group
     "q_collapse" -> ((s, dir) => {
@@ -1551,6 +1569,8 @@ object SparkEntry {
     "q_bm25_export_conj_not" -> bm25OracleSql(Seq("query", "filter"), 1000000,
       conjunctive = true, mustNot = Seq("batch")),
     "q_search_sorted" -> searchSortedOracleSql("spark", 10, ascending = false),
+    "q_search_sorted_page2" -> searchSortedOracleSql("spark", 10,
+      ascending = false, offset = 10),
     "q_collapse" -> collapseOracleSql(Seq("query", "filter"), 7),
     "q_bm25_synonyms" -> synonymsOracleSql(Seq(Seq("query", "scan"), Seq("filter")), 10),
     // spark-free corpus: membership('query') minus convs holding 'spark'

@@ -524,6 +524,30 @@ final class IndexReader(
     joined.orderBy(if (ascending) v.asc else v.desc, col("conv_id").asc).limit(k)
   }
 
+  /** Sorted-search pagination (the Elasticsearch `search_after` on a sort
+    * clause — the stateless deep-paging contract, PIT-composable like
+    * [[bm25TopKAfter]] is for the score order): the next `k` matches
+    * STRICTLY after the `(afterVal, afterConv)` cursor in the
+    * (sort value, conv) total order. The cursor is an admission filter on
+    * the scan side of the TakeOrdered, so page n+1 costs what page 1 costs —
+    * no OFFSET re-sort, no server-side scroll state.
+    *
+    * @return (conv_id, sort_val) rows in page order, ≤ k.
+    */
+  def searchSortedAfter(term: String, meta: DataFrame, convCol: String,
+      valCol: String, ascending: Boolean, k: Int,
+      afterVal: Double, afterConv: String): DataFrame = {
+    val v = col("sort_val")
+    val after =
+      if (ascending) v > afterVal || (v === afterVal && col("conv_id") > afterConv)
+      else v < afterVal || (v === afterVal && col("conv_id") > afterConv)
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(valCol).cast("double").as("sort_val")), "conv_id")
+      .where(v.isNotNull && !isnan(v) && after)
+      .orderBy(if (ascending) v.asc else v.desc, col("conv_id").asc).limit(k)
+  }
+
   /** Field collapsing (the Elasticsearch `collapse` clause): the single
     * best-scoring conversation per value of a caller-supplied doc-level
     * group column — "the top hit per team / per source shard". Exact by

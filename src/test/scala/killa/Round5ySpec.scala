@@ -71,6 +71,31 @@ class Round5ySpec extends AnyFunSuite {
     assert(infix(root, "*mer*", cap = 1) == Set("a", "b"))
   }
 
+  test("searchSortedAfter: strictly-after cursor pages the (sort_val, conv) order exactly, ties included") {
+    import org.apache.spark.sql.functions.col
+    val corpus = mkTurns(
+      ("a", 0, "t x y"), ("b", 1, "t p q"), ("c", 2, "t z"), ("d", 3, "t"))
+    val root = TestSpark.freshDir("r5y-ssa")
+    new IndexWriter(spark, root, conf).fullBuild(corpus, "b0")
+    val r = new killa.query.IndexReader(spark, root, conf)
+    val meta = Seq(("a", 3.0), ("b", 3.0), ("c", 2.0), ("d", 1.0))
+      .toDF("conv_id", "dl")
+    // desc order: (3,a), (3,b), (2,c), (1,d)
+    val p1 = r.searchSorted("t", meta, "conv_id", "dl", ascending = false, k = 2)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(p1 == Seq(("a", 3.0), ("b", 3.0)))
+    // cursor sits INSIDE the tie plateau: page 2 must not re-emit a or b
+    val p2 = r.searchSortedAfter("t", meta, "conv_id", "dl", ascending = false,
+      k = 2, afterVal = 3.0, afterConv = "b")
+      .collect().map(x => (x.getString(0), x.getDouble(1))).toSeq
+    assert(p2 == Seq(("c", 2.0), ("d", 1.0)))
+    // ascending direction mirrors
+    val p2a = r.searchSortedAfter("t", meta, "conv_id", "dl", ascending = true,
+      k = 2, afterVal = 1.0, afterConv = "d")
+      .collect().map(_.getString(0)).toSeq
+    assert(p2a == Seq("c", "a"))
+  }
+
   test("ksTestAgg: ECDF max gap with full tie weight; identical series give d = 0") {
     import org.apache.spark.sql.functions.{col, min}
     // A's minute hits {2, 1}; B's {1, 2, 1} → pooled D at v=1: |1/2 − 2/3|
