@@ -292,6 +292,37 @@ object Harness {
       s" SELECT conv_id, sort_val FROM top ORDER BY sort_val $dir, conv_id ASC"
   }
 
+  /** Language-model similarity oracles (IndexReader.lmDirichletTopK /
+    * lmJelinekMercerTopK): disjunctive per-matched-term contributions with
+    * collection frequency cf = sum of the term's corpus tfs and C = total
+    * token count, every float step grouped exactly as the Spark columns are
+    * so both engines replay the identical IEEE operations. `param` is mu
+    * (Dirichlet) or lambda (Jelinek-Mercer); Scala's Double.toString
+    * round-trips, so interpolating it preserves the bit pattern.
+    */
+  def lmOracleSql(terms: Seq[String], k: Int, dirichlet: Boolean,
+      param: Double): String = {
+    val vals = terms.map(t => s"('$t')").mkString(", ")
+    val ctot = "(SELECT c FROM ctot)"
+    val contrib =
+      if (dirichlet)
+        s"ln(1.0 + tf.tf / ($param * (CAST(cfs.cf AS DOUBLE) / $ctot)))" +
+          s" + ln($param / (CAST(dl.dl AS DOUBLE) + $param))"
+      else
+        s"ln(1.0 + ((1.0 - $param) / $param) * ((CAST(tf.tf AS DOUBLE) /" +
+          s" CAST(dl.dl AS DOUBLE)) / (CAST(cfs.cf AS DOUBLE) / $ctot)))"
+    TurnsCte + TfCtes +
+      s", q(term) AS (VALUES $vals)" +
+      ", ctot AS (SELECT CAST(sum(dl) AS DOUBLE) AS c FROM dl)" +
+      ", cfs AS (SELECT tf.term, CAST(sum(tf.tf) AS BIGINT) AS cf FROM tf" +
+      " JOIN q ON tf.term = q.term GROUP BY 1)" +
+      s", contrib AS (SELECT tf.conv_id, $contrib AS c FROM tf" +
+      " JOIN cfs ON tf.term = cfs.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY 1)" +
+      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
   /** Field-collapsing oracle (top-1 per group of the exact scored set) —
     * group = deterministic conv bucket 'g' + (conv ordinal mod nGroups),
     * derivable identically on both engines from conv_id alone.

@@ -1141,6 +1141,13 @@ object SparkEntry {
       killa.dedup.Dedup.temperatureSample(documents(s, dir), "text", "source",
         rho = 0.5)
         .select("doc_id").orderBy("doc_id")),
+    // target-mixture resampling (domain weights): keep rates derived from
+    // per-source TOKEN counts so the kept corpus approaches the target token
+    // shares; sources outside the target map drop entirely
+    "q_mix_sample" -> ((s, dir) =>
+      killa.dedup.Dedup.mixtureSample(documents(s, dir), "text", "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .select("doc_id").orderBy("doc_id")),
     // Gopher-style repetition filters: overlapping-bigram slots, top-bigram
     // fraction, duplicate-bigram fraction per document
     "q_repetition" -> ((s, dir) =>
@@ -1266,6 +1273,28 @@ object SparkEntry {
       killa.ann.Quant.int8Codes(
         embeddings(s, dir).where(col("vec_id") < 5), "vec_id", "embedding")
         .orderBy("vec_id", "i")),
+    // binary (1-bit) quantization: packed sign-bit lane codes (the ES `bit`
+    // dense_vector element type) — 32 dims per BIGINT lane
+    "q_embed_binary" -> ((s, dir) =>
+      killa.ann.Quant.binaryCodes(
+        embeddings(s, dir).where(col("vec_id") < 5), "vec_id", "embedding")
+        .orderBy("vec_id", "lane")),
+    // Hamming kNN over the binary codes: distance = popcount(xor), exact
+    // top-10 per query, ties vec_id asc, self-matches excluded
+    "q_ann_hamming" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      killa.ann.Quant.hammingTopK(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+        "q_id", "qv", 10).orderBy("q_id", "rank")
+    }),
+    // LM Dirichlet similarity (the ES/Lucene similarity module alternative
+    // to BM25): Dirichlet-smoothed query likelihood, mu = 2000
+    "q_lmd_topk" -> ((s, dir) =>
+      reader(s, dir).lmDirichletTopK(Seq("spark", "query"), 10)),
+    // LM Jelinek-Mercer similarity: linear interpolation, lambda = 0.1
+    "q_lmjm_topk" -> ((s, dir) =>
+      reader(s, dir).lmJelinekMercerTopK(Seq("spark", "query"), 10, lambda = 0.1)),
     // reverse_nested agg: of the parents with a same-turn match, doc counts
     // per first-turn tool value (parent-level values over a child query)
     "q_reverse_nested" -> ((s, dir) => {
@@ -2185,6 +2214,24 @@ object SparkEntry {
         " * 4294967296.0) AS BIGINT) AS thr FROM c)" +
         " SELECT h.doc_id FROM h JOIN r ON h.source = r.source" +
         " WHERE h.h32 < r.thr ORDER BY doc_id"),
+    // target-mixture resampling: ratio_s = target_s / token_count_s, keep
+    // rate r_s / max(r), threshold floor(rate · 2^32) vs the same 32-bit
+    // content hash — identical IEEE steps on both engines
+    "q_mix_sample" ->
+      ("WITH w AS (SELECT doc_id, source, list_filter(string_split(text, ' ')," +
+        " x -> x <> '') AS toks FROM documents)" +
+        ", h AS (SELECT doc_id, source, CAST(concat('0x'," +
+        " substr(md5(array_to_string(toks, ' ')), 1, 8)) AS BIGINT) AS h32 FROM w)" +
+        ", c AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS c FROM w" +
+        " GROUP BY 1 HAVING sum(len(toks)) > 0)" +
+        ", t(source, tgt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25))" +
+        ", r AS (SELECT c.source, t.tgt / CAST(c.c AS DOUBLE) AS r FROM c" +
+        " JOIN t ON c.source = t.source)" +
+        ", m AS (SELECT max(r) AS rmax FROM r)" +
+        ", thr AS (SELECT source, CAST(floor((r / (SELECT rmax FROM m))" +
+        " * 4294967296.0) AS BIGINT) AS thr FROM r)" +
+        " SELECT h.doc_id FROM h JOIN thr ON h.source = thr.source" +
+        " WHERE h.h32 < thr.thr ORDER BY doc_id"),
     "q_repetition" -> (DocToksCte +
       ", g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS s FROM w WHERE len(toks) >= 2)" +
       ", pc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)" +
@@ -2331,6 +2378,33 @@ object SparkEntry {
       " SELECT e.vec_id, CAST(e.i AS BIGINT) AS i," +
       " CASE WHEN s.scale = 0 THEN 0 ELSE CAST(floor(e.x / s.scale + 0.5) AS BIGINT) END AS q" +
       " FROM e JOIN s USING (vec_id) ORDER BY e.vec_id, i"),
+    // binary codes: bit i of lane (i // 32) set iff x_i > 0; the sum of the
+    // distinct powers of two IS the packed code
+    "q_embed_binary" -> ("WITH e AS (SELECT vec_id," +
+      " generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding) AS x" +
+      " FROM embeddings WHERE vec_id < 5)" +
+      " SELECT vec_id, CAST(i // 32 AS BIGINT) AS lane," +
+      " CAST(sum(CASE WHEN x > 0 THEN CAST(1 AS BIGINT) << CAST(i % 32 AS INT)" +
+      " ELSE 0 END) AS BIGINT) AS code" +
+      " FROM e GROUP BY vec_id, i // 32 ORDER BY vec_id, lane"),
+    // Hamming kNN: per-lane popcount(xor) summed, exact top-10 per query
+    "q_ann_hamming" -> ("WITH e AS (SELECT vec_id," +
+      " generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding) AS x FROM embeddings)" +
+      ", c AS (SELECT vec_id, i // 32 AS lane," +
+      " sum(CASE WHEN x > 0 THEN CAST(1 AS BIGINT) << CAST(i % 32 AS INT)" +
+      " ELSE 0 END) AS code FROM e GROUP BY 1, 2)" +
+      ", d AS (SELECT q.vec_id AS q_id, t.vec_id AS vec_id," +
+      " CAST(sum(bit_count(xor(CAST(q.code AS BIGINT), CAST(t.code AS BIGINT)))) AS BIGINT) AS hamming" +
+      " FROM c q JOIN c t ON q.lane = t.lane AND t.vec_id <> q.vec_id" +
+      " WHERE q.vec_id < 3 GROUP BY 1, 2)" +
+      ", r AS (SELECT q_id, vec_id, hamming, CAST(row_number() OVER" +
+      " (PARTITION BY q_id ORDER BY hamming ASC, vec_id ASC) AS INT) AS rank FROM d)" +
+      " SELECT q_id, vec_id, hamming, rank FROM r WHERE rank <= 10" +
+      " ORDER BY q_id, rank"),
+    "q_lmd_topk" -> lmOracleSql(Seq("spark", "query"), 10, dirichlet = true,
+      param = 2000.0),
+    "q_lmjm_topk" -> lmOracleSql(Seq("spark", "query"), 10, dirichlet = false,
+      param = 0.1),
     // reverse_nested: parents of same-turn child matches, bucketed by the
     // parent's first-turn tool value
     "q_reverse_nested" -> (TurnsNestedCte + TfCtes +

@@ -1,6 +1,7 @@
 package killa.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar int8 embedding quantization — the storage-scale path for vector
@@ -28,4 +29,59 @@ object Quant {
         when(col("__scale") === 0.0, lit(0L))
           .otherwise(floor(col("__x").cast("double") / col("__scale") + 0.5))
           .as("q"))
+
+  /** Bits per packed lane. 32 (not 64) so every lane code is a non-negative
+    * Long on BOTH engines — a sign bit at position 63 would need unsigned
+    * shifts the SQL oracle cannot express portably.
+    */
+  val LaneBits = 32
+
+  private val laneBitValues: Column =
+    array((0 until LaneBits).map(i => lit(1L << i)): _*)
+
+  /** Packed sign-bit lane codes of one vector: lane `l` holds bits for
+    * dimensions [32l, 32l+31], bit i set iff x_i > 0 (the ES `bit` element
+    * type / binary-quantization sign rule). Pure integer construction —
+    * each set bit contributes its exact power of two, so the sum IS the
+    * bitwise OR and any engine reproduces codes bit-exactly.
+    */
+  private def laneCodes(v: Column): Column =
+    transform(sequence(lit(0), ceil(size(v) / lit(LaneBits.toDouble)).cast("int") - 1),
+      l => aggregate(
+        zip_with(slice(v, l * LaneBits + 1, lit(LaneBits)), laneBitValues,
+          (x, b) => when(x > lit(0.0f), b).otherwise(lit(0L))),
+        lit(0L), (acc, c) => acc + coalesce(c, lit(0L))))
+
+  /** Exploded binary (1-bit) codes: one (vec_id, lane, code) row per packed
+    * 32-dim lane — 32× smaller than float32 storage. Same codegen-only
+    * shape as [[int8Codes]]: no shuffle, no UDF.
+    */
+  def binaryCodes(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("vec_id"), laneCodes(col(vecCol)).as("__lanes"))
+      .select(col("vec_id"), posexplode(col("__lanes")).as(Seq("lane", "code")))
+      .select(col("vec_id"), col("lane").cast("long").as("lane"), col("code"))
+
+  /** Exact Hamming top-k over sign-bit binary codes (the ES `bit`
+    * dense_vector kNN: distance = popcount(xor)). `queries` is broadcast —
+    * one scan of the corpus computes lane codes AND distances inside a
+    * single codegen stage (zip_with → xor → native bit_count fold); only
+    * the per-query top-k window shuffles, carrying (q, id, dist) triples.
+    * Self-matches excluded; ties break vec_id asc like [[Ann.bruteForceTopK]].
+    * Output: (q_id, vec_id, hamming, rank).
+    */
+  def hammingTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val corpus = embeddings.select(col(idCol).as("vec_id"), laneCodes(col(vecCol)).as("__c"))
+    val qs = queries.select(col(qIdCol).as("q_id"), laneCodes(col(qVecCol)).as("__qc"))
+    val joined = corpus.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("hamming", aggregate(
+        zip_with(col("__c"), col("__qc"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+        lit(0L), (acc, c) => acc + coalesce(c, lit(0L))))
+    val w = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("vec_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "hamming", "rank")
+  }
 }

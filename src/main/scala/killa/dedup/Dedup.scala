@@ -133,6 +133,43 @@ object Dedup {
       .drop("__thr")
   }
 
+  /** Target-mixture resampling (the DoReMi / Pile-style domain-weights step):
+    * downsample each source so the KEPT corpus's token shares approach the
+    * caller's `targets`, deleting nothing from the most under-represented
+    * source. Per source: ratio_s = target_s / tokens_s (shared normalizers
+    * cancel), keep rate r_s = ratio_s / max ratio, threshold
+    * floor(r_s · 2^32) compared against the same 32-bit content hash
+    * [[hashSample]] uses — so accepted sets stay deterministic, engine- and
+    * partitioning-independent, and nest monotonically as targets move.
+    * Sources absent from `targets` drop entirely (rate 0). Every float step
+    * (two divisions, one multiply, floor) is IEEE correctly-rounded from the
+    * integer token counts, so a SQL oracle derives bit-identical thresholds.
+    * One count aggregation + one broadcast threshold join — no extra shuffle
+    * at corpus scale.
+    */
+  def mixtureSample(df: DataFrame, textCol: String, strataCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "targets must be non-empty with positive shares")
+    import df.sparkSession.implicits._
+    val counts = df.groupBy(col(strataCol))
+      .agg(sum(TextOps.wsTokenCount(col(textCol))).as("__c"))
+      .where(col("__c") > 0L)
+    val tgt = targets.toSeq.toDF("__src", "__t")
+    val ratios = counts
+      .join(broadcast(tgt), col(strataCol) === col("__src"))
+      .withColumn("__r", col("__t") / col("__c").cast("double"))
+    val rmax = ratios.agg(max(col("__r")).as("__rmax"))
+    val thr = ratios.crossJoin(broadcast(rmax))
+      .withColumn("__thr",
+        floor((col("__r") / col("__rmax")) * lit(4294967296.0)).cast("long"))
+      .select(col(strataCol), col("__thr"))
+    val h32 = conv(substring(TextOps.fingerprintMd5(col(textCol)), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(thr), strataCol).where(h32 < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Connected components over a near-dup pair set: every document labeled
     * with the MINIMUM id reachable through the undirected edge set — the
     * step that turns pairwise near-dup evidence into dedup CLUSTERS (pairs

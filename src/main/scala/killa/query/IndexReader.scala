@@ -3381,6 +3381,77 @@ final class IndexReader(
       .select(col("convId").as("conv_id"), col("term"), col("tf"))
   }
 
+  /** Shared body of the language-model similarities: decode the query terms'
+    * postings once into (docId, term, tf, dl), derive each term's collection
+    * frequency cf from THAT frame (sum of live-posting tfs — the Lucene
+    * `totalTermFreq` contract, which also counts not-yet-merged deleted
+    * postings; exact on compacted roots), broadcast the tiny (term, cf) map
+    * back, score per (doc, term) with `contrib`, sum per doc, and return the
+    * exact top-k (score desc, conv asc) with presentation rounding. Same
+    * bucket-pruned-scan → decode-flatMap → one-combinable-groupBy shape as
+    * [[bm25ScoredAll]]; the only additional work is the cf aggregation over
+    * the already-pruned frame.
+    */
+  private def lmTopK(termsIn: Seq[String], k: Int)(
+      contrib: (Column, Column, Column) => Column): DataFrame = {
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
+    val m = manifest.get
+    if (m.numDocs == 0 || m.totalTokens == 0) return emptyHits
+    val rows = terms.map(postingBlocks).reduce(_ union _)
+      .flatMap { blk =>
+        val docs = Delta.decode(blk.docsBin, blk.n)
+        val tfs = Varint.decode(blk.tfsBin, blk.n)
+        val dls = Varint.decode(blk.dlsBin, blk.n)
+        (0 until blk.n).iterator.map(j => (docs(j), blk.term, tfs(j), dls(j)))
+      }
+      .toDF("docId", "term", "tf", "dl")
+    val cf = rows.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val scored = rows.join(broadcast(cf), "term")
+      .withColumn("__c", contrib(col("tf").cast("double"),
+        col("dl").cast("double"), col("cf").cast("double")))
+      .groupBy("docId").agg(sum(col("__c")).as("score"))
+    scored.join(docsView, "docId")
+      .select(col("convId").as("conv_id"), col("score"))
+      .orderBy(col("score").desc, col("conv_id").asc).limit(k)
+      .select(col("conv_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Top-k under LM Dirichlet similarity (the Elasticsearch / Lucene
+    * `LMDirichlet` similarity module — the classic Dirichlet-smoothed query
+    * likelihood, Zhai & Lafferty 2001): per matched query term
+    * `ln(1 + tf / (mu * (cf / C))) + ln(mu / (dl + mu))`, summed
+    * disjunctively, with cf the term's collection frequency and C the total
+    * corpus token count (manifest `totalTokens`). Every float step is
+    * written with explicit grouping so the SQL oracle replays the identical
+    * IEEE operations. Scores can be negative (long docs matching one rare
+    * term) — ordering, not sign, is the contract.
+    */
+  def lmDirichletTopK(terms: Seq[String], k: Int, mu: Double = 2000.0): DataFrame = {
+    require(mu > 0.0, "mu must be > 0")
+    val ctot = manifest.fold(0L)(_.totalTokens).toDouble
+    lmTopK(terms, k) { (tf, dl, cf) =>
+      log(lit(1.0) + tf / (lit(mu) * (cf / lit(ctot)))) +
+        log(lit(mu) / (dl + lit(mu)))
+    }
+  }
+
+  /** Top-k under LM Jelinek-Mercer similarity (the ES/Lucene
+    * `LMJelinekMercer` module): per matched term
+    * `ln(1 + ((1 - lambda) / lambda) * ((tf / dl) / (cf / C)))` — linear
+    * interpolation between document and collection language models. Same
+    * machinery and determinism contract as [[lmDirichletTopK]].
+    */
+  def lmJelinekMercerTopK(terms: Seq[String], k: Int,
+      lambda: Double = 0.1): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0, 1)")
+    val ctot = manifest.fold(0L)(_.totalTokens).toDouble
+    lmTopK(terms, k) { (tf, dl, cf) =>
+      log(lit(1.0) + ((lit(1.0) - lit(lambda)) / lit(lambda)) *
+        ((tf / dl) / (cf / lit(ctot))))
+    }
+  }
+
   /** Window rescoring (the Elasticsearch `rescore` / function-score pattern):
     * take the exact BM25 top-`window`, multiply each hit's score by a
     * caller-supplied per-document factor, and return the top-`k` of the
