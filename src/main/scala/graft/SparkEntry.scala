@@ -1228,6 +1228,22 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       killa.dedup.Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text", 3, 64, 16, 0.8)
         .orderBy("a_id", "b_id")),
+    // query-time MinHash near-dup search: the first 50 docs play queries
+    // against the whole corpus — broadcast banded candidates + exact-Jaccard
+    // verify; each query matches itself at 1.0 and its planted near-dups
+    // above the 0.8 threshold
+    "q_neardup_search" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      killa.dedup.Dedup.neardupSearch(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 50).select(col("doc_id").as("q_id"), col("text")),
+        "q_id", "text", 3, 64, 16, 0.8).orderBy("q_id", "doc_id")
+    }),
+    // per-doc duplicated-span coverage (the Gopher/Dolma duplicate-fraction
+    // quality gate): share of each doc's full 16-token windows (stride 8)
+    // that recur in another doc
+    "q_dup_span_coverage" -> ((s, dir) =>
+      killa.dedup.Dedup.dupChunkCoverage(documents(s, dir), "doc_id", "text", 16, 8)
+        .orderBy("doc_id")),
     // simhash hamming pairs: the DuckDB oracle recomputes the exact same
     // tf-weighted FNV-1a64 simhash family (recursive byte-fold CTE) and takes
     // ALL pairs with hamming ≤ 3 — segment blocking is complete by pigeonhole,
@@ -1287,6 +1303,15 @@ object SparkEntry {
         e.where(col("vec_id") < 3)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
         "q_id", "qv", 10).orderBy("q_id", "rank")
+    }),
+    // int8 coarse + float rescore kNN (the ES 8.x rescore_vector pattern):
+    // integer-dot admission of k×3 survivors over the 4x-smaller codes,
+    // exact float cosine re-rank of only those survivors
+    "q_ann_int8_rescore" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      killa.ann.Quant.int8RescoreTopK(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 3).select(col("vec_id").as("q_id"), col("embedding")),
+        "q_id", "embedding", 5, 3).orderBy("q_id", "rank")
     }),
     // LM Dirichlet similarity (the ES/Lucene similarity module alternative
     // to BM25): Dirichlet-smoothed query likelihood, mu = 2000
@@ -2349,6 +2374,28 @@ object SparkEntry {
     // jaccard pair set on this corpus (recall of 16x4 banding at τ=0.8 ≈
     // 0.9998) — same oracle
     "q_dedup_minhash" -> (DocToksCte + ShinglesCte + JaccardSql),
+    // query-time near-dup search: exact query×corpus Jaccard — the banding
+    // is the same family q_dedup_minhash proved lossless on this corpus, and
+    // self-pairs always collide (identical signatures)
+    "q_neardup_search" -> (DocToksCte + ShinglesCte +
+      ", q AS (SELECT doc_id AS q_id, s FROM sh WHERE doc_id < 50)" +
+      ", qsz AS (SELECT q_id, count(*) AS nq FROM q GROUP BY 1)" +
+      ", inter AS (SELECT q.q_id, d.doc_id, count(*) AS cnt FROM q JOIN sh d ON q.s = d.s GROUP BY 1, 2)" +
+      " SELECT i.q_id, i.doc_id, round(CAST(i.cnt AS DOUBLE) / (qs.nq + sz.nsh - i.cnt), 4) AS jaccard" +
+      " FROM inter i JOIN qsz qs ON i.q_id = qs.q_id JOIN sz ON i.doc_id = sz.doc_id" +
+      " WHERE round(CAST(i.cnt AS DOUBLE) / (qs.nq + sz.nsh - i.cnt), 4) >= 0.8" +
+      " ORDER BY i.q_id, i.doc_id"),
+    // duplicated-span coverage: per doc, duplicated full windows / all full
+    // windows — same chunking CTE as q_dedup_chunks
+    "q_dup_span_coverage" -> (DocToksCte +
+      ", offs AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS off FROM w WHERE len(toks) > 0)" +
+      ", ch AS (SELECT doc_id, toks[off + 1 : least(off + 16, len(toks))] AS chunk FROM offs)" +
+      ", fullch AS (SELECT doc_id, md5(array_to_string(chunk, ' ')) AS chunk_hash FROM ch WHERE len(chunk) = 16)" +
+      ", dup AS (SELECT chunk_hash FROM fullch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)" +
+      " SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_chunks," +
+      " CAST(sum(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup," +
+      " round(CAST(sum(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS coverage" +
+      " FROM fullch f LEFT JOIN dup d USING (chunk_hash) GROUP BY 1 ORDER BY doc_id"),
     "q_ann_cosine_topk" -> (EmbCte +
       ", q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3)" +
       s", s AS (SELECT q_id, e.vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM e, q WHERE e.vec_id <> q.q_id)" +
@@ -2400,6 +2447,25 @@ object SparkEntry {
       ", r AS (SELECT q_id, vec_id, hamming, CAST(row_number() OVER" +
       " (PARTITION BY q_id ORDER BY hamming ASC, vec_id ASC) AS INT) AS rank FROM d)" +
       " SELECT q_id, vec_id, hamming, rank FROM r WHERE rank <= 10" +
+      " ORDER BY q_id, rank"),
+    // int8 coarse + float rescore: identical IEEE code chain (scale, floor
+    // half-up) as q_embed_int8, integer dot (exact as double), float cosine
+    // only on the 15 admitted survivors, ties vec_id asc at both phases
+    "q_ann_int8_rescore" -> ("WITH s AS (SELECT vec_id," +
+      " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v," +
+      " list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale" +
+      " FROM embeddings)" +
+      ", c AS (SELECT vec_id, v, CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))" +
+      " ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q FROM s)" +
+      ", qs AS (SELECT vec_id AS q_id, v AS qv, q AS qq FROM c WHERE vec_id < 3)" +
+      ", d AS (SELECT q_id, c.vec_id, list_dot_product(c.q, qs.qq) AS dot, c.v, qs.qv" +
+      " FROM c, qs WHERE c.vec_id <> qs.q_id)" +
+      ", a AS (SELECT q_id, vec_id, v, qv, row_number() OVER" +
+      " (PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS crank FROM d)" +
+      s", r AS (SELECT q_id, vec_id, round(${cosSql("v", "qv")}, 4) AS cosine FROM a WHERE crank <= 15)" +
+      ", f AS (SELECT q_id, vec_id, cosine, row_number() OVER" +
+      " (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM r)" +
+      " SELECT q_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM f WHERE rank <= 5" +
       " ORDER BY q_id, rank"),
     "q_lmd_topk" -> lmOracleSql(Seq("spark", "query"), 10, dirichlet = true,
       param = 2000.0),

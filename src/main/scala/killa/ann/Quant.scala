@@ -61,6 +61,52 @@ object Quant {
       .select(col("vec_id"), posexplode(col("__lanes")).as(Seq("lane", "code")))
       .select(col("vec_id"), col("lane").cast("long").as("lane"), col("code"))
 
+  /** Per-vector int8 code ARRAY (same quantization rule as [[int8Codes]],
+    * kept packed for scoring instead of exploded for storage). Element type
+    * long (floor of a double), values ∈ [−127, 127].
+    */
+  private def int8CodesCol(v: Column): Column = {
+    val scale = array_max(transform(v, x => abs(x.cast("double")))) / 127.0
+    when(scale === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => floor(x.cast("double") / scale + 0.5)))
+  }
+
+  /** Quantized-coarse + float-rescore kNN (the Elasticsearch 8.x
+    * `rescore_vector` pattern over `int8` dense_vectors: search the 4×
+    * smaller quantized codes, then re-score only `k × oversample` survivors
+    * against the full-precision floats). Phase 1 ranks by the INTEGER int8
+    * dot product — exact on any engine, no float drift at the admission
+    * boundary; phase 2 recomputes exact float cosine for survivors only and
+    * returns the top-k. Both vectors and codes ride the same single corpus
+    * scan (codes are a codegen projection), queries broadcast; only the
+    * per-query windows shuffle. Ties break vec_id asc at BOTH phases, so
+    * the admitted set and final ranking are fully deterministic.
+    * Output: (q_id, vec_id, cosine, rank).
+    */
+  def int8RescoreTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      oversample: Int): DataFrame = {
+    require(k >= 1 && oversample >= 1, "k and oversample must be >= 1")
+    val corpus = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
+      int8CodesCol(col(vecCol)).as("__c"))
+    val qs = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("__qv"),
+      int8CodesCol(col(qVecCol)).as("__qc"))
+    val joined = corpus.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("__dot", aggregate(
+        zip_with(col("__c"), col("__qc"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + coalesce(x, lit(0L))))
+    val wc = Window.partitionBy("q_id").orderBy(col("__dot").desc, col("vec_id").asc)
+    val admitted = joined.withColumn("__crank", row_number().over(wc))
+      .where(col("__crank") <= k * oversample)
+    val wf = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    admitted
+      .withColumn("cosine", round(Ann.cosineCol(col("__v"), col("__qv")), 4))
+      .withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   /** Exact Hamming top-k over sign-bit binary codes (the ES `bit`
     * dense_vector kNN: distance = popcount(xor)). `queries` is broadcast —
     * one scan of the corpus computes lane codes AND distances inside a

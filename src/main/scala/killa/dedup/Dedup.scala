@@ -268,38 +268,88 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
-    val spark = df.sparkSession
-    import spark.implicits._
     val sh = shingleSets(df, idCol, textCol, n)
-    // signature: per id the element-wise min over shingles of h_j(s),
-    // expressed RELATIONALLY — numHashes codegen'd min-aggregates over
-    // per-(id, shingle) rows (native expressions, no UDF, no per-doc
-    // collect_list array): map-side partial aggregation keeps even a
-    // million-shingle doc's work streaming, never materialized
-    val hashed = sh.select(col("id"), killa.expr.Fnv1a64.fnv1a64(col("s")).as("h"))
-    val minAggs = (0 until numHashes).map(j =>
-      min(killa.expr.Splitmix64Xor.minhashCol(col("h"), j)).as(s"m$j"))
-    val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
-    // allocation-free banding: fold each band's longs straight into the FNV
-    // accumulator (one array view per doc, zero per-band strings — at 10^12
-    // docs × bands the old mkString was pure GC pressure in the hottest
-    // dedup stage). Banding constants changed with the hash; candidates are
-    // exact-Jaccard-verified downstream, so only recall can move, and the
-    // registered banding's recall vs the exact oracle is re-pinned in specs.
-    val bandRows = sigs.as[(Long, Seq[Long])].flatMap { case (id, sig) =>
-      val arr = sig.toArray
-      (0 until bands).map { b =>
-        (id, b, Hashing.fnv1a64Longs(arr, b * rows, (b + 1) * rows))
-      }
-    }.toDF("id", "band", "bandHash")
+    val bandRows = minhashBandRows(sh, numHashes, bands)
     val cand = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bandHash") === col("y.bandHash") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
     verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Banded MinHash rows (id, band, bandHash) over a shingle-set frame —
+    * shared by corpus-level LSH dedup and query-time near-dup search so both
+    * sides of a query/corpus join hash identically. Signature = element-wise
+    * min over shingles of splitmix64_j(fnv1a64(s)), expressed RELATIONALLY —
+    * numHashes codegen'd min-aggregates over per-(id, shingle) rows (native
+    * expressions, no UDF, no per-doc collect_list array): map-side partial
+    * aggregation keeps even a million-shingle doc's work streaming, never
+    * materialized. Banding is allocation-free: each band's longs fold
+    * straight into the FNV accumulator — zero per-band strings (at 10^12
+    * docs × bands the old mkString was pure GC pressure in the hottest
+    * dedup stage).
+    */
+  private def minhashBandRows(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val hashed = sh.select(col("id"), killa.expr.Fnv1a64.fnv1a64(col("s")).as("h"))
+    val minAggs = (0 until numHashes).map(j =>
+      min(killa.expr.Splitmix64Xor.minhashCol(col("h"), j)).as(s"m$j"))
+    val sigs = hashed.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+    sigs.as[(Long, Seq[Long])].flatMap { case (id, sig) =>
+      val arr = sig.toArray
+      (0 until bands).map { b =>
+        (id, b, Hashing.fnv1a64Longs(arr, b * rows, (b + 1) * rows))
+      }
+    }.toDF("id", "band", "bandHash")
+  }
+
+  /** Query-time MinHash near-dup search (the ES `min_hash`-filter / fuzzy
+    * MLT pattern): for each query text, the corpus documents with word-n-gram
+    * Jaccard ≥ threshold — candidates from banded-signature collisions (the
+    * query side's band rows are tiny by construction and broadcast, so the
+    * corpus band rows are probed map-side, never re-shuffled), then
+    * exact-Jaccard verification, so precision is 1.0 and only recall depends
+    * on the banding — identical hash family and semantics to
+    * [[minhashLshPairs]] but corpus×queries instead of corpus×corpus. A
+    * query identical to a corpus doc matches it at 1.0 (callers searching
+    * "other near-dups of corpus doc X" filter the self row).
+    *
+    * Scale shape: the corpus is shingled ONCE (one scan feeds signature
+    * aggregation and verification); per query only its candidate docs'
+    * shingles join — O(candidates), never O(corpus × queries).
+    *
+    * @return (q_id, doc_id, jaccard) rows, jaccard ≥ threshold, 4dp.
+    */
+  def neardupSearch(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String, n: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val cs = shingleSets(corpus, idCol, textCol, n)
+    val qs = shingleSets(
+      queries.select(col(qIdCol).as(idCol), col(qTextCol).as(textCol)),
+      idCol, textCol, n)
+    val cand = minhashBandRows(cs, numHashes, bands).as("x")
+      .join(broadcast(minhashBandRows(qs, numHashes, bands)).as("y"),
+        col("x.band") === col("y.band") && col("x.bandHash") === col("y.bandHash"))
+      .select(col("y.id").as("q_id"), col("x.id").as("doc_id"))
+      .distinct()
+    val inter = cand
+      .join(qs.select(col("id").as("q_id"), col("s")), "q_id")
+      .join(cs.select(col("id").as("doc_id"), col("s")), Seq("doc_id", "s"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("i"))
+    cand.join(inter, Seq("q_id", "doc_id"), "left").na.fill(0L, Seq("i"))
+      .join(qs.groupBy("id").agg(count(lit(1)).as("nq"))
+        .select(col("id").as("q_id"), col("nq")), "q_id")
+      .join(cs.groupBy("id").agg(count(lit(1)).as("nd"))
+        .select(col("id").as("doc_id"), col("nd")), "doc_id")
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("nq") + col("nd") - col("i")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("q_id", "doc_id", "jaccard")
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
@@ -379,6 +429,39 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .where(col("n_docs") >= 2)
+
+  /** Per-document duplicated-span coverage (the Gopher/Dolma "fraction of
+    * text in duplicate n-grams" quality signal): the share of a document's
+    * FULL token windows whose hash also occurs in at least one OTHER
+    * document. [[duplicateChunks]] is the corpus-level report; this is the
+    * per-doc gate a pipeline thresholds on ("drop docs with > 30% duplicated
+    * spans"). Within-doc repetition alone never counts — a window is
+    * duplicated only when ≥ 2 DISTINCT docs carry its hash.
+    *
+    * Shape at scale: one chunk explode (no shuffle), one combinable groupBy
+    * on the 128-bit chunk hash, one semi-join back on the hash, one per-doc
+    * combinable fold — the same single-shuffle-per-stage profile as exact
+    * dedup, no all-pairs anything.
+    *
+    * @return (doc_id, n_chunks, n_dup, coverage) — one row per doc with ≥ 1
+    *         full window (shorter docs have no assessable span), coverage =
+    *         n_dup/n_chunks rounded 4dp.
+    */
+  def dupChunkCoverage(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    val chunks = TextOps.chunkTokens(df, idCol, textCol, window, stride)
+      .where(col("n_tokens") === window)
+      .select(col(idCol).as("doc_id"), col("chunk_hash"))
+    val dup = chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("__ndocs"))
+      .where(col("__ndocs") >= 2)
+      .select(col("chunk_hash"), lit(1L).as("__dup"))
+    chunks.join(dup, Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+      .withColumn("coverage", round(col("n_dup").cast("double") / col("n_chunks"), 4))
+  }
 
   /** 64-bit SimHash of a token multiset (tf-weighted). */
   def simhash64(tokens: Seq[String]): Long = {
