@@ -1190,6 +1190,17 @@ object SparkEntry {
     "q_dedup_chunks" -> ((s, dir) =>
       killa.dedup.Dedup.duplicateChunks(documents(s, dir), "doc_id", "text", 16, 8)
         .orderBy("chunk_hash")),
+    // distributed BPE vocab induction, first-round candidates: adjacent
+    // character-pair counts weighted by word frequency, deterministic top-20
+    "q_bpe_pairs" -> ((s, dir) =>
+      killa.text.Bpe.topPairs(documents(s, dir), "text", 20)),
+    // distributed BPE trainer: 12 learned merges — multi-char symbols
+    // participate from step 6 ('m'+'er') on this corpus, so the oracle
+    // genuinely exercises the iterative merge loop, not just pair counting;
+    // each round is one combinable pair-count over the WORD table (never the
+    // corpus), a bounded 1-row argmax, and a narrow higher-order-fold merge
+    "q_bpe_merges" -> ((s, dir) =>
+      killa.text.Bpe.train(documents(s, dir), "text", 12).orderBy("step")),
     // sequence packing (concat-and-chunk, 512-token budget): distributed
     // two-pass prefix sum — NOT a single-reducer global window — assigns
     // each doc the training sequence its first token lands in
@@ -1577,6 +1588,33 @@ object SparkEntry {
   private val PposCte =
     ", ptoks AS (SELECT conv_id, turn_idx, unnest(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), (x, i) -> struct_pack(term := x, ord := i))) AS t FROM turns)" +
       ", ppos AS (SELECT conv_id, t.term AS term, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, t.ord) - 1 AS pos FROM ptoks)"
+
+  /** Chained-CTE DuckDB mirror of [[killa.text.Bpe.train]]: words encode as
+    * '|'-delimited symbol strings with DOUBLED inner separators ('|a||b|'),
+    * so string `replace` of '|l||r|' → '|lr|' is exactly the left-to-right
+    * non-overlapping BPE merge ("aaa" + a·a → "aa","a" — the scan resumes
+    * after the consumed trailing '|', which the doubled separator keeps
+    * intact for the NEXT pair). No corpus token contains '|' (asserted by
+    * the tokenizer contract: whitespace split of the fixture's ascii text).
+    */
+  private def bpeMergesOracleSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w AS MATERIALIZED (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)"
+    sb ++= ", wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(toks) AS word FROM w) GROUP BY 1)"
+    sb ++= ", s0 AS MATERIALIZED (SELECT cnt, '|' || array_to_string([word[i] for i in range(1, len(word) + 1)], '||') || '|' AS rep FROM wc)"
+    (1 to n).foreach { k =>
+      val p = k - 1
+      sb ++= s", sy$k AS MATERIALIZED (SELECT cnt, list_filter(string_split(rep, '|'), x -> x <> '') AS syms FROM s$p)"
+      sb ++= s", pr$k AS MATERIALIZED (SELECT cnt, unnest([struct_pack(lhs := syms[i], rhs := syms[i+1]) for i in range(1, len(syms))]) AS p FROM sy$k WHERE len(syms) >= 2)"
+      sb ++= s", b$k AS MATERIALIZED (SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS freq FROM pr$k GROUP BY 1, 2 ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1)"
+      sb ++= s", s$k AS MATERIALIZED (SELECT cnt, replace(rep, '|' || (SELECT lhs FROM b$k) || '||' || (SELECT rhs FROM b$k) || '|', '|' || (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k) || '|') AS rep FROM s$p)"
+    }
+    sb ++= " " + (1 to n).map(k =>
+      s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, freq FROM b$k")
+      .mkString(" UNION ALL ")
+    sb ++= " ORDER BY step"
+    sb.toString
+  }
 
   private val EmbCte =
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
@@ -2373,6 +2411,13 @@ object SparkEntry {
     // MinHash LSH candidates + exact verify empirically reproduce the exact
     // jaccard pair set on this corpus (recall of 16x4 banding at τ=0.8 ≈
     // 0.9998) — same oracle
+    "q_bpe_pairs" -> ("WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)" +
+      ", wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(toks) AS word FROM w) GROUP BY 1)" +
+      ", ch AS (SELECT cnt, [word[i] for i in range(1, len(word) + 1)] AS syms FROM wc)" +
+      ", pr AS (SELECT cnt, unnest([struct_pack(lhs := syms[i], rhs := syms[i+1]) for i in range(1, len(syms))]) AS p FROM ch WHERE len(syms) >= 2)" +
+      " SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS freq FROM pr GROUP BY 1, 2" +
+      " ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 20"),
+    "q_bpe_merges" -> bpeMergesOracleSql(12),
     "q_dedup_minhash" -> (DocToksCte + ShinglesCte + JaccardSql),
     // query-time near-dup search: exact query×corpus Jaccard — the banding
     // is the same family q_dedup_minhash proved lossless on this corpus, and

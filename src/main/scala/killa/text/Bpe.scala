@@ -1,0 +1,117 @@
+package killa.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import killa.tokenize.Tokenize
+
+/** Distributed BPE tokenizer-vocabulary induction — the training-data
+  * pipeline step that LEARNS the subword merges token counting assumes
+  * (Sennrich et al. 2016; the trainer behind GPT-2/Llama-style vocabs).
+  *
+  * Scale story: ONE corpus pass builds the distinct-word count table
+  * ([[wordCounts]] — one combinable shuffle); every merge round after that
+  * touches only the VOCAB table, which is orders of magnitude smaller than
+  * the corpus (10^8 distinct words vs 10^12 docs), with:
+  *  - pair counting as a map-side-combinable groupBy over exploded adjacent
+  *    symbol pairs,
+  *  - argmax as a bounded 1-row collect (count desc, pair asc — total order,
+  *    so the learned merge list is deterministic at any parallelism),
+  *  - merge application as a narrow per-row higher-order fold (no UDF, no
+  *    shuffle), left-to-right non-overlapping exactly like the reference
+  *    BPE ("aaa" + merge a·a → "aa","a"),
+  *  - `localCheckpoint` per round so plan lineage stays O(1), not O(merges).
+  */
+object Bpe {
+
+  /** Distinct-word count table: (word, cnt). The one corpus-sized pass. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Tokenize.termsCol(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Character-split symbol column: "hello" → ["h","e","l","l","o"]. */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Adjacent symbol pairs weighted by word count: (lhs, rhs, cnt rows). */
+  private def pairRows(words: DataFrame): DataFrame =
+    words.where(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(
+        transform(sequence(lit(0), size(col("syms")) - 2), i =>
+          struct(element_at(col("syms"), i + 1).as("lhs"),
+            element_at(col("syms"), i + 2).as("rhs")))).as("p"))
+      .select(col("p.lhs"), col("p.rhs"), col("cnt"))
+
+  /** Top-k first-round merge candidates: adjacent CHARACTER pair counts over
+    * the corpus, weighted by word frequency (every occurrence in a word
+    * counts, so "aaa" contributes (a,a) twice per occurrence). Total order
+    * (freq desc, lhs asc, rhs asc) so the k-cut is deterministic.
+    * @return (lhs, rhs, freq) — k rows.
+    */
+  def topPairs(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val words = wordCounts(df, textCol)
+      .select(col("word"), col("cnt"), charSyms(col("word")).as("syms"))
+    pairRows(words)
+      .groupBy("lhs", "rhs").agg(sum(col("cnt")).as("freq"))
+      .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+      .limit(k)
+  }
+
+  /** Apply one merge (l, r) → l+r to a symbol array, left-to-right
+    * non-overlapping, as a codegen'd higher-order fold — after "a","a"
+    * merges, the merged "aa" symbol cannot chain into the next "a".
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `nMerges` BPE merges over the corpus. Each round: count adjacent
+    * symbol pairs (weighted by word frequency), take the single most
+    * frequent pair (ties lhs asc, rhs asc), fuse it in every word. Stops
+    * early if no pair remains (fully merged vocabulary).
+    * @return (step 1-based, lhs, rhs, merged, freq) — one row per learned
+    *         merge, in learning order.
+    */
+  def train(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = wordCounts(df, textCol)
+      .select(col("cnt"), charSyms(col("word")).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val best = pairRows(words)
+        .groupBy("lhs", "rhs").agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, l + r, f))
+        words = words
+          .select(col("cnt"), applyMerge(col("syms"), l, r).as("syms"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "freq")
+  }
+
+  /** Segment words with a learned merge list (the ENCODE side of BPE —
+    * applies merges in learning order, each as the same non-overlapping
+    * fold used during training). Output one row per input row with the
+    * word's subword segmentation.
+    * @return input columns + `pieces: array<string>`.
+    */
+  def segment(df: DataFrame, wordCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val init = df.withColumn("pieces", charSyms(col(wordCol)))
+    merges.foldLeft(init) { case (acc, (l, r)) =>
+      acc.withColumn("pieces", applyMerge(col("pieces"), l, r))
+    }
+  }
+}
