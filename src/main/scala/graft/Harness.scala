@@ -130,7 +130,8 @@ object Harness {
       minMatch: Int = 1,
       extraCtes: String = "",
       filterConvSql: Option[String] = None,
-      boosts: Map[String, Double] = Map.empty): String = {
+      boosts: Map[String, Double] = Map.empty,
+      minScore: Option[Double] = None): String = {
     val hasBoost = boosts.nonEmpty
     val vals = terms.zipWithIndex.map { case (t, i) =>
       if (hasBoost) s"('$t', $i, CAST(${boosts.getOrElse(t, 1.0)} AS DOUBLE))"
@@ -162,7 +163,13 @@ object Harness {
       "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
       "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
       s", scored AS (SELECT conv_id, sum(c) AS s FROM contrib$whereCl GROUP BY conv_id$having)" +
-      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k$off)" +
+      // min_score drops sub-floor docs BEFORE the top-k cut (the unrounded
+      // score compares against the floor, exactly like the kernel's seeded
+      // WAND threshold), so the page may hold fewer than k rows
+      minScore.map(f => s", scored2 AS (SELECT * FROM scored WHERE s >= $f)")
+        .getOrElse("") +
+      s", top AS (SELECT conv_id, s FROM ${if (minScore.isDefined) "scored2" else "scored"}" +
+      s" ORDER BY s DESC, conv_id ASC LIMIT $k$off)" +
       " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
   }
 
@@ -817,6 +824,109 @@ object Harness {
     histCtes(term) +
       s" SELECT bucket, hits FROM hist WHERE hits >= $minHits" +
       s" ORDER BY hits DESC, bucket ASC LIMIT $topN"
+
+  /** Pseudo-relevance-feedback oracle: base top-fbDocs page → expansion
+    * term selection (Σtf desc, df asc, term asc over the feedback docs'
+    * term vectors, originals excluded, df·100 ≤ N·maxDfPct) → boosted
+    * re-query — the SQL mirror of IndexReader.prfTopK.
+    */
+  def prfOracleSql(terms: Seq[String], k: Int, fbDocs: Int, fbTerms: Int,
+      beta: Double, maxDfPct: Int): String = {
+    val vals0 = terms.map(t => s"('$t')").mkString(", ")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    TurnsCte + TfCtes +
+      s", q0(term) AS (VALUES $vals0)" +
+      ", qdf0 AS (SELECT q0.term, count(tf.conv_id) AS df FROM q0" +
+      " LEFT JOIN tf ON tf.term = q0.term GROUP BY 1)" +
+      ", contrib0 AS (SELECT tf.conv_id, " +
+      "ln(1.0 + ((SELECT n FROM stats) - qdf0.df + 0.5) / (qdf0.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
+      "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+      "FROM tf JOIN qdf0 ON tf.term = qdf0.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      ", fb AS (SELECT conv_id FROM (SELECT conv_id, sum(c) AS s FROM contrib0 GROUP BY 1)" +
+      s" ORDER BY s DESC, conv_id ASC LIMIT $fbDocs)" +
+      s", ev AS (SELECT tf.term, CAST(sum(tf.tf) AS BIGINT) AS stf FROM tf JOIN fb USING (conv_id)" +
+      s" WHERE tf.term NOT IN ($inList) GROUP BY 1)" +
+      // tf holds one row per (conv, term), so count(*) per term IS its df
+      ", edf AS (SELECT ev.term, ev.stf, count(*) AS df FROM ev JOIN tf ON tf.term = ev.term GROUP BY 1, 2)" +
+      s", expt AS (SELECT term FROM edf WHERE df * 100 <= (SELECT n FROM stats) * $maxDfPct" +
+      s" ORDER BY stf DESC, df ASC, term ASC LIMIT $fbTerms)" +
+      ", q(term, boost) AS (SELECT term, CAST(1.0 AS DOUBLE) FROM q0" +
+      s" UNION ALL SELECT term, CAST($beta AS DOUBLE) FROM expt)" +
+      ", qdf AS (SELECT q.term, q.boost, count(tf.conv_id) AS df FROM q" +
+      " LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
+      ", contrib AS (SELECT tf.conv_id, " +
+      "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * qdf.boost * tf.tf " +
+      "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+      "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)" +
+      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
+
+  /** DSIR oracle: 256-bucket hashed-unigram importance weights, target =
+    * assistant turns (doc_id % 2 = 1), add-one smoothing, top-n — the SQL
+    * mirror of Dedup.dsirTopN.
+    */
+  def dsirOracleSql(n: Int): String =
+    TurnsCte + TfCtes +
+      ", tb AS (SELECT conv_id, substr(md5(term), 1, 2) AS b FROM tok2)" +
+      ", raw AS (SELECT b, count(*) AS rc FROM tb GROUP BY 1)" +
+      ", rawtot AS (SELECT CAST(sum(rc) AS DOUBLE) AS t FROM raw)" +
+      ", gt AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents WHERE doc_id % 2 = 1)" +
+      ", gtb AS (SELECT substr(md5(term), 1, 2) AS b FROM gt WHERE term <> '')" +
+      ", tgt AS (SELECT b, count(*) AS tc FROM gtb GROUP BY 1)" +
+      ", tgttot AS (SELECT CAST(sum(tc) AS DOUBLE) AS t FROM tgt)" +
+      ", diff AS (SELECT r.b, ln(CAST(coalesce(g.tc, 0) + 1 AS DOUBLE) / ((SELECT t FROM tgttot) + 256))" +
+      " - ln(CAST(r.rc + 1 AS DOUBLE) / ((SELECT t FROM rawtot) + 256)) AS d" +
+      " FROM raw r LEFT JOIN tgt g ON r.b = g.b)" +
+      ", docb AS (SELECT conv_id, b, count(*) AS c FROM tb GROUP BY 1, 2)" +
+      ", w AS (SELECT conv_id, sum(c * d) AS w FROM docb JOIN diff USING (b) GROUP BY 1)" +
+      s", top AS (SELECT conv_id, w FROM w ORDER BY w DESC, conv_id ASC LIMIT $n)" +
+      " SELECT conv_id, round(w, 4) AS weight FROM top ORDER BY weight DESC, conv_id ASC"
+
+  /** bucket_correlation oracle: Pearson correlation between the two sibling
+    * minute histograms' counts over the UNION bucket set, absent buckets 0 —
+    * the SQL mirror of IndexReader.bucketCorrelation.
+    */
+  def bucketCorrelationOracleSql(termA: String, termB: String): String =
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      ", convts AS (SELECT conv_id, TIMESTAMP '2024-01-01 00:00:00' + to_seconds(min(doc_id)) AS ts FROM t2 GROUP BY 1)" +
+      s", hitsa AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$termA')" +
+      s", hitsb AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$termB')" +
+      ", hista AS (SELECT strftime(date_trunc('minute', c.ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS hits FROM hitsa h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1)" +
+      ", histb AS (SELECT strftime(date_trunc('minute', c.ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS hits FROM hitsb h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1)" +
+      ", j AS (SELECT CAST(coalesce(a.hits, 0) AS DOUBLE) AS ha, " +
+      "CAST(coalesce(b.hits, 0) AS DOUBLE) AS hb " +
+      "FROM hista a FULL OUTER JOIN histb b ON a.bucket = b.bucket)" +
+      // explicit covar_samp/(sa*sb) with a zero-variance guard — the same
+      // formula (and null case) the engine computes
+      " SELECT count(*) AS n_buckets, round(CASE WHEN stddev_samp(ha) > 0 AND stddev_samp(hb) > 0" +
+      " THEN covar_samp(ha, hb) / (stddev_samp(ha) * stddev_samp(hb)) END, 4) AS correlation FROM j"
+
+  /** indices_boost oracle: the single-corpus BM25 scoring chain with each
+    * conv's score scaled by its SHARD's boost (the shardReaders split:
+    * conv ordinal % 2), then top-k of the boosted order — the SQL mirror of
+    * ShardedSearch.bm25TopKIndicesBoost over [[shardReaders]].
+    */
+  def indicesBoostOracleSql(terms: Seq[String], k: Int,
+      boostEven: Double, boostOdd: Double): String = {
+    val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    TurnsCte + TfCtes +
+      s", q(term, tidx) AS (VALUES $vals)" +
+      ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q" +
+      " LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
+      ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
+      "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * tf.tf " +
+      "/ (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+      "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+      ", scored AS (SELECT conv_id, sum(c) * (CASE WHEN CAST(substring(conv_id, 2) AS INT) % 2 = 0 " +
+      s"THEN $boostEven ELSE $boostOdd END) AS s FROM contrib GROUP BY conv_id)" +
+      s", top AS (SELECT conv_id, s FROM scored ORDER BY s DESC, conv_id ASC LIMIT $k)" +
+      " SELECT conv_id, round(s, 4) AS score FROM top ORDER BY score DESC, conv_id ASC"
+  }
 
   /** stats_bucket oracle: scalar stats over the histogram's hit counts. */
   def statsBucketOracleSql(term: String): String =

@@ -123,6 +123,13 @@ object SparkEntry {
     "q_bm25_msm" -> ((s, dir) =>
       present(reader(s, dir).bm25TopK(Seq("window", "big", "dup"), 10,
         minShouldMatch = 2))),
+    // min_score (the ES min_score clause): sub-floor docs drop and the
+    // floor SEEDS the kernel's WAND threshold — block-max skips engage from
+    // the first block instead of after k admissions, so a selective floor
+    // is a pruning GAIN; the page may legitimately hold fewer than k rows
+    "q_bm25_min_score" -> ((s, dir) =>
+      present(reader(s, dir).bm25TopK(Seq("dup", "window", "big"), 50,
+        minScore = 0.3))),
     // query-time per-term boosts (the ES term^boost syntax): boosts fold
     // into the premultiplied weights, so block-max bounds scale with their
     // term and WAND pruning stays exact — ranking shifts toward 'filter'
@@ -162,6 +169,15 @@ object SparkEntry {
     "q_sharded_bm25" -> ((s, dir) =>
       present(killa.query.ShardedSearch.bm25TopK(s, shardReaders(s, dir),
         Seq("query", "filter", "join"), 10))),
+    // indices_boost (per-index boost on a multi-index search): the even-
+    // ordinal shard boosted 2.0, the odd shard damped 0.5 — power-of-two
+    // boosts so the post-merge scale is IEEE-exact on both engines; ranking
+    // must interleave differently from q_sharded_bm25's unboosted merge
+    "q_indices_boost" -> ((s, dir) => {
+      val rs = shardReaders(s, dir)
+      present(killa.query.ShardedSearch.bm25TopKIndicesBoost(s,
+        Seq((rs(0), 2.0), (rs(1), 0.5)), Seq("query", "filter", "join"), 10))
+    }),
     // rollover group (ES ILM rollover): the corpus ingested in three batches
     // under a 40-doc cap — two rolled roots, searched under merged stats;
     // must hash-match the SINGLE-corpus oracle (roll boundaries are invisible)
@@ -744,6 +760,15 @@ object SparkEntry {
       val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
       reader(s, dir).statsBucket("spark", meta, "conv_id", "ts", "minute")
     }),
+    // bucket_correlation pipeline agg: Pearson correlation between the
+    // 'dup' (skew term, 25 convs) and 'the' (every conv) minute histograms
+    // over the UNION bucket set (a bucket absent from one series counts 0)
+    // — non-identical series, so the statistic genuinely bites (0.45)
+    "q_bucket_correlation" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).bucketCorrelation("dup", "the", meta, "conv_id",
+        "ts", "minute")
+    }),
     // change_point (step-change family): the minute bucket best splitting
     // the match series into two mean regimes — argmax |mean(L) − mean(R)|
     "q_change_point" -> ((s, dir) => {
@@ -972,6 +997,13 @@ object SparkEntry {
     // (tf desc, df asc, term asc), deterministically on both sides
     "q_more_like_this" -> ((s, dir) =>
       present(reader(s, dir).moreLikeThis("c00007", maxTerms = 5, k = 10, maxDfPct = 100))),
+    // pseudo-relevance feedback (Rocchio two-pass expansion): top-5 'dup'
+    // page feeds 2 expansion terms (Σtf desc, df asc, term asc — integer-
+    // keyed like MLT), re-queried at beta 0.5; guard open like MLT on this
+    // tiny-vocabulary corpus
+    "q_prf_expand" -> ((s, dir) =>
+      present(reader(s, dir).prfTopK(Seq("dup"), 10, fbDocs = 5,
+        fbTerms = 2, beta = 0.5, maxDfPct = 100))),
     // spell-suggest (the ES term suggester): dictionary terms within edit
     // distance 1 of the typo, ranked df desc then term asc — a (term, df)
     // dictionary-column scan; posting payloads never decode
@@ -1148,6 +1180,16 @@ object SparkEntry {
       killa.dedup.Dedup.mixtureSample(documents(s, dir), "text", "source",
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
         .select("doc_id").orderBy("doc_id")),
+    // DSIR data selection (importance resampling toward a target corpus):
+    // 256 md5-bucket unigram models, target = the corpus's assistant side,
+    // top-40 convs by importance weight — "find me more data that looks
+    // like my target set" as one verified operator
+    "q_dsir_select" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      killa.dedup.Dedup.dsirTopN(t.select(col("conv_id"), col("text")),
+        "conv_id", "text",
+        t.where(col("role") === "assistant").select(col("text")), "text", 40)
+    }),
     // Gopher-style repetition filters: overlapping-bigram slots, top-bigram
     // fraction, duplicate-bigram fraction per document
     "q_repetition" -> ((s, dir) =>
@@ -1157,6 +1199,21 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, dir) =>
       killa.text.TextOps.unigramLogProb(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // corpus-bigram LM score: mean ln p̂(w2|w1) over each conv's bigram
+    // occurrences, bigrams never crossing a turn boundary
+    "q_bigram_logprob" -> ((s, dir) =>
+      killa.text.TextOps.bigramLogProb(transcripts(s, dir)
+        .select(col("conv_id"), col("text")), "conv_id", "text")
+        .orderBy("conv_id")),
+    // PMI collocations at TURN granularity (the unit with real
+    // co-occurrence variance on this corpus): top-15 same-turn pairs, df
+    // window [20, 450] — the df ceiling is also the scale bound on the
+    // per-document pair expansion
+    "q_pmi_pairs" -> ((s, dir) =>
+      killa.text.TextOps.pmiPairs(transcripts(s, dir)
+        .select(concat(col("conv_id"), lit("#"), col("turn_idx")).as("tid"),
+          col("text")), "tid", "text",
+        minDf = 20L, maxDf = 450L, minPair = 5L, k = 15)),
     // composite quality gate: token bounds + stopword ceiling + Gopher
     // repetition ceilings — every component bites on this corpus (86/12/
     // 11/3 sole-reason failures, 404 of 500 survive at sf0.01)
@@ -1201,6 +1258,15 @@ object SparkEntry {
     // corpus), a bounded 1-row argmax, and a narrow higher-order-fold merge
     "q_bpe_merges" -> ((s, dir) =>
       killa.text.Bpe.train(documents(s, dir), "text", 12).orderBy("step")),
+    // BPE ENCODE at corpus scope: per-conv subword counts under the 12
+    // learned merges — segmentation touches only the distinct-word vocab
+    // (never the corpus), one word-keyed join fans piece counts back out;
+    // the oracle replays the same merges and re-counts independently
+    "q_bpe_encode" -> ((s, dir) =>
+      killa.text.Bpe.encodeTokenCounts(
+        transcripts(s, dir).select(col("conv_id"), col("text")),
+        "conv_id", "text", bpeMerges12(s, dir))
+        .orderBy("conv_id")),
     // sequence packing (concat-and-chunk, 512-token budget): distributed
     // two-pass prefix sum — NOT a single-reducer global window — assigns
     // each doc the training sequence its first token lands in
@@ -1452,6 +1518,12 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) =>
       killa.ann.Ann.nearDupPairs(embeddings(s, dir), "vec_id", "embedding", 0.45)
         .orderBy("a_id", "b_id")),
+    // SemDeDup (semantic keep-one dedup over embeddings): sign-bit cells,
+    // intra-cell cosine >= 0.4, drop any vector with a lower-id near-dup
+    // cell-mate — the kept ids are the training corpus after semantic dedup
+    "q_semdedup" -> ((s, dir) =>
+      killa.ann.Ann.semDedupKeep(embeddings(s, dir), "vec_id", "embedding",
+        cellBits = 4, tau = 0.4)),
     // near-dup CLUSTERS: 3-gram Jaccard pairs at 0.8 → connected components
     // (min-label propagation) — every doc labeled with its cluster's min id,
     // singletons label themselves; the oracle recomputes the closure with a
@@ -1550,6 +1622,16 @@ object SparkEntry {
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  // the 12 learned BPE merges per sfDir, collected once per JVM — bounded
+  // (12 rows, the trainer's contract) and shared by the encode-side query
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, String)]]
+  private def bpeMerges12(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeCache.getOrElseUpdate(dir,
+      killa.text.Bpe.train(documents(s, dir), "text", 12)
+        .orderBy("step").collect().toSeq
+        .map(r => (r.getString(1), r.getString(2))))
+
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -1613,6 +1695,29 @@ object SparkEntry {
       s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, freq FROM b$k")
       .mkString(" UNION ALL ")
     sb ++= " ORDER BY step"
+    sb.toString
+  }
+
+  /** ENCODE-side BPE oracle: the same merge-replay chain as
+    * [[bpeMergesOracleSql]] but carrying the WORD through every round, so
+    * the final round's reps become a word→piece-count vocab; per-conv
+    * subword totals then re-count independently from the raw documents.
+    */
+  private def bpeEncodeOracleSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w AS MATERIALIZED (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)"
+    sb ++= ", wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(toks) AS word FROM w) GROUP BY 1)"
+    sb ++= ", s0 AS MATERIALIZED (SELECT word, cnt, '|' || array_to_string([word[i] for i in range(1, len(word) + 1)], '||') || '|' AS rep FROM wc)"
+    (1 to n).foreach { k =>
+      val p = k - 1
+      sb ++= s", sy$k AS MATERIALIZED (SELECT cnt, list_filter(string_split(rep, '|'), x -> x <> '') AS syms FROM s$p)"
+      sb ++= s", pr$k AS MATERIALIZED (SELECT cnt, unnest([struct_pack(lhs := syms[i], rhs := syms[i+1]) for i in range(1, len(syms))]) AS p FROM sy$k WHERE len(syms) >= 2)"
+      sb ++= s", b$k AS MATERIALIZED (SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS freq FROM pr$k GROUP BY 1, 2 ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1)"
+      sb ++= s", s$k AS MATERIALIZED (SELECT word, cnt, replace(rep, '|' || (SELECT lhs FROM b$k) || '||' || (SELECT rhs FROM b$k) || '|', '|' || (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k) || '|') AS rep FROM s$p)"
+    }
+    sb ++= s", vocab AS (SELECT word, CAST(len(list_filter(string_split(rep, '|'), x -> x <> '')) AS BIGINT) AS np FROM s$n)"
+    sb ++= ", ct AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents)"
+    sb ++= " SELECT conv_id, CAST(sum(np) AS BIGINT) AS bpe_tokens FROM ct JOIN vocab USING (word) GROUP BY 1 ORDER BY conv_id"
     sb.toString
   }
 
@@ -1844,6 +1949,11 @@ object SparkEntry {
     // minimum_should_match = a HAVING count over the per-term contrib rows
     "q_bm25_msm" -> bm25OracleSql(Seq("window", "big", "dup"), 10,
       conjunctive = false, minMatch = 2),
+    // min_score = a WHERE floor on the unrounded score before the top-k cut
+    // (floor 0.3 ≈ the p75 of this query's score distribution at sf0.01, so
+    // the clause genuinely truncates the result below k)
+    "q_bm25_min_score" -> bm25OracleSql(Seq("dup", "window", "big"), 50,
+      conjunctive = false, minScore = Some(0.3)),
     // must + filter + must_not composed in one oracle
     "q_bm25_bool_full" -> bm25OracleSql(Seq("query", "filter"), 10,
       conjunctive = true, mustNot = Seq("dup"), filterT0 = Some((125L, 350L))),
@@ -1855,6 +1965,10 @@ object SparkEntry {
     // dfs merged stats make the split invisible
     "q_sharded_bm25" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
       conjunctive = false),
+    // indices_boost: the same single-corpus chain with each conv's score
+    // scaled by its shard's boost (shard = conv ordinal % 2)
+    "q_indices_boost" -> indicesBoostOracleSql(Seq("query", "filter", "join"),
+      10, boostEven = 2.0, boostOdd = 0.5),
     "q_rollover_bm25" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
       conjunctive = false),
     "q_rollover_membership" -> (TurnsCte + TfCtes +
@@ -2002,6 +2116,7 @@ object SparkEntry {
     "q_missing_agg" -> missingAggOracleSql("spark"),
     "q_bucket_selector" -> bucketSelectorOracleSql("spark", 5L, 5),
     "q_stats_bucket" -> statsBucketOracleSql("spark"),
+    "q_bucket_correlation" -> bucketCorrelationOracleSql("dup", "the"),
     "q_change_point" -> changePointOracleSql("spark"),
     "q_categorize_text" -> categorizeTextOracleSql("spark", 3, 8),
     "q_random_sampler" -> randomSamplerOracleSql("the", 64, "rs1"),
@@ -2110,6 +2225,8 @@ object SparkEntry {
     "q_bm25_page2" -> bm25OracleSql(Seq("query", "filter", "join"), 10,
       conjunctive = false, offset = 10),
     "q_more_like_this" -> mltOracleSql("c00007", 5, 10, maxDfPct = 100),
+    "q_prf_expand" -> prfOracleSql(Seq("dup"), 10, fbDocs = 5, fbTerms = 2,
+      beta = 0.5, maxDfPct = 100),
     "q_suggest" -> suggestOracleSql("sow", 1, 5),
     "q_suggest_prefix" -> suggestOracleSql("sow", 1, 5, boostPrefixLen = 1),
     // terms_enum ≡ the term-ordered head of the prefix-filtered dictionary
@@ -2295,6 +2412,7 @@ object SparkEntry {
         " * 4294967296.0) AS BIGINT) AS thr FROM r)" +
         " SELECT h.doc_id FROM h JOIN thr ON h.source = thr.source" +
         " WHERE h.h32 < thr.thr ORDER BY doc_id"),
+    "q_dsir_select" -> dsirOracleSql(40),
     "q_repetition" -> (DocToksCte +
       ", g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS s FROM w WHERE len(toks) >= 2)" +
       ", pc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)" +
@@ -2311,6 +2429,32 @@ object SparkEntry {
       " SELECT t.doc_id, count(*) AS n_tokens," +
       " round(avg(ln(CAST(ctf.c AS DOUBLE) / (SELECT tt FROM tot))), 4) AS avg_logprob" +
       " FROM t JOIN ctf ON t.term = ctf.term GROUP BY 1 ORDER BY 1"),
+    // bigram LM: p̂(w2|w1) = c(w1w2)/c(w1·) over turn-bounded bigrams
+    "q_bigram_logprob" -> (TurnsCte +
+      ", tk AS (SELECT conv_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM turns)" +
+      ", bg0 AS (SELECT conv_id, unnest([struct_pack(w1 := toks[i], w2 := toks[i+1]) for i in range(1, len(toks))]) AS b FROM tk WHERE len(toks) >= 2)" +
+      ", bgf AS (SELECT conv_id, b.w1 AS w1, b.w2 AS w2 FROM bg0)" +
+      ", c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2)" +
+      ", c1 AS (SELECT w1, count(*) AS c1 FROM bgf GROUP BY 1)" +
+      " SELECT bgf.conv_id, count(*) AS n_bigrams," +
+      " round(avg(ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 4) AS avg_logprob" +
+      " FROM bgf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)" +
+      " GROUP BY 1 ORDER BY 1"),
+    // PMI collocations: turn-granularity co-occurrence (TurnsNestedCte keys
+    // each turn as its own document), mid-frequency df window
+    "q_pmi_pairs" -> (TurnsNestedCte + TfCtes +
+      ", d AS (SELECT DISTINCT conv_id, term FROM tok2)" +
+      ", dfs AS (SELECT term, count(*) AS df FROM d GROUP BY 1 HAVING count(*) BETWEEN 20 AND 450)" +
+      ", kept AS (SELECT d.conv_id, d.term, dfs.df FROM d JOIN dfs USING (term))" +
+      ", nd AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS n FROM turns)" +
+      ", pr AS (SELECT a.term AS t1, b.term AS t2, count(*) AS n_pair," +
+      " max(a.df) AS d1, max(b.df) AS d2 FROM kept a JOIN kept b" +
+      " ON a.conv_id = b.conv_id AND a.term < b.term GROUP BY 1, 2" +
+      " HAVING count(*) >= 5)" +
+      ", sc AS (SELECT t1, t2, n_pair, ln(n_pair * (SELECT n FROM nd) / (d1 * d2)) AS pmi FROM pr)" +
+      ", top AS (SELECT * FROM sc ORDER BY pmi DESC, t1 ASC, t2 ASC LIMIT 15)" +
+      " SELECT t1, t2, CAST(n_pair AS BIGINT) AS n_pair, round(pmi, 4) AS pmi" +
+      " FROM top ORDER BY pmi DESC, t1 ASC, t2 ASC"),
     "q_quality_gate" -> (DocToksCte +
       ", g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS s FROM w WHERE len(toks) >= 2)" +
       ", pc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)" +
@@ -2418,6 +2562,7 @@ object SparkEntry {
       " SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS freq FROM pr GROUP BY 1, 2" +
       " ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 20"),
     "q_bpe_merges" -> bpeMergesOracleSql(12),
+    "q_bpe_encode" -> bpeEncodeOracleSql(12),
     "q_dedup_minhash" -> (DocToksCte + ShinglesCte + JaccardSql),
     // query-time near-dup search: exact query×corpus Jaccard — the banding
     // is the same family q_dedup_minhash proved lossless on this corpus, and
@@ -2606,6 +2751,18 @@ object SparkEntry {
       s" SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(${cosSql("a.v", "b.v")}, 4) AS cosine" +
       " FROM e a JOIN e b ON a.vec_id < b.vec_id" +
       s" WHERE round(${cosSql("a.v", "b.v")}, 4) >= 0.45 ORDER BY a_id, b_id"),
+    // SemDeDup: cell = first-4 sign bits; drop iff a lower-id cell-mate has
+    // cosine >= tau — the exact relational mirror of Ann.semDedupKeep
+    "q_semdedup" -> (EmbCte +
+      ", c AS (SELECT vec_id, v, (" +
+      (0 until 4).map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ") +
+      ") AS cell FROM e)" +
+      ", dup AS (SELECT DISTINCT b.vec_id FROM c a JOIN c b" +
+      " ON a.cell = b.cell AND a.vec_id < b.vec_id" +
+      s" WHERE round(${cosSql("a.v", "b.v")}, 4) >= 0.4)" +
+      " SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT vec_id FROM dup)" +
+      " ORDER BY vec_id"),
     // pooled embedding ≡ per-(grp, dim) mean over the group's vectors, each
     // group's vector L2-normalized; zipped unnest + generate_subscripts
     // recovers the dimension index

@@ -234,6 +234,48 @@ object Ann {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic KEEP-ONE
+    * deduplication over the embedding column — partition the corpus into
+    * cells, and inside each cell drop every vector that has a LOWER-id
+    * cell-mate with cosine ≥ tau (the same deterministic keep-first rule
+    * the exact text dedup uses). The paper clusters with k-means; here the
+    * cells are the first `cellBits` SIGN bits of the vector (axis-aligned
+    * hyperplane LSH — deterministic, computed in one codegen projection,
+    * and exactly reproducible by the SQL oracle), which preserves the
+    * algorithm's defining shape: cosine comparisons happen ONLY within a
+    * cell, never across the corpus.
+    *
+    * Shape at scale: one codegen projection computes the cell id, one
+    * shuffle co-locates each cell, and the pair join is bounded by cell
+    * population (2^cellBits cells ⇒ ~n/2^cellBits a side) — no all-pairs
+    * scan. The keep rule is non-recursive by design (drop iff ANY lower-id
+    * near-dup, kept or not), so no iterative driver loop; precision is
+    * exact (every drop is a verified cosine), and like k-means SemDeDup a
+    * pair straddling a cell boundary is simply never compared — recall is
+    * the cell geometry's, by construction.
+    *
+    * @return the KEPT ids: one `vec_id` column, id asc.
+    */
+  def semDedupKeep(embeddings: DataFrame, idCol: String, vecCol: String,
+      cellBits: Int, tau: Double): DataFrame = {
+    require(cellBits >= 1 && cellBits <= 20, "cellBits in [1, 20]")
+    val bitVals = array((0 until cellBits).map(i => lit(1L << i)): _*)
+    val cellCol = aggregate(
+      zip_with(slice(col("__v"), 1, cellBits), bitVals,
+        (x, b) => when(x > lit(0.0f), b).otherwise(lit(0L))),
+      lit(0L), (acc, c) => acc + coalesce(c, lit(0L)))
+    val e = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .withColumn("cell", cellCol)
+    val dup = e.select(col("cell"), col("vec_id").as("a_id"), col("__v").as("av"))
+      .join(e.select(col("cell"), col("vec_id").as("b_id"), col("__v").as("bv")),
+        Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .where(round(cosineCol(col("av"), col("bv")), 4) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    e.select("vec_id").join(dup, Seq("vec_id"), "left_anti").orderBy("vec_id")
+  }
+
   /** IVF (inverted-file) ANN: the second sublinear path next to [[lshTopK]],
     * trading LSH's fixed hash family for data-adaptive cells.
     *

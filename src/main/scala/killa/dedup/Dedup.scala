@@ -508,4 +508,59 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * pick the corpus documents whose hashed bag-of-words distribution looks
+    * most like a TARGET corpus. Features are unigram counts hashed into 256
+    * buckets (bucket = first two hex chars of md5(term) — both engines
+    * compute md5 identically, so the feature space is reproducible by the
+    * SQL oracle); bucket models are add-one-smoothed multinomials over the
+    * target and the raw corpus, and a document's log importance weight is
+    *
+    *   Σ_buckets count_doc(b) · ( ln p̂_target(b) − ln p̂_raw(b) ).
+    *
+    * The paper then Gumbel-resamples; the deterministic analog here takes
+    * the top-n by weight (ties id asc) — reproducible and oracle-checkable,
+    * which is what a verified pipeline wants anyway.
+    *
+    * Shape at scale: token explode → one (id, bucket) count shuffle; the
+    * two bucket models reduce to ≤ 256 rows each (broadcast back into the
+    * per-doc fold); weight fold is one map-side-combinable groupBy on id —
+    * linear in corpus tokens, no driver materialization beyond the 256-row
+    * models and the top-n.
+    *
+    * @return the selected docs: (idCol, weight), weight rounded 4dp,
+    *         (weight desc, id asc), ≤ n rows.
+    */
+  def dsirTopN(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val B = 256
+    def bucketToks(df: DataFrame, id: Option[String], text: String): DataFrame = {
+      val cols = id.map(c => col(c).as("__id")).toSeq :+
+        explode(killa.tokenize.Tokenize.termsCol(col(text))).as("__t")
+      df.select(cols: _*).withColumn("__b", substring(md5(col("__t")), 1, 2))
+    }
+    val tb = bucketToks(corpus, Some(idCol), textCol)
+    val raw = tb.groupBy("__b").agg(count(lit(1)).as("__rc"))
+    val tgt = bucketToks(target, None, targetTextCol)
+      .groupBy("__b").agg(count(lit(1)).as("__tc"))
+    // totals ride a cross-joined 1-row frame (broadcast), never a collect
+    val tots = raw.agg(sum(col("__rc")).cast("double").as("__rt"))
+      .crossJoin(tgt.agg(sum(col("__tc")).cast("double").as("__tt")))
+    // add-one smoothing over the B-bucket space; buckets absent from the
+    // target still score (coalesce 0) — that is where the penalty lives
+    val diff = raw.join(tgt, Seq("__b"), "left_outer").crossJoin(broadcast(tots))
+      .select(col("__b"),
+        (log((coalesce(col("__tc"), lit(0L)) + lit(1)).cast("double") /
+          (col("__tt") + lit(B))) -
+          log((col("__rc") + lit(1)).cast("double") / (col("__rt") + lit(B))))
+          .as("__d"))
+    val docb = tb.groupBy("__id", "__b").agg(count(lit(1)).as("__c"))
+    val w = docb.join(broadcast(diff), Seq("__b"))
+      .groupBy("__id").agg(sum(col("__c") * col("__d")).as("__w"))
+    w.orderBy(col("__w").desc, col("__id").asc).limit(n)
+      .select(col("__id").as(idCol), round(col("__w"), 4).as("weight"))
+      .orderBy(col("weight").desc, col(idCol).asc)
+  }
 }

@@ -107,7 +107,7 @@ object Daat {
     * here scores strictly below ≥ k docs of its own range, so it can never
     * reach the global top-k under any tie-break.
     */
-  private[query] final class TopK(k: Int) {
+  private[query] final class TopK(k: Int, floor: Double = Double.NegativeInfinity) {
     private val minHeap = mutable.PriorityQueue.empty[Double](Ordering[Double].reverse)
     private val buf = mutable.ArrayBuffer.empty[(Long, Double)]
     // compaction keeps buf at O(k + ties-at-threshold) even under an
@@ -118,7 +118,13 @@ object Daat {
     // must keep), so repeated no-op compactions amortize to O(1) per offer.
     private var compactAt = math.max(4 * k, 64)
     private[query] def bufferedCount: Int = buf.length
-    def threshold: Double = if (minHeap.size < k) Double.NegativeInfinity else minHeap.head
+    // the floor (ES `min_score`) SEEDS the WAND threshold: block-max skips
+    // engage from the first block instead of only after k admissions, and
+    // admission `score >= threshold >= floor` makes every drained candidate
+    // satisfy the floor by construction — min_score is a pruning GAIN here,
+    // never a post-filter
+    def threshold: Double =
+      if (minHeap.size < k) floor else math.max(floor, minHeap.head)
     def offer(score: Double, doc: Long): Unit = {
       if (score >= threshold) { // ≥ admits ties (SURVEY.md §7.5.1)
         buf += ((doc, score))
@@ -172,6 +178,12 @@ object Daat {
     *                      scan terminates early (a prune plain WAND lacks).
     *                      ≤ 1 = plain disjunction; ignored in conjunctive
     *                      mode (all terms are required there).
+    * @param floor         score floor (the ES `min_score` clause): docs
+    *                      scoring below it never reach the heap, and the
+    *                      floor seeds the WAND threshold so block-max
+    *                      pruning engages from the first block — at true
+    *                      corpus scale a selective floor skips most of a
+    *                      hot term's postings without decoding them.
     */
   def scoreRange(
       termBlocks: Array[Array[PostingBlock]],
@@ -183,7 +195,8 @@ object Daat {
       afterScore: Double = Double.PositiveInfinity,
       afterDoc: Long = Long.MinValue,
       includeBlocks: Array[Array[PostingBlock]] = Array.empty,
-      minMatch: Int = 1): Iterator[(Long, Double)] = {
+      minMatch: Int = 1,
+      floor: Double = Double.NegativeInfinity): Iterator[(Long, Double)] = {
     val nT = termBlocks.length
     if (conjunctive && termBlocks.exists(_.isEmpty)) return Iterator.empty
     val cursors = termBlocks.map(new TermCursor(_, lo, hi))
@@ -226,7 +239,7 @@ object Daat {
       }
       false
     }
-    val heap = new TopK(k)
+    val heap = new TopK(k, floor)
 
     if (conjunctive) {
       while (cursors.forall(!_.exhausted)) {

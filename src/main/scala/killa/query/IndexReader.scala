@@ -1220,6 +1220,38 @@ final class IndexReader(
         round(avg(col("hits")), 4).as("avg_hits"),
         sum(col("hits")).as("sum_hits"))
 
+  /** Bucket-correlation pipeline agg (the Elasticsearch `bucket_correlation`
+    * shape, `count_correlation` function): Pearson correlation between two
+    * sibling date histograms' per-bucket hit counts over the UNION of their
+    * bucket sets (a bucket absent from one series counts 0 there) — "do
+    * these two terms trend together over time" in one row. Like every
+    * pipeline agg it runs over the reduced bucket lists; the two histogram
+    * parents carry the distributed cost.
+    *
+    * @return one (n_buckets, correlation) row, correlation rounded 4dp
+    *         (null when either series has zero variance).
+    */
+  def bucketCorrelation(termA: String, termB: String, meta: DataFrame,
+      convCol: String, tsCol: String, unit: String = "day"): DataFrame = {
+    val ha = dateHistogram(termA, meta, convCol, tsCol, unit)
+      .select(col("bucket"), col("hits").as("ha"))
+    val hb = dateHistogram(termB, meta, convCol, tsCol, unit)
+      .select(col("bucket"), col("hits").as("hb"))
+    // Pearson from explicit co-moments (covar_samp / (sa·sb)) rather than
+    // corr(): ANSI mode makes corr() THROW on a zero-variance series inside
+    // aggregate finalization, where no post-hoc guard can reach — the
+    // when() here turns that case into the null ES reports
+    ha.join(hb, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ha", "hb"))
+      .agg(count(lit(1)).as("n_buckets"),
+        covar_samp(col("ha").cast("double"), col("hb").cast("double")).as("__c"),
+        stddev_samp(col("ha").cast("double")).as("__sa"),
+        stddev_samp(col("hb").cast("double")).as("__sb"))
+      .select(col("n_buckets"),
+        round(when(col("__sa") > 0.0 && col("__sb") > 0.0,
+          col("__c") / (col("__sa") * col("__sb"))), 4).as("correlation"))
+  }
+
   /** Top-hits aggregation (the Elasticsearch `top_hits` sub-aggregation
     * under a `terms` bucket): for each value of a doc-values field carried
     * by MATCHING conversations, the top `nPer` hits by BM25 score (ties on
@@ -3015,7 +3047,8 @@ final class IndexReader(
     */
   def bm25TopK(termsIn: Seq[String], k: Int, conjunctive: Boolean = false,
       mustNot: Seq[String] = Nil, minShouldMatch: Int = 1,
-      boosts: Map[String, Double] = Map.empty): DataFrame = {
+      boosts: Map[String, Double] = Map.empty,
+      minScore: Double = Double.NegativeInfinity): DataFrame = {
     require(boosts.values.forall(_ > 0.0), "boosts must be > 0")
     val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
     // a term both required and excluded stays excluded (t AND NOT t = ∅ in
@@ -3025,8 +3058,12 @@ final class IndexReader(
     if (!conjunctive && minShouldMatch > terms.length) return emptyHits
     val m = manifest.get
     if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
+    // minScore (the ES `min_score` clause) reaches the DAAT kernel as the
+    // initial WAND threshold — never a post-filter (Daat.scoreRange floor):
+    // a selective floor skips whole sub-floor blocks without decoding them,
+    // and the result may legitimately hold FEWER than k rows
     hitsDf(topKRowsImpl(terms, ex, k, conjunctive, m, minMatch = minShouldMatch,
-      boosts = boosts))
+      boosts = boosts, floor = minScore))
   }
 
   /** [[bm25TopKRows]] under externally-supplied corpus statistics — the
@@ -3647,6 +3684,61 @@ final class IndexReader(
     hitsDf(rows)
   }
 
+  /** Pseudo-relevance feedback top-k (the Rocchio / RM-style two-pass
+    * expansion classic IR serves next to more_like_this): run the base
+    * query, take the top `fbDocs` feedback documents, select the `fbTerms`
+    * strongest expansion terms from THEIR summed term vectors, and re-run
+    * with the originals at weight 1 and the expansion terms at weight
+    * `beta` — "find what the best answers talk about, then ask for that
+    * too". Expansion selection is INTEGER-keyed exactly like
+    * [[moreLikeThis]] (Σtf desc, df asc, term asc; stopword guard
+    * df·100 ≤ N·maxDfPct; original terms excluded), so an independent SQL
+    * oracle picks the identical term set; the second pass is the ordinary
+    * boosted DAAT kernel, so pruning stays exact under the expansion
+    * weights.
+    *
+    * Bounded driver work by construction: the feedback page (≤ fbDocs
+    * rows), its docs' forward rows grouped to ≤ their distinct terms, one
+    * bucket-pruned (term, df) scan — then one more top-k query.
+    */
+  def prfTopK(termsIn: Seq[String], k: Int, fbDocs: Int, fbTerms: Int,
+      beta: Double, maxDfPct: Int = 50): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0 && beta > 0.0,
+      "fbDocs >= 1, fbTerms >= 0, beta > 0")
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || k <= 0 || manifest.isEmpty) return emptyHits
+    val m = manifest.get
+    if (m.numDocs == 0 || m.avgdl <= 0.0) return emptyHits
+    val fb = topKRowsImpl(terms, Nil, fbDocs, conjunctive = false, m).map(_._1)
+    if (fb.isEmpty || fbTerms == 0)
+      return hitsDf(topKRowsImpl(terms, Nil, k, conjunctive = false, m))
+    val fbIds = docsView.where(col("convId").isin(fb: _*))
+      .select("docId").collect().map(_.getLong(0))
+    // summed term vectors of the feedback docs (forward log, like MLT)
+    val cand = killa.store.Logs.forward(spark, m)
+      .where(col("docId").isin(fbIds: _*))
+      .where(!col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("tf")).as("stf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (cand.isEmpty)
+      return hitsDf(topKRowsImpl(terms, Nil, k, conjunctive = false, m))
+    val paths = termBucketPaths(cand.map(_._1).toSeq)
+    val dfMap: Map[String, Long] =
+      if (paths.isEmpty) Map.empty
+      else spark.read.schema(blockSchema).parquet(paths: _*)
+        .where(col("term").isin(cand.map(_._1).toSeq: _*))
+        .groupBy("term").agg(max(col("df")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expansion = cand
+      .map { case (t, stf) => (t, stf, dfMap.getOrElse(t, 1L)) }
+      .filter { case (_, _, df) => df * 100L <= m.numDocs * maxDfPct.toLong }
+      .sortBy { case (t, stf, df) => (-stf, df, t) }
+      .take(fbTerms).map(_._1).toSeq
+    val boosts = expansion.map(_ -> beta).toMap
+    hitsDf(topKRowsImpl(terms ++ expansion, Nil, k, conjunctive = false, m,
+      boosts = boosts))
+  }
+
   /** Score explanation (the Elasticsearch `_explain` API): the exact
     * per-term BM25 breakdown for one (query, document) pair — the integer
     * inputs (tf, dl, df, N) plus idf and the contribution, the same values
@@ -3712,12 +3804,13 @@ final class IndexReader(
       include: Option[Dataset[PostingBlock]] = None,
       minMatch: Int = 1,
       boosts: Map[String, Double] = Map.empty,
-      stats: Option[CorpusStats] = None): Array[(String, Double)] =
+      stats: Option[CorpusStats] = None,
+      floor: Double = Double.NegativeInfinity): Array[(String, Double)] =
     localTopK(terms, ex, k, conjunctive, m, after, include, minMatch, boosts,
-      stats)
+      stats, floor)
       .getOrElse(finishRows(
         scoredCandidates(terms, ex, k, conjunctive, m, after, include, minMatch,
-          boosts, stats), k))
+          boosts, stats, floor), k))
 
   private def hitsDf(rows: Array[(String, Double)]): DataFrame =
     if (rows.isEmpty) emptyHits else rows.toSeq.toDF("conv_id", "score")
@@ -3762,7 +3855,8 @@ final class IndexReader(
       include: Option[Dataset[PostingBlock]] = None,
       minMatch: Int = 1,
       boosts: Map[String, Double] = Map.empty,
-      stats: Option[CorpusStats] = None): Option[Array[(String, Double)]] = {
+      stats: Option[CorpusStats] = None,
+      floor: Double = Double.NegativeInfinity): Option[Array[(String, Double)]] = {
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     val cap = conf.localQueryBlocks
     if (cap <= 0) return None
@@ -3840,7 +3934,7 @@ final class IndexReader(
       if (totalBlocks <= conf.localParBlocks)
         Daat.scoreRange(termBlocks, weights, -1L, Long.MaxValue, k,
           conjunctive, conf.k1, conf.b, avgdlEff, exBlocks, afterScore, afterDoc,
-          incArr, minMatch).toArray
+          incArr, minMatch, floor).toArray
       else {
         // shared bounded daemon pool, not per-query threads: under
         // concurrent serving load per-query `new Thread` churned up to 32
@@ -3861,7 +3955,7 @@ final class IndexReader(
               val hi = r.toLong * stride + stride - 1
               Daat.scoreRange(termBlocks, weights, lo, hi, k,
                 conjunctive, conf.k1, conf.b, avgdlEff, exBlocks,
-                afterScore, afterDoc, incArr, minMatch).toArray
+                afterScore, afterDoc, incArr, minMatch, floor).toArray
             }
           })
         }
@@ -3880,7 +3974,8 @@ final class IndexReader(
       include: Option[Dataset[PostingBlock]] = None,
       minMatch: Int = 1,
       boosts: Map[String, Double] = Map.empty,
-      stats: Option[CorpusStats] = None): DataFrame = {
+      stats: Option[CorpusStats] = None,
+      floor: Double = Double.NegativeInfinity): DataFrame = {
     val (afterScore, afterDoc) = after.getOrElse((Double.PositiveInfinity, Long.MinValue))
     // exclusion terms tag on after the query terms, and the (optional)
     // doc-values filter's encoded blocks after those; all replicate to
@@ -3940,7 +4035,7 @@ final class IndexReader(
         val hi = rangeId * stride + stride - 1
         Daat.scoreRange(termBlocks, weights, lo, hi, k, conjunctive, k1, b, avgdl,
           blocks.slice(nTerms, nAll), afterScore, afterDoc, blocks.drop(nAll),
-          minMatch)
+          minMatch, floor)
       }
       .toDF("docId", "score")
     scored

@@ -75,6 +75,40 @@ object ShardedSearch {
     else merged.toDF("conv_id", "score")
   }
 
+  /** Per-index boosted top-k (the Elasticsearch `indices_boost` clause):
+    * every shard scores under the MERGED statistics like [[bm25TopK]], then
+    * its hits scale by that index's boost before the global merge — "prefer
+    * the fresh index over the archive" without re-scoring anything. Exact
+    * despite boosting AFTER per-shard truncation: the boost is constant
+    * within a shard, so it preserves shard-local order — a doc cut by its
+    * shard's top-k ranks below k boosted shard-mates and can never reach
+    * the boosted global top-k.
+    *
+    * @param shards (reader, boost) pairs, boost > 0.
+    * @return (conv_id, score), (score desc, conv_id asc), ≤ k rows; scores
+    *         are boosted.
+    */
+  def bm25TopKIndicesBoost(spark: SparkSession,
+      shards: Seq[(IndexReader, Double)], termsIn: Seq[String], k: Int,
+      conjunctive: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(shards.nonEmpty && shards.forall(_._2 > 0.0),
+      "shards must be non-empty with boosts > 0")
+    val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+    if (terms.isEmpty || k <= 0)
+      return Seq.empty[(String, Double)].toDF("conv_id", "score")
+    val stats = mergedStats(shards.map(_._1), terms)
+    val merged = shards
+      .flatMap { case (r, w) =>
+        r.bm25TopKRowsStats(terms, k, stats, conjunctive)
+          .map { case (conv, score) => (conv, score * w) }
+      }
+      .sortBy { case (conv, score) => (-score, conv) }
+      .take(k)
+    if (merged.isEmpty) Seq.empty[(String, Double)].toDF("conv_id", "score")
+    else merged.toDF("conv_id", "score")
+  }
+
   /** Unscored membership across shards — a plain union of per-shard pruned
     * scans (sets are statistics-free, so no dfs round needed). */
   def membership(readers: Seq[IndexReader], term: String): DataFrame = {

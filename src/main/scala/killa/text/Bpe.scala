@@ -114,4 +114,24 @@ object Bpe {
       acc.withColumn("pieces", applyMerge(col("pieces"), l, r))
     }
   }
+
+  /** Per-document token counts under a LEARNED merge list — the corpus-scope
+    * ENCODE pass a trained tokenizer feeds into data budgeting (tokens per
+    * doc under the real vocab, not the whitespace proxy). Segmentation runs
+    * once per DISTINCT word (the vocab-sized table, orders of magnitude
+    * smaller than the corpus), then one word-keyed join fans the piece
+    * counts back out — the same "touch the vocab, not the corpus" shape as
+    * [[train]], and the join's hot words (stopwords) are exactly what AQE
+    * skew-splits.
+    * @return (idCol, bpe_tokens) — total subword pieces per document.
+    */
+  def encodeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(Tokenize.termsCol(col(textCol))).as("word"))
+    val vocab = segment(words.select("word").distinct(), "word", merges)
+      .select(col("word"), size(col("pieces")).cast("long").as("__np"))
+    words.join(vocab, "word")
+      .groupBy(idCol).agg(sum(col("__np")).as("bpe_tokens"))
+  }
 }

@@ -159,6 +159,80 @@ object TextOps {
       .select(col("__id").as(idCol), col("n_tokens"), col("avg_logprob"))
   }
 
+  /** Corpus-bigram language-model document score — the next step up from
+    * [[unigramLogProb]] for perplexity-style data selection: mean over the
+    * document's bigram occurrences of ln p̂(w₂|w₁), with the conditional
+    * estimated from the corpus itself (c(w₁w₂) / c(w₁·), where c(w₁·)
+    * counts bigrams STARTING with w₁ — every observed bigram therefore has
+    * p̂ > 0, no smoothing needed for self-scoring). Bigrams never cross a
+    * row boundary (a turn is the sequence unit), so the feature is
+    * well-defined under any row order.
+    *
+    * Shape at scale: the bigram list is a per-row codegen transform (no
+    * shuffle to FORM sequences), then two combinable count aggregations and
+    * two bigram-keyed joins — the same bounded-skew profile as
+    * [[unigramLogProb]].
+    *
+    * @return (idCol, n_bigrams, avg_logprob) rows, 4dp.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = Tokenize.termsCol(col(textCol))
+    // rows with < 2 tokens form no bigrams: the guard keeps sequence() from
+    // running descending (Spark's sequence(1, 0) = [1, 0]), and explode
+    // drops the null array
+    val bg = df.select(col(idCol).as("__id"),
+        explode(when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2")))))
+          .as("__b"))
+      .select(col("__id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("__id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("__c12").cast("double") / col("__c1"))), 4)
+          .as("avg_logprob"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("avg_logprob"))
+  }
+
+  /** Top-k PMI term pairs (corpus collocation mining): for terms whose
+    * document frequency lies in [minDf, maxDf], the pointwise mutual
+    * information of document-level co-occurrence —
+    * ln( n₁₂ · N / (n₁ · n₂) ) over pairs with n₁₂ ≥ minPair — ranked
+    * PMI desc (ties lexicographic). The df window is the scale contract:
+    * maxDf excludes stopword-grade terms, so the per-document pair
+    * expansion is bounded by the number of MID-FREQUENCY terms a document
+    * carries, never its full vocabulary; the pair join itself is conv-keyed
+    * (co-occurrence is an equi-join on the document, not an all-pairs scan
+    * over the vocabulary).
+    *
+    * @return (t1, t2, n_pair, pmi) — k rows, pmi rounded 4dp.
+    */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long, maxDf: Long, minPair: Long, k: Int): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf && minPair >= 1 && k >= 1,
+      "bounds must be positive and ordered")
+    val toks = df.select(col(idCol).as("__id"),
+      explode(Tokenize.termsCol(col(textCol))).as("term")).distinct()
+    val dfs = toks.groupBy("term").agg(count(lit(1)).as("__df"))
+      .where(col("__df").between(minDf, maxDf))
+    val kept = toks.join(dfs, "term")
+    val nDocs = df.select(col(idCol)).distinct().count().toDouble
+    val pairs = kept.select(col("__id"), col("term").as("t1"), col("__df").as("__d1"))
+      .join(kept.select(col("__id"), col("term").as("t2"), col("__df").as("__d2")),
+        Seq("__id"))
+      .where(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_pair"),
+        max(col("__d1")).as("__d1"), max(col("__d2")).as("__d2"))
+      .where(col("n_pair") >= minPair)
+      .withColumn("__pmi",
+        log(col("n_pair") * lit(nDocs) / (col("__d1") * col("__d2"))))
+    pairs.orderBy(col("__pmi").desc, col("t1").asc, col("t2").asc).limit(k)
+      .select(col("t1"), col("t2"), col("n_pair"), round(col("__pmi"), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)
+  }
+
   /** Composite quality gate (the Gopher-rule keep/drop step, Rae et al.
     * 2021 §A1.1): a document survives iff it passes EVERY cheap filter —
     * token-count bounds, stopword-ratio ceiling (low stopword density flags
