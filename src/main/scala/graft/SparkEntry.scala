@@ -1180,6 +1180,12 @@ object SparkEntry {
       killa.dedup.Dedup.mixtureSample(documents(s, dir), "text", "source",
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
         .select("doc_id").orderBy("doc_id")),
+    // winnowing fingerprints (the MOSS local fingerprinting scheme): 3-gram
+    // hashes, window 4, per-window min — any shared 6-token run between two
+    // docs shares a fingerprint, at ~2/(w+1) of the shingle storage
+    "q_winnow_fingerprints" -> ((s, dir) =>
+      killa.dedup.Dedup.winnowFingerprints(documents(s, dir), "doc_id",
+        "text", k = 3, w = 4)),
     // DSIR data selection (importance resampling toward a target corpus):
     // 256 md5-bucket unigram models, target = the corpus's assistant side,
     // top-40 convs by importance weight — "find me more data that looks
@@ -2413,6 +2419,15 @@ object SparkEntry {
         " SELECT h.doc_id FROM h JOIN thr ON h.source = thr.source" +
         " WHERE h.h32 < thr.thr ORDER BY doc_id"),
     "q_dsir_select" -> dsirOracleSql(40),
+    // winnowing: same (hash·2^20 + pos) integer-min selection, k=3 w=4
+    "q_winnow_fingerprints" -> (DocToksCte +
+      ", gl AS (SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)] AS grams FROM w WHERE len(toks) >= 3)" +
+      ", g AS (SELECT doc_id, generate_subscripts(grams, 1) AS pos, unnest(grams) AS gram, len(grams) AS ng FROM gl)" +
+      ", keyd AS (SELECT doc_id, pos, ng, CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) * 1048576 + pos AS key FROM g)" +
+      ", winm AS (SELECT doc_id, pos, ng, min(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey FROM keyd)" +
+      ", sel AS (SELECT DISTINCT doc_id, selkey FROM winm WHERE pos <= ng - 3)" +
+      " SELECT doc_id, CAST(selkey % 1048576 AS BIGINT) AS pos," +
+      " CAST(selkey // 1048576 AS BIGINT) AS h FROM sel ORDER BY doc_id, pos"),
     "q_repetition" -> (DocToksCte +
       ", g AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS s FROM w WHERE len(toks) >= 2)" +
       ", pc AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2)" +

@@ -509,6 +509,56 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS local fingerprinting scheme): hash every k-token gram, slide
+    * a window of `w` consecutive gram hashes, and keep each window's
+    * minimal hash (ties to the smallest position). The guarantee that makes
+    * this the substring-level dedup primitive: any shared token run of
+    * length ≥ k + w − 1 shares at least one selected fingerprint, while
+    * only ~2/(w+1) of grams are kept — position-robust, unlike fixed-stride
+    * chunking, and bounded, unlike keeping every shingle.
+    *
+    * Selection is made engine-independent by folding (hash, position) into
+    * ONE integer key (hash·2^20 + pos, positions < 2^20 — transcripts turn
+    * documents are nowhere near that): per-window argmin-with-leftmost-tie
+    * becomes a plain integer `min` over a rows-frame window, which any
+    * engine evaluates identically. The gram hash is the first 8 md5 hex
+    * chars as an integer (the same md5 parity trick the hash samplers use).
+    *
+    * Shape at scale: gram formation is a per-row codegen transform, the
+    * window min is per-document sequential work partitioned by id (one
+    * shuffle on id, state bounded by w), and the output is the selected
+    * positions only. Documents shorter than k + w − 1 tokens have no full
+    * window and yield no fingerprints (strict-window contract, documented).
+    *
+    * @return (idCol, pos, h) — pos = 1-based gram position of each selected
+    *         fingerprint, h its 32-bit gram hash; (id, pos) asc.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val t = killa.tokenize.Tokenize.termsCol(col(textCol))
+    val grams = df.select(col(idCol).as("__id"),
+      when(size(t) >= k, transform(sequence(lit(1), size(t) - (k - 1)),
+        i => array_join(slice(t, i, lit(k)), " "))).as("__g"))
+      .select(col("__id"), size(col("__g")).as("__ng"),
+        posexplode(col("__g")).as(Seq("__p0", "__gram")))
+      .select(col("__id"), col("__ng"), (col("__p0") + 1).as("__pos"),
+        (conv(substring(md5(col("__gram")), 1, 8), 16, 10).cast("long") *
+          lit(1048576L) + col("__p0") + 1).as("__key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy("__pos").rowsBetween(0, w - 1)
+    grams.withColumn("__sel", min(col("__key")).over(win))
+      // only positions that START a full window select a fingerprint; the
+      // frame itself still sees the tail rows (filter AFTER the window)
+      .where(col("__pos") <= col("__ng") - (w - 1))
+      .select(col("__id"), col("__sel")).distinct()
+      .select(col("__id").as(idCol),
+        (col("__sel") % 1048576L).as("pos"),
+        expr("CAST(__sel div 1048576 AS BIGINT)").as("h"))
+      .orderBy(idCol, "pos")
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
     * pick the corpus documents whose hashed bag-of-words distribution looks
     * most like a TARGET corpus. Features are unigram counts hashed into 256

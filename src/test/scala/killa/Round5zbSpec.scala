@@ -256,6 +256,37 @@ class Round5zbSpec extends AnyFunSuite {
     assert(got == segmented)
   }
 
+  // ---- winnowing ----
+
+  test("winnowFingerprints: every full window selects; guarantee — a shared k+w-1 run shares a fingerprint") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      // doc 2 embeds doc 1's tokens d..i (6 = k+w-1 tokens) at another offset
+      (2L, "x y z d e f g h i q r")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // the winnowing guarantee: the shared 6-token run "d e f g h i" must
+    // contribute at least one COMMON fingerprint hash
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+    // density: selections ≤ number of full windows, ≥ 1 per document
+    assert(fp.count(_._1 == 1L) >= 1 && fp.count(_._1 == 1L) <= 5)
+    // every selected position is a valid gram position of a full window
+    val ng1 = 10 - 2 // grams of doc 1
+    assert(fp.filter(_._1 == 1L).forall(t => t._2 >= 1 && t._2 <= ng1))
+  }
+
+  test("winnowFingerprints: identical texts fingerprint identically; short docs have no full window") {
+    val docs = Seq((1L, "p q r s t u v"), (2L, "p q r s t u v"),
+      (3L, "p q r s")).toDF("doc_id", "text") // doc 3: 2 grams < w
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d1 = fp.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet
+    val d2 = fp.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet
+    assert(d1 == d2 && d1.nonEmpty)
+    assert(!fp.exists(_._1 == 3L)) // strict-window contract
+  }
+
   // ---- bigram LM ----
 
   test("bigramLogProb: hand-computed toy corpus") {
