@@ -803,6 +803,69 @@ object Harness {
         " round(coalesce(1.0 / fr, 0.0), 4) AS mrr FROM m)"
     }.mkString(" UNION ALL ") + " ORDER BY query_id"
 
+  /** Graded rank_eval oracle: DCG@k over the replayed BM25 top-k with
+    * (conv, grade) judgments, normalized by the ideal DCG of the judgment
+    * list (grades desc, conv asc, top k) — the `dcg` metric with
+    * `normalize: true`.
+    */
+  def rankEvalNdcgOracleSql(
+      queries: Seq[(String, Seq[String], Seq[(String, Double)])],
+      k: Int): String =
+    queries.map { case (qid, terms, graded) =>
+      val vals = terms.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+      val jvals = graded.map { case (c, g) => s"('$c', $g)" }.mkString(", ")
+      "SELECT * FROM (" +
+        TurnsCte + TfCtes +
+        s", q(term, tidx) AS (VALUES $vals)" +
+        ", qdf AS (SELECT q.term, q.tidx, count(tf.conv_id) AS df FROM q" +
+        " LEFT JOIN tf ON tf.term = q.term GROUP BY 1, 2)" +
+        ", contrib AS (SELECT tf.conv_id, qdf.tidx, " +
+        "ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * " +
+        "tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+        "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+        ", scored AS (SELECT conv_id, sum(c) AS s FROM contrib GROUP BY conv_id)" +
+        ", top AS (SELECT conv_id, row_number() OVER (ORDER BY s DESC, conv_id ASC)" +
+        s" AS rank FROM scored QUALIFY rank <= $k)" +
+        s", j(conv_id, g) AS (VALUES $jvals)" +
+        ", jd AS (SELECT conv_id, max(g) AS g FROM j GROUP BY 1)" +
+        ", dcgv AS (SELECT coalesce(sum((pow(2.0, jd.g) - 1.0) / log2(t.rank + 1.0)), 0.0) AS dcg" +
+        " FROM top t JOIN jd USING (conv_id))" +
+        ", ideal AS (SELECT coalesce(sum((pow(2.0, g) - 1.0) / log2(irank + 1.0)), 0.0) AS idcg" +
+        " FROM (SELECT g, row_number() OVER (ORDER BY g DESC, conv_id ASC) AS irank FROM jd)" +
+        s" WHERE irank <= $k)" +
+        s" SELECT '$qid' AS query_id, round(dcg, 4) AS dcg_k," +
+        " round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 4) AS ndcg_k" +
+        " FROM dcgv, ideal)"
+    }.mkString(" UNION ALL ") + " ORDER BY query_id"
+
+  /** LTR feature-extraction oracle: the BM25 chain widened to carry tf,
+    * dl, and pure idf per (doc, term), folded per doc, top-k by the exact
+    * score — the identical feature definitions recomputed independently.
+    */
+  def ltrFeaturesOracleSql(queries: Seq[(String, Seq[String])],
+      k: Int): String =
+    queries.map { case (qid, terms) =>
+      val vals = terms.map(t => s"('$t')").mkString(", ")
+      "SELECT * FROM (" +
+        TurnsCte + TfCtes +
+        s", q(term) AS (VALUES $vals)" +
+        ", qdf AS (SELECT q.term, count(tf.conv_id) AS df FROM q" +
+        " LEFT JOIN tf ON tf.term = q.term GROUP BY 1)" +
+        ", rws AS (SELECT tf.conv_id, tf.tf, dl.dl," +
+        " ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) AS idf," +
+        " ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5) / (qdf.df + 0.5)) * (1.2 + 1.0) * " +
+        "tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS c " +
+        "FROM tf JOIN qdf ON tf.term = qdf.term JOIN dl ON tf.conv_id = dl.conv_id)" +
+        ", f AS (SELECT conv_id, sum(c) AS s, count(*) AS nm," +
+        " CAST(sum(tf) AS BIGINT) AS sum_tf, sum(idf) AS sidf," +
+        " CAST(max(dl) AS BIGINT) AS dl FROM rws GROUP BY 1)" +
+        ", top AS (SELECT *, row_number() OVER (ORDER BY s DESC, conv_id ASC)" +
+        s" AS rank FROM f QUALIFY rank <= $k)" +
+        s" SELECT '$qid' AS query_id, CAST(rank AS INT) AS rank, conv_id," +
+        " round(s, 4) AS score, CAST(nm AS BIGINT) AS n_matched, sum_tf," +
+        " round(sidf, 4) AS sum_idf, dl FROM top)"
+    }.mkString(" UNION ALL ") + " ORDER BY query_id, rank"
+
   /** Gap-filled date-histogram oracle (minute unit): the [lo, hi] ladder
     * from generate_series full-outer-joined to the sparse histogram, zero
     * hits filled — the min_doc_count:0 + extended_bounds contract.
@@ -936,6 +999,82 @@ object Harness {
       " CAST(max(hits) AS BIGINT) AS max_hits," +
       " round(avg(hits), 4) AS avg_hits," +
       " CAST(sum(hits) AS BIGINT) AS sum_hits FROM hist"
+
+  /** max_bucket oracle: the histogram's max hit count plus the comma-joined
+    * ascending keys attaining it (every selected row holds the max, so the
+    * max() re-fold is the identity).
+    */
+  def maxBucketOracleSql(term: String): String =
+    histCtes(term) +
+      " SELECT string_agg(bucket, ',' ORDER BY bucket) AS keys," +
+      " CAST(max(hits) AS BIGINT) AS value FROM hist" +
+      " WHERE hits = (SELECT max(hits) FROM hist)"
+
+  /** value_count oracle: non-null turn-level `source` values carried by the
+    * matching convs, value nulled under the deterministic doc_id % 3 = 0
+    * rule (count(v) skips nulls — the agg's whole point).
+    */
+  def valueCountOracleSql(term: String): String =
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, source, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", vals AS (SELECT conv_id, CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS v FROM t2)" +
+      " SELECT CAST(count(v.v) AS BIGINT) AS n_values" +
+      " FROM vals v JOIN hits h ON v.conv_id = h.conv_id"
+
+  /** date_range oracle: matching convs bucketed by which [from, to)
+    * interval their min ts falls in — ES from-inclusive / to-exclusive,
+    * "from-to" labels with "*" at the open ends. `bounds` are the literal
+    * "yyyy-MM-dd HH:mm:ss" boundary strings, ascending.
+    */
+  def dateRangeOracleSql(term: String, bounds: Seq[String]): String = {
+    val edges = (None +: bounds.map(Option(_))) :+ None
+    val cases = edges.sliding(2).collect { case Seq(lo, hi) =>
+      val name = s"${lo.getOrElse("*")}-${hi.getOrElse("*")}"
+      val cond = (lo.map(b => s"c.ts >= TIMESTAMP '$b'") ++
+        hi.map(b => s"c.ts < TIMESTAMP '$b'")).mkString(" AND ")
+      s"WHEN $cond THEN '$name'"
+    }.mkString(" ")
+    "WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      s", hits AS (SELECT DISTINCT conv_id FROM toks WHERE term = '$term')" +
+      ", convts AS (SELECT conv_id, TIMESTAMP '2024-01-01 00:00:00' + to_seconds(min(doc_id)) AS ts FROM t2 GROUP BY 1)" +
+      s" SELECT CASE $cases END AS bucket, CAST(count(*) AS BIGINT) AS hits" +
+      " FROM hits h JOIN convts c ON h.conv_id = c.conv_id GROUP BY 1 ORDER BY 1"
+  }
+
+  /** global-agg oracle: scoped count + avg doc length of the matches next
+    * to the corpus-global pair.
+    */
+  def globalAggOracleSql(term: String): String =
+    TurnsCte + TfCtes +
+      s", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = '$term')" +
+      " SELECT (SELECT CAST(count(*) AS BIGINT) FROM hits) AS hits," +
+      " (SELECT round(avg(dl), 4) FROM dl JOIN hits USING (conv_id)) AS avg_v," +
+      " (SELECT CAST(count(*) AS BIGINT) FROM dl) AS global_docs," +
+      " (SELECT round(avg(dl), 4) FROM dl) AS global_avg_v"
+
+  /** Span-corruption oracle: the identical md5-seeded mask rule, island
+    * grouping, sentinel numbering, and closing-sentinel convention replayed
+    * in SQL — positions enumerated by the ppos list-lambda recipe.
+    */
+  def spanCorruptOracleSql: String =
+    "WITH g AS (SELECT doc_id, unnest(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), (x, i) -> struct_pack(tok := x, ord := i))) AS t FROM documents)" +
+      ", tk AS (SELECT doc_id, t.tok AS tok, row_number() OVER (PARTITION BY doc_id ORDER BY t.ord) - 1 AS pos FROM g)" +
+      ", tm AS (SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 1) IN ('0', '1') AS m FROM tk)" +
+      ", mk AS (SELECT *, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM tm WHERE m)" +
+      ", isl AS (SELECT *, dense_rank() OVER (PARTITION BY doc_id ORDER BY grp) - 1 AS k," +
+      " row_number() OVER (PARTITION BY doc_id, grp ORDER BY pos) = 1 AS strt FROM mk)" +
+      ", ip AS (SELECT doc_id, pos, tok AS piece FROM tm WHERE NOT m" +
+      " UNION ALL SELECT doc_id, pos, '<extra_id_' || CAST(k AS VARCHAR) || '>' FROM isl WHERE strt)" +
+      ", inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input FROM ip GROUP BY 1)" +
+      ", tp AS (SELECT doc_id, pos * 2 AS sp, '<extra_id_' || CAST(k AS VARCHAR) || '>' AS piece FROM isl WHERE strt" +
+      " UNION ALL SELECT doc_id, pos * 2 + 1, tok FROM isl)" +
+      ", ni AS (SELECT doc_id, count(*) AS n FROM isl WHERE strt GROUP BY 1)" +
+      ", tgt AS (SELECT t.doc_id, string_agg(piece, ' ' ORDER BY sp) || ' <extra_id_' || CAST(n AS VARCHAR) || '>' AS target" +
+      " FROM tp t JOIN ni USING (doc_id) GROUP BY t.doc_id, n)" +
+      " SELECT i.doc_id, i.input, coalesce(t.target, '') AS target" +
+      " FROM inp i LEFT JOIN tgt t USING (doc_id) ORDER BY doc_id"
 
   /** multi_terms oracle: (role, source) doc counts, top `size` by count
     * desc with ties on the key pair asc — the count-ordered companion to

@@ -760,6 +760,41 @@ object SparkEntry {
       val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
       reader(s, dir).statsBucket("spark", meta, "conv_id", "ts", "minute")
     }),
+    // max_bucket sibling agg: the minute histogram's max hit count plus
+    // the comma-joined keys attaining it (ES reports keys as a list —
+    // ties are legal)
+    "q_max_bucket" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).maxBucket("spark", meta, "conv_id", "ts", "minute")
+    }),
+    // value_count agg: non-null turn-level tool values carried by matching
+    // convs (value nulled deterministically for doc ordinal % 3 = 0 —
+    // values, not docs: a conv counts once per surviving turn value)
+    "q_value_count" -> ((s, dir) => {
+      val vals = transcripts(s, dir).withColumn("v",
+        when(expr("(CAST(substring(conv_id, 2) AS INT) * 5 + turn_idx) % 3") === 0,
+          lit(null)).otherwise(col("tool")))
+        .select("conv_id", "v")
+      reader(s, dir).valueCountAgg("spark", vals, "conv_id", "v")
+    }),
+    // date_range agg: matching convs bucketed by min-ts interval — ES
+    // from-inclusive / to-exclusive with "*" open ends, the date cousin
+    // of q_range_facet
+    "q_date_range_agg" -> ((s, dir) => {
+      val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
+      reader(s, dir).dateRangeAgg("spark", meta, "conv_id", "ts",
+        Seq(java.sql.Timestamp.valueOf("2024-01-01 00:02:00"),
+          java.sql.Timestamp.valueOf("2024-01-01 00:07:00")))
+        .orderBy("bucket")
+    }),
+    // global agg: matching-conv count + avg doc length next to the
+    // corpus-global pair — aggregation OUTSIDE the query scope
+    "q_global_agg" -> ((s, dir) => {
+      val dlMeta = transcripts(s, dir)
+        .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+        .groupBy("conv_id").agg(count(lit(1)).as("dl"))
+      reader(s, dir).globalAgg("spark", dlMeta, "conv_id", "dl")
+    }),
     // bucket_correlation pipeline agg: Pearson correlation between the
     // 'dup' (skew term, 25 convs) and 'the' (every conv) minute histograms
     // over the UNION bucket set (a bucket absent from one series counts 0)
@@ -1053,6 +1088,25 @@ object SparkEntry {
         Seq("qa" -> Seq("query", "filter"), "qb" -> Seq("batch", "agg")),
         judgments, "query_id", "conv_id", 10).orderBy("query_id")
     }),
+    // graded rank_eval: nDCG@10 with graded judgments (the dcg metric,
+    // normalize: true) — unjudged hits gain 0, ideal from the judgment
+    // list itself, incl. a judged conv that never ranks
+    "q_rank_eval_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val judgments = Seq(
+        ("qa", "c00020", 3.0), ("qa", "c00077", 1.0), ("qa", "c00042", 2.0),
+        ("qb", "c00050", 2.0), ("qb", "c00001", 1.0), ("qb", "c00003", 3.0))
+        .toDF("query_id", "conv_id", "grade")
+      reader(s, dir).rankEvalNdcg(
+        Seq("qa" -> Seq("query", "filter"), "qb" -> Seq("batch", "agg")),
+        judgments, "query_id", "conv_id", "grade", 10).orderBy("query_id")
+    }),
+    // LTR feature extraction: per top-5 hit the reranker-training feature
+    // vector (bm25, matched-term count, Σtf, Σidf, dl) in one widened fold
+    "q_ltr_features" -> ((s, dir) =>
+      reader(s, dir).ltrFeatures(
+        Seq("qa" -> Seq("query", "filter"), "qb" -> Seq("batch", "agg")), 5)
+        .orderBy("query_id", "rank")),
     // sliced scored export (sliced scroll): slice 1 of 3 by md5(conv_id) —
     // a deterministic disjoint subset of q_bm25_export's rows, so the
     // export can drain through 3 parallel consumers with no overlap
@@ -1248,6 +1302,12 @@ object SparkEntry {
     "q_chunk_tokens" -> ((s, dir) =>
       killa.text.TextOps.chunkTokens(documents(s, dir), "doc_id", "text", 40, 32)
         .orderBy("doc_id", "chunk_idx")),
+    // T5-style span corruption: md5-seeded 12.5% token mask, consecutive
+    // picks merged into sentinel spans, target carries the spans plus the
+    // closing sentinel — the denoising-objective data generator
+    "q_span_corrupt" -> ((s, dir) =>
+      killa.text.TextOps.spanCorrupt(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // duplicated-passage report: 16-token chunks (stride 8) recurring in ≥ 2
     // distinct docs — the boilerplate doc-level dedup can't see
     "q_dedup_chunks" -> ((s, dir) =>
@@ -2122,6 +2182,11 @@ object SparkEntry {
     "q_missing_agg" -> missingAggOracleSql("spark"),
     "q_bucket_selector" -> bucketSelectorOracleSql("spark", 5L, 5),
     "q_stats_bucket" -> statsBucketOracleSql("spark"),
+    "q_max_bucket" -> maxBucketOracleSql("spark"),
+    "q_value_count" -> valueCountOracleSql("spark"),
+    "q_date_range_agg" -> dateRangeOracleSql("spark",
+      Seq("2024-01-01 00:02:00", "2024-01-01 00:07:00")),
+    "q_global_agg" -> globalAggOracleSql("spark"),
     "q_bucket_correlation" -> bucketCorrelationOracleSql("dup", "the"),
     "q_change_point" -> changePointOracleSql("spark"),
     "q_categorize_text" -> categorizeTextOracleSql("spark", 3, 8),
@@ -2252,6 +2317,13 @@ object SparkEntry {
     "q_rank_eval" -> rankEvalOracleSql(Seq(
       ("qa", Seq("query", "filter"), Seq("c00020", "c00077", "c00042")),
       ("qb", Seq("batch", "agg"), Seq("c00050", "c00001"))), 10),
+    "q_rank_eval_ndcg" -> rankEvalNdcgOracleSql(Seq(
+      ("qa", Seq("query", "filter"),
+        Seq("c00020" -> 3.0, "c00077" -> 1.0, "c00042" -> 2.0)),
+      ("qb", Seq("batch", "agg"),
+        Seq("c00050" -> 2.0, "c00001" -> 1.0, "c00003" -> 3.0))), 10),
+    "q_ltr_features" -> ltrFeaturesOracleSql(
+      Seq("qa" -> Seq("query", "filter"), "qb" -> Seq("batch", "agg")), 5),
     // slice 1 of 3 by the first 8 md5(conv_id) hex chars mod 3
     "q_bm25_sliced" -> bm25OracleSql(Seq("filter"), 1000000, conjunctive = false,
       filterConvSql = Some("SELECT DISTINCT conv_id FROM turns WHERE" +
@@ -2501,6 +2573,7 @@ object SparkEntry {
       " toks[off + 1 : least(off + 40, len(toks))] AS chunk FROM offs)" +
       " SELECT doc_id, chunk_idx, off, CAST(len(chunk) AS BIGINT) AS n_tokens," +
       " md5(array_to_string(chunk, ' ')) AS chunk_hash FROM ch ORDER BY doc_id, chunk_idx"),
+    "q_span_corrupt" -> spanCorruptOracleSql,
     "q_dedup_ngram_jaccard" -> (DocToksCte + ShinglesCte + JaccardSql),
     "q_dedup_chunks" -> (DocToksCte +
       ", offs AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS off FROM w WHERE len(toks) > 0)" +

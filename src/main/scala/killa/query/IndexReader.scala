@@ -1220,6 +1220,103 @@ final class IndexReader(
         round(avg(col("hits")), 4).as("avg_hits"),
         sum(col("hits")).as("sum_hits"))
 
+  /** Max-bucket sibling aggregation (the Elasticsearch `max_bucket` pipeline
+    * agg): the maximum per-bucket hit count of the sibling date histogram
+    * plus the KEYS of every bucket attaining it — ES reports `keys` as a
+    * list because ties are legal; we render it as the comma-joined
+    * ascending list so the row is flat and hash-comparable. `min_bucket` is
+    * the same fold with `min`; `avg_bucket`/`sum_bucket` are single scalars
+    * already served by [[statsBucket]]. Runs over the reduced bucket list
+    * like every pipeline agg — the parent histogram carries the
+    * distributed cost, this is a two-row-source broadcast join.
+    *
+    * @return a single (keys, value) row — keys the comma-joined bucket
+    *         labels at the max, value the max hits.
+    */
+  def maxBucket(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, unit: String = "day"): DataFrame = {
+    val h = dateHistogram(term, meta, convCol, tsCol, unit)
+    h.join(broadcast(h.agg(max(col("hits")).as("value"))),
+        col("hits") === col("value"))
+      .groupBy("value")
+      .agg(concat_ws(",", sort_array(collect_list(col("bucket")))).as("keys"))
+      .select(col("keys"), col("value"))
+  }
+
+  /** Value-count aggregation (the Elasticsearch `value_count` agg): how
+    * many non-null doc values the MATCHING conversations carry — values,
+    * not distinct values and not docs, so a conversation contributes once
+    * per turn-level value it holds (multi-valued fields are the point of
+    * this agg vs a plain hit count). Shape at scale: pruned membership
+    * scan → one semi-join against the values frame → a count; no payload
+    * decode, no distinct shuffle.
+    *
+    * @param vals (convCol, valCol) rows, possibly several per conv, nulls
+    *             legal (nulls are what the count excludes).
+    * @return a single (n_values) row.
+    */
+  def valueCountAgg(term: String, vals: DataFrame, convCol: String,
+      valCol: String): DataFrame =
+    membership(term)
+      .join(vals.select(col(convCol).as("conv_id"), col(valCol).as("__v")),
+        "conv_id")
+      .agg(count(col("__v")).as("n_values"))
+
+  /** Date-range aggregation (the Elasticsearch `date_range` agg): matching
+    * documents bucketed by which [from, to) timestamp interval their doc
+    * value falls in — the date cousin of [[rangeFacet]] with identical ES
+    * conventions: from inclusive, to exclusive, buckets labeled "from-to"
+    * with "*" at the open ends, docs missing the value ignored, empty
+    * buckets omitted. Same distributed shape as rangeFacet: pruned
+    * membership scan → equi-join → one map-side-combinable groupBy.
+    *
+    * @param bounds ascending timestamp boundaries (at least one).
+    * @return (bucket: string, hits: long) rows.
+    */
+  def dateRangeAgg(term: String, meta: DataFrame, convCol: String,
+      tsCol: String, bounds: Seq[java.sql.Timestamp]): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sortBy(_.getTime),
+      "bounds must be ascending")
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    val v = col("__ts")
+    val edges = (None +: bounds.map(Some(_))) :+ None
+    val bucket = edges.sliding(2).foldLeft(lit(null).cast("string")) {
+      case (acc, Seq(lo, hi)) =>
+        val name = s"${lo.fold("*")(fmt.format(_))}-${hi.fold("*")(fmt.format(_))}"
+        val cond = lo.fold(lit(true))(b => v >= lit(b)) &&
+          hi.fold(lit(true))(b => v < lit(b))
+        when(acc.isNull && cond, lit(name)).otherwise(acc)
+      case (acc, _) => acc
+    }
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"),
+        col(tsCol).cast("timestamp").as("__ts")), "conv_id")
+      .where(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("hits"))
+  }
+
+  /** Global aggregation (the Elasticsearch `global` agg): metrics computed
+    * OUTSIDE the query scope, side by side with the query-scoped ones —
+    * "average doc length of the matches vs the whole corpus" in one row.
+    * The global side never touches the index: it is one scan of the
+    * caller's doc-values frame; the scoped side is the usual pruned
+    * membership semi-join. The two single-row aggregates meet in a
+    * cross join of literals — no distributed cost beyond the parents.
+    *
+    * @return a single (hits, avg_v, global_docs, global_avg_v) row,
+    *         averages rounded 4dp.
+    */
+  def globalAgg(term: String, meta: DataFrame, convCol: String,
+      valCol: String): DataFrame = {
+    val m = meta.select(col(convCol).as("conv_id"),
+      col(valCol).cast("double").as("__v"))
+    membership(term).join(m, "conv_id")
+      .agg(count(lit(1)).as("hits"), round(avg(col("__v")), 4).as("avg_v"))
+      .crossJoin(m.agg(count(lit(1)).as("global_docs"),
+        round(avg(col("__v")), 4).as("global_avg_v")))
+  }
+
   /** Bucket-correlation pipeline agg (the Elasticsearch `bucket_correlation`
     * shape, `count_correlation` function): Pearson correlation between two
     * sibling date histograms' per-bucket hit counts over the UNION of their
@@ -2230,6 +2327,112 @@ final class IndexReader(
           coalesce(col("__nrel"), lit(1L)).cast("double"), 4).as("recall_k"),
         round(coalesce(lit(1.0) / col("__fr").cast("double"), lit(0.0)), 4)
           .as("mrr"))
+  }
+
+  /** Graded ranked-result evaluation (the Elasticsearch `_rank_eval` `dcg`
+    * metric, `normalize: true`): DCG@k = Σ (2^grade − 1) / log2(rank + 1)
+    * over each query's exact top-k, normalized by the ideal DCG of that
+    * query's judgments (grades desc, top k) — the standard graded companion
+    * to [[rankEval]]'s binary precision/recall/MRR. Unjudged hits gain 0;
+    * queries whose judgments are all grade 0 (or absent) report ndcg 0.
+    * Same shape as rankEval: a request-sized driver loop of pruned top-k
+    * kernels, judgments stay a distributed frame, metrics fold in one
+    * combinable aggregation each.
+    *
+    * @param judgments (qidCol, convCol, gradeCol) rows; duplicate pairs
+    *                  keep their max grade.
+    * @return (query_id, dcg_k, ndcg_k) — one row per query, 4dp.
+    */
+  def rankEvalNdcg(queries: Seq[(String, Seq[String])], judgments: DataFrame,
+      qidCol: String, convCol: String, gradeCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(queries.nonEmpty, "rank_eval needs at least one query")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("conv_id").asc)
+    val ranked = queries.map { case (qid, terms) =>
+      bm25TopK(terms, k).withColumn("query_id", lit(qid))
+    }.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+    val rel = judgments
+      .select(col(qidCol).as("query_id"), col(convCol).as("conv_id"),
+        col(gradeCol).cast("double").as("__g"))
+      .groupBy("query_id", "conv_id").agg(max(col("__g")).as("__g"))
+    val gain = (pow(lit(2.0), col("__g")) - lit(1.0)) /
+      log2(col("rank") + lit(1.0))
+    val dcg = ranked.join(rel, Seq("query_id", "conv_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(gain, lit(0.0))).as("__dcg"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__g").desc, col("conv_id").asc)
+    val ideal = rel.withColumn("rank", row_number().over(iw))
+      .where(col("rank") <= k)
+      .groupBy("query_id").agg(sum(gain).as("__idcg"))
+    queries.map(_._1).toDF("query_id")
+      .join(dcg, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("__dcg"), lit(0.0)), 4).as("dcg_k"),
+        round(when(col("__idcg") > 0.0,
+          coalesce(col("__dcg"), lit(0.0)) / col("__idcg"))
+          .otherwise(0.0), 4).as("ndcg_k"))
+  }
+
+  /** Learning-to-rank feature extraction (the Elasticsearch LTR plugin's
+    * feature-logging surface): for each query's exact BM25 top-k, the
+    * per-document feature vector a reranker trains on — the BM25 score,
+    * how many query terms matched, their summed term frequency, the summed
+    * pure idf of the matched terms, and the document length. One pruned
+    * posting scan per query term decoding (tf, dl, df) in a single
+    * flatMap, one combinable per-doc fold, a top-k window per query — the
+    * [[bm25ScoredAll]] shape with a wider aggregate row, no extra passes
+    * for the extra features.
+    *
+    * @return (query_id, rank, conv_id, score, n_matched, sum_tf, sum_idf,
+    *         dl) rows, rank 1..k per query, floats 4dp.
+    */
+  def ltrFeatures(queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(queries.nonEmpty, "ltr needs at least one query")
+    val empty = Seq.empty[(String, Int, String, Double, Long, Long, Double, Long)]
+      .toDF("query_id", "rank", "conv_id", "score", "n_matched", "sum_tf",
+        "sum_idf", "dl")
+    if (manifest.isEmpty) return empty
+    val m = manifest.get
+    if (m.numDocs == 0 || m.avgdl <= 0.0) return empty
+    val k1 = conf.k1; val b = conf.b; val avgdl = m.avgdl; val n = m.numDocs
+    val perQuery = queries.map { case (qid, termsIn) =>
+      val terms = termsIn.filter(t => t != null && t.nonEmpty).distinct
+      require(terms.nonEmpty, s"query '$qid' has no terms")
+      terms.map(postingBlocks).reduce(_ union _)
+        .flatMap { blk =>
+          val w = Bm25.weight(n, blk.df, k1)
+          val i = Bm25.idf(n, blk.df)
+          val docs = Delta.decode(blk.docsBin, blk.n)
+          val tfs = Varint.decode(blk.tfsBin, blk.n)
+          val dls = Varint.decode(blk.dlsBin, blk.n)
+          (0 until blk.n).iterator.map { j =>
+            (docs(j), Bm25.contrib(w, tfs(j), dls(j), k1, b, avgdl),
+              tfs(j), dls(j), i)
+          }
+        }
+        .toDF("docId", "c", "tf", "dl", "w")
+        .groupBy("docId")
+        .agg(sum(col("c")).as("score"),
+          count(lit(1)).as("n_matched"),
+          sum(col("tf")).as("sum_tf"),
+          sum(col("w")).as("sum_idf"),
+          // "__dl": the dictionary join below carries its own dl column
+          max(col("dl")).as("__dl"))
+        .withColumn("query_id", lit(qid))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("convId").asc)
+    perQuery.join(docsView, "docId")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("convId").as("conv_id"),
+        round(col("score"), 4).as("score"), col("n_matched"), col("sum_tf"),
+        round(col("sum_idf"), 4).as("sum_idf"), col("__dl").as("dl"))
   }
 
   /** Span-not (the Elasticsearch/Lucene `span_not` query, single-term

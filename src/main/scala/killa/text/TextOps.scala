@@ -395,6 +395,72 @@ object TextOps {
       .orderBy(col("n").desc, col("from_v").asc, col("to_v").asc)
   }
 
+  /** T5-style span corruption (the denoising-objective data generator):
+    * each document's token stream is deterministically corrupted — a token
+    * at position p is selected when the first hex digit of
+    * md5("docId:p") is '0' or '1' (rate 2/16 = 12.5%, the T5 ballpark),
+    * consecutive selected tokens MERGE into one span, the input replaces
+    * each span with an ordinal sentinel `<extra_id_k>`, and the target is
+    * the span contents prefixed by their sentinels plus the closing
+    * `<extra_id_n>` (the T5 convention). The seeded hash stands in for the
+    * usual RNG so the corruption is reproducible across engines and runs —
+    * swap the digit set for a different rate. Documents where nothing is
+    * selected keep input = text and get an empty target.
+    *
+    * Shape at scale: posexplode → two window functions partitioned by doc
+    * (island grouping — state bounded by one doc's tokens) → one
+    * combinable per-doc fold; no UDF, no driver materialization, linear in
+    * corpus tokens.
+    *
+    * @return (doc_id, input, target) rows.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(split(col(textCol), " "), x => x =!= lit("")))
+          .as(Seq("pos", "tok")))
+      .withColumn("m",
+        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 1).isin("0", "1"))
+    val masked = toks.where(col("m"))
+      .withColumn("grp",
+        col("pos") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+    val islands = masked
+      .withColumn("k", dense_rank().over(
+        Window.partitionBy("doc_id").orderBy("grp")) - 1)
+      .withColumn("strt", row_number().over(
+        Window.partitionBy("doc_id", "grp").orderBy("pos")) === 1)
+    def joined(pieces: DataFrame, sortCol: String, out: String): DataFrame =
+      pieces.groupBy("doc_id").agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col(sortCol).as("s"), col("piece")))),
+          x => x("piece")), " ").as(out))
+    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+    val input = joined(
+      toks.where(!col("m"))
+        .select(col("doc_id"), col("pos"), col("tok").as("piece"))
+        .unionByName(islands.where(col("strt"))
+          .select(col("doc_id"), col("pos"), sentinel.as("piece"))),
+      "pos", "input")
+    val nIsl = islands.where(col("strt"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val target = joined(
+      islands.where(col("strt"))
+        .select(col("doc_id"), (col("pos") * 2).as("sp"), sentinel.as("piece"))
+        .unionByName(islands
+          .select(col("doc_id"), (col("pos") * 2 + 1).as("sp"),
+            col("tok").as("piece"))),
+      "sp", "__t")
+      .join(nIsl, "doc_id")
+      .select(col("doc_id"),
+        concat(col("__t"), lit(" <extra_id_"), col("n"), lit(">")).as("target"))
+    input.join(target, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("input"),
+        coalesce(col("target"), lit("")).as("target"))
+  }
+
   /** 64-bit Rabin-Karp rolling hash over a token sequence (pure Scala; used
     * by simhash/minhash internals and available as a cheap shift-resistant
     * document fingerprint).
