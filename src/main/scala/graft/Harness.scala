@@ -1485,6 +1485,26 @@ object Harness {
       root
     })
 
+  /** Analyzed index built on a 3-of-5-turns subset, then brought to the
+    * full corpus via ONE ordinary maintenance batch whose text runs
+    * through the SAME analyzer chain — the analyzed root needs no special
+    * maintenance path precisely because analysis is a pure per-row text
+    * transform ahead of the writer, and this fixture gates that the
+    * composition really holds (stemmed tf merges and stopword-free dl
+    * update correctly through the Indexer.Update diff).
+    */
+  def analyzedIncrRoot(spark: SparkSession, sfDir: String): String =
+    cache.getOrElseUpdate(s"$sfDir#anincr", {
+      val root = freshRoot(sfDir, "anincr")
+      val all = transcripts(spark, sfDir).withColumn("text",
+        killa.tokenize.Analyzer.textCol(col("text"), analyzedChain))
+      new IndexWriter(spark, root, conf)
+        .fullBuild(all.where(col("turn_idx") < 3), "ab0")
+      new killa.maintain.IndexMaintainer(spark, root, conf)
+        .applyChanges(all, batchId = "ad1")
+      root
+    })
+
   /** Two shard roots over a conv-parity split of the SAME corpus — the
     * sharded dfs_query_then_fetch fixture: merged-stats search over these
     * must hash-match the single-corpus oracle.

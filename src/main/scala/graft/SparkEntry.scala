@@ -624,6 +624,22 @@ object SparkEntry {
       present(new killa.query.IndexReader(s, analyzedRoot(s, dir), conf)
         .bm25TopK(terms, 10))
     }),
+    // analyzed index under INCREMENTAL maintenance: built on 3/5 of
+    // turns (analyzer applied), brought to the full corpus via one
+    // ordinary Indexer.Update diff batch over analyzed text — stemmed tf
+    // merges and stopword-free dl must update exactly; the full-corpus
+    // analyzed oracles gate both surfaces
+    "q_analyzed_incr" -> ((s, dir) =>
+      new killa.query.IndexReader(s, analyzedIncrRoot(s, dir), conf)
+        .membership(killa.tokenize.Analyzer
+          .analyzeTerm("Tables", analyzedChain).get)
+        .orderBy("conv_id")),
+    "q_analyzed_incr_bm25" -> ((s, dir) => {
+      val terms = Seq("Tables", "the", "query")
+        .flatMap(t => killa.tokenize.Analyzer.analyzeTerm(t, analyzedChain))
+      present(new killa.query.IndexReader(s, analyzedIncrRoot(s, dir), conf)
+        .bm25TopK(terms, 10))
+    }),
     // ES-DEFAULT fuzzy (transpositions: true — OSA, the Lucene automaton
     // distance): 'psark' reaches 'spark' in ONE edit where classic
     // Levenshtein needs 2, so this returns spark's convs while the
@@ -2134,6 +2150,9 @@ object SparkEntry {
     "q_analyzed_membership" -> (TurnsCte + TfCtes + analyzedTfCtes +
       " SELECT DISTINCT conv_id FROM atok WHERE term = 'table' ORDER BY conv_id"),
     "q_analyzed_bm25" -> analyzedBm25OracleSql(Seq("table", "query"), 10),
+    "q_analyzed_incr" -> (TurnsCte + TfCtes + analyzedTfCtes +
+      " SELECT DISTINCT conv_id FROM atok WHERE term = 'table' ORDER BY conv_id"),
+    "q_analyzed_incr_bm25" -> analyzedBm25OracleSql(Seq("table", "query"), 10),
     // span_containing: an ordered big pair (p < q ≤ p + 1 + slop) with a
     // little occurrence at any position inside [p, q]
     "q_span_containing" -> (TurnsCte + PposCte +
