@@ -407,59 +407,50 @@ object TextOps {
     * swap the digit set for a different rate. Documents where nothing is
     * selected keep input = text and get an empty target.
     *
-    * Shape at scale: posexplode → two window functions partitioned by doc
-    * (island grouping — state bounded by one doc's tokens) → one
-    * combinable per-doc fold; no UDF, no driver materialization, linear in
-    * corpus tokens.
+    * Shape at scale: a ZERO-shuffle single-pass projection — the token
+    * list never leaves its row; one `aggregate` higher-order fold carries
+    * (input pieces, target pieces, next sentinel ordinal, in-island flag)
+    * across the tokens, so island grouping, sentinel numbering, and both
+    * output strings fall out of one linear scan per document. No explode,
+    * no window, no UDF: the whole operator is a per-row expression the
+    * scan pipeline evaluates in place, which is the shape that survives
+    * 100 TB (corpus passes: exactly one).
     *
     * @return (doc_id, input, target) rows.
     */
-  def spanCorrupt(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df
-      .select(col(idCol).as("doc_id"),
-        posexplode(filter(split(col(textCol), " "), x => x =!= lit("")))
-          .as(Seq("pos", "tok")))
-      .withColumn("m",
-        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-          col("pos").cast("string"))), 1, 1).isin("0", "1"))
-    val masked = toks.where(col("m"))
-      .withColumn("grp",
-        col("pos") - row_number().over(
-          Window.partitionBy("doc_id").orderBy("pos")))
-    val islands = masked
-      .withColumn("k", dense_rank().over(
-        Window.partitionBy("doc_id").orderBy("grp")) - 1)
-      .withColumn("strt", row_number().over(
-        Window.partitionBy("doc_id", "grp").orderBy("pos")) === 1)
-    def joined(pieces: DataFrame, sortCol: String, out: String): DataFrame =
-      pieces.groupBy("doc_id").agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col(sortCol).as("s"), col("piece")))),
-          x => x("piece")), " ").as(out))
-    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
-    val input = joined(
-      toks.where(!col("m"))
-        .select(col("doc_id"), col("pos"), col("tok").as("piece"))
-        .unionByName(islands.where(col("strt"))
-          .select(col("doc_id"), col("pos"), sentinel.as("piece"))),
-      "pos", "input")
-    val nIsl = islands.where(col("strt"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val target = joined(
-      islands.where(col("strt"))
-        .select(col("doc_id"), (col("pos") * 2).as("sp"), sentinel.as("piece"))
-        .unionByName(islands
-          .select(col("doc_id"), (col("pos") * 2 + 1).as("sp"),
-            col("tok").as("piece"))),
-      "sp", "__t")
-      .join(nIsl, "doc_id")
-      .select(col("doc_id"),
-        concat(col("__t"), lit(" <extra_id_"), col("n"), lit(">")).as("target"))
-    input.join(target, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("input"),
-        coalesce(col("target"), lit("")).as("target"))
-  }
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), x => x =!= lit("")).as("__toks"))
+      .withColumn("__tm", expr(
+        "transform(__toks, (x, i) -> named_struct('tok', x, 'm'," +
+          " substring(md5(concat(CAST(doc_id AS STRING), ':'," +
+          " CAST(i AS STRING))), 1, 1) IN ('0', '1')))"))
+      .withColumn("__acc", expr(
+        """aggregate(__tm,
+          named_struct('inp', CAST(array() AS ARRAY<STRING>),
+                       'tgt', CAST(array() AS ARRAY<STRING>),
+                       'k', 0, 'pm', false),
+          (a, t) -> CASE
+            WHEN NOT t.m THEN named_struct(
+              'inp', array_append(a.inp, t.tok), 'tgt', a.tgt,
+              'k', a.k, 'pm', false)
+            WHEN a.pm THEN named_struct(
+              'inp', a.inp, 'tgt', array_append(a.tgt, t.tok),
+              'k', a.k, 'pm', true)
+            ELSE named_struct(
+              'inp', array_append(a.inp,
+                concat('<extra_id_', CAST(a.k AS STRING), '>')),
+              'tgt', array_append(array_append(a.tgt,
+                concat('<extra_id_', CAST(a.k AS STRING), '>')), t.tok),
+              'k', a.k + 1, 'pm', true) END,
+          a -> named_struct(
+            'input', array_join(a.inp, ' '),
+            'target', CASE WHEN a.k > 0
+              THEN concat(array_join(a.tgt, ' '),
+                ' <extra_id_', CAST(a.k AS STRING), '>')
+              ELSE '' END))"""))
+      .select(col("doc_id"), col("__acc.input").as("input"),
+        col("__acc.target").as("target"))
 
   /** 64-bit Rabin-Karp rolling hash over a token sequence (pure Scala; used
     * by simhash/minhash internals and available as a cheap shift-resistant
