@@ -1076,6 +1076,22 @@ object Harness {
       " SELECT i.doc_id, i.input, coalesce(t.target, '') AS target" +
       " FROM inp i LEFT JOIN tgt t USING (doc_id) ORDER BY doc_id"
 
+  /** FIM oracle: the identical md5-hex cut-point derivation and
+    * sentinel-list re-serialization replayed with DuckDB list slicing
+    * (toks[a:b] is inclusive-bounds, so slice(toks, s, len) maps to
+    * toks[s : s + len - 1]).
+    */
+  def fimOracleSql: String =
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)" +
+      ", c AS (SELECT doc_id, toks, len(toks) AS n," +
+      " CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':fim1'), 1, 8)) AS BIGINT) % (len(toks) + 1) AS c1 FROM w)" +
+      ", c2t AS (SELECT doc_id, toks, n, c1," +
+      " c1 + CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':fim2'), 1, 8)) AS BIGINT) % (n - c1 + 1) AS c2 FROM c)" +
+      " SELECT doc_id, array_to_string(" +
+      "['<fim_prefix>'] || toks[1 : c1] || ['<fim_suffix>'] || toks[c2 + 1 : n]" +
+      " || ['<fim_middle>'] || toks[c1 + 1 : c2], ' ') AS psm," +
+      " CAST(c2 - c1 AS BIGINT) AS n_middle FROM c2t ORDER BY doc_id"
+
   /** multi_terms oracle: (role, source) doc counts, top `size` by count
     * desc with ties on the key pair asc — the count-ordered companion to
     * [[compositeOracleSql]].

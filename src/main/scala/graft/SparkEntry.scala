@@ -1318,6 +1318,12 @@ object SparkEntry {
     "q_chunk_tokens" -> ((s, dir) =>
       killa.text.TextOps.chunkTokens(documents(s, dir), "doc_id", "text", 40, 32)
         .orderBy("doc_id", "chunk_idx")),
+    // fill-in-the-middle (PSM): md5-seeded cut points c1 ≤ c2, document
+    // re-serialized as <fim_prefix> P <fim_suffix> S <fim_middle> M —
+    // the code-model infilling transform, zero-shuffle like span_corrupt
+    "q_fim_transform" -> ((s, dir) =>
+      killa.text.TextOps.fimTransform(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // T5-style span corruption: md5-seeded 12.5% token mask, consecutive
     // picks merged into sentinel spans, target carries the spans plus the
     // closing sentinel — the denoising-objective data generator
@@ -2593,6 +2599,7 @@ object SparkEntry {
       " SELECT doc_id, chunk_idx, off, CAST(len(chunk) AS BIGINT) AS n_tokens," +
       " md5(array_to_string(chunk, ' ')) AS chunk_hash FROM ch ORDER BY doc_id, chunk_idx"),
     "q_span_corrupt" -> spanCorruptOracleSql,
+    "q_fim_transform" -> fimOracleSql,
     "q_dedup_ngram_jaccard" -> (DocToksCte + ShinglesCte + JaccardSql),
     "q_dedup_chunks" -> (DocToksCte +
       ", offs AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS off FROM w WHERE len(toks) > 0)" +

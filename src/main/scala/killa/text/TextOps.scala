@@ -452,6 +452,42 @@ object TextOps {
       .select(col("doc_id"), col("__acc.input").as("input"),
         col("__acc.target").as("target"))
 
+  /** Fill-in-the-middle transformation (the FIM / PSM objective used for
+    * code-model training — Bavarian et al.; StarCoder's sentinel layout):
+    * each document's token stream is split at two deterministic cut points
+    * into prefix / middle / suffix and re-serialized as
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` so the model learns to
+    * infill. Cut points derive from md5(docId ‖ ":fim1"/":fim2") —
+    * c1 uniform on [0, n], c2 uniform on [c1, n] — the seeded-hash stand-in
+    * for the usual RNG, replayable in SQL. Empty slices are legal (adjacent
+    * sentinels); n_middle carries the middle length for length-bucketed
+    * batching downstream.
+    *
+    * Shape at scale: like [[spanCorrupt]], a zero-shuffle single-pass
+    * projection — two hashes, three list slices, one join, all inside the
+    * row.
+    *
+    * @return (doc_id, psm, n_middle) rows.
+    */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        filter(split(col(textCol), " "), x => x =!= lit("")).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__h1", expr("CAST(conv(substring(md5(concat(" +
+        "CAST(doc_id AS STRING), ':fim1')), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("__h2", expr("CAST(conv(substring(md5(concat(" +
+        "CAST(doc_id AS STRING), ':fim2')), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("__c1", (col("__h1") % (col("__n") + 1)).cast("int"))
+      .withColumn("__c2", (col("__c1") +
+        col("__h2") % (col("__n") - col("__c1") + 1)).cast("int"))
+      .select(col("doc_id"),
+        expr("array_join(concat(" +
+          "array('<fim_prefix>'), slice(__toks, 1, __c1), " +
+          "array('<fim_suffix>'), slice(__toks, __c2 + 1, __n - __c2), " +
+          "array('<fim_middle>'), slice(__toks, __c1 + 1, __c2 - __c1)" +
+          "), ' ')").as("psm"),
+        (col("__c2") - col("__c1")).cast("long").as("n_middle"))
+
   /** 64-bit Rabin-Karp rolling hash over a token sequence (pure Scala; used
     * by simhash/minhash internals and available as a cheap shift-resistant
     * document fingerprint).

@@ -278,6 +278,31 @@ class Round5zcSpec extends AnyFunSuite {
     }
   }
 
+  // ---- fill-in-the-middle ----
+
+  test("fimTransform round-trips: prefix ++ middle ++ suffix is the original token stream") {
+    val rows = killa.text.TextOps.fimTransform(corruptDocs, "doc_id", "text")
+      .join(corruptDocs, "doc_id")
+      .as[(Long, String, Long, String)].collect()
+    assert(rows.length == corruptDocs.count())
+    var sawEmptyMid = false; var sawEmptyPre = false
+    rows.foreach { case (_, psm, nMid, text) =>
+      val toks = psm.split(" ").toSeq
+      assert(toks.head == "<fim_prefix>")
+      val iSuf = toks.indexOf("<fim_suffix>")
+      val iMid = toks.indexOf("<fim_middle>")
+      assert(iSuf > 0 && iMid > iSuf)
+      val pre = toks.slice(1, iSuf)
+      val suf = toks.slice(iSuf + 1, iMid)
+      val mid = toks.drop(iMid + 1)
+      assert(mid.length == nMid)
+      sawEmptyMid ||= mid.isEmpty; sawEmptyPre ||= pre.isEmpty
+      assert((pre ++ mid ++ suf).mkString(" ") ==
+        text.split(" ").filter(_.nonEmpty).mkString(" "))
+    }
+    assert(sawEmptyMid, "no empty middle in the corpus — edge untested")
+  }
+
   // ---- global ----
 
   test("globalAgg: scoped pair is over the matches, global pair ignores the query") {
