@@ -968,6 +968,14 @@ object SparkEntry {
     "q_phrase_pair" -> ((s, dir) =>
       new killa.query.IndexReader(s, posRoot(s, dir), conf)
         .phrase(Seq("batch", "agg")).orderBy("conv_id")),
+    // multi-word synonym filter (synonym_graph): docs with 'dup' OR
+    // the exact phrase "batch agg" — the alternative token-level synonym
+    // sets cannot express; singles ride the pruned IN-scan, phrases the
+    // positional index
+    "q_synonym_phrases" -> ((s, dir) =>
+      new killa.query.IndexReader(s, posRoot(s, dir), conf)
+        .membershipSynonymPhrases(Seq(Seq("dup"), Seq("batch", "agg")))
+        .orderBy("conv_id")),
     "q_phrase_tri" -> ((s, dir) =>
       new killa.query.IndexReader(s, posRoot(s, dir), conf)
         .phrase(Seq("part", "filter", "scan")).orderBy("conv_id")),
@@ -2256,6 +2264,12 @@ object SparkEntry {
       " SELECT term, count(*) AS df FROM tf" +
       " WHERE NOT (conv_id = 'c00002' AND term IN ('spark', 'the'))" +
       " GROUP BY term ORDER BY term"),
+    "q_synonym_phrases" -> (TurnsCte + TfCtes + PposCte +
+      " SELECT DISTINCT conv_id FROM (" +
+      "SELECT conv_id FROM tok2 WHERE term = 'dup'" +
+      " UNION ALL SELECT a.conv_id FROM ppos a" +
+      " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +
+      " WHERE a.term = 'batch' AND b.term = 'agg') ORDER BY conv_id"),
     "q_phrase_pair" -> (TurnsCte + PposCte +
       " SELECT DISTINCT a.conv_id AS conv_id FROM ppos a" +
       " JOIN ppos b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1" +

@@ -155,6 +155,30 @@ final class IndexReader(
     docIds.join(docsView, "docId").select(col("convId").as("conv_id"))
   }
 
+  /** Multi-word synonym membership (the ES `synonym_graph` filter shape):
+    * conversations matching ANY alternative, where an alternative is a
+    * token SEQUENCE — single-token alternatives ride [[membershipAny]]'s
+    * one pruned IN-scan, multi-token alternatives are exact [[phrase]]
+    * matches ("machine learning" ↔ "ml" — the case token-level synonym
+    * sets cannot express). Requires the positional index for the phrase
+    * alternatives, like every phrase surface. The union is a plan
+    * combinator over already-distinct membership sets; one final distinct
+    * folds the overlaps.
+    *
+    * @return distinct matching conv_id rows.
+    */
+  def membershipSynonymPhrases(alternatives: Seq[Seq[String]]): DataFrame = {
+    val cleaned = alternatives
+      .map(_.filter(t => t != null && t.nonEmpty)).filter(_.nonEmpty)
+    if (cleaned.isEmpty || manifest.isEmpty) return emptyMembers
+    val singles = cleaned.filter(_.length == 1).map(_.head).distinct
+    val phrases = cleaned.filter(_.length > 1).distinct
+    val parts =
+      (if (singles.nonEmpty) Seq(membershipAny(singles)) else Nil) ++
+        phrases.map(p => phrase(p).select("conv_id"))
+    parts.reduce(_ unionByName _).distinct()
+  }
+
   /** Count-only membership fast path: |membership(term)| without decoding
     * posting payloads or resolving labels. Exact by construction: posting
     * blocks hold only alive docs (every delete/update rewrites its affected

@@ -278,6 +278,30 @@ class Round5zcSpec extends AnyFunSuite {
     }
   }
 
+  // ---- multi-word synonyms ----
+
+  test("membershipSynonymPhrases = term membership ∪ exact phrase matches, distinct") {
+    val posRoot = {
+      val r = TestSpark.freshDir("r5zc-pos")
+      new IndexWriter(spark, r, conf).fullBuild(turns, "b0")
+      new IndexWriter(spark, r, conf).buildPositions(turns, "pos0")
+      r
+    }
+    val rd = new IndexReader(spark, posRoot, conf)
+    // pick a phrase that actually occurs: the first adjacent token pair
+    // of some turn
+    val Array(w1, w2) = turns.orderBy("conv_id", "turn_idx").limit(1)
+      .select("text").as[String].collect().head.split(" ").take(2)
+    val want = (rd.membership("shared_2").as[String].collect().toSet ++
+      rd.phrase(Seq(w1, w2)).select("conv_id").as[String].collect().toSet)
+    val got = rd.membershipSynonymPhrases(Seq(Seq("shared_2"), Seq(w1, w2)))
+      .as[String].collect()
+    assert(got.toSet == want)
+    assert(got.length == got.distinct.length)
+    // phrase alternative genuinely contributes beyond the single term
+    assert(rd.phrase(Seq(w1, w2)).count() > 0)
+  }
+
   // ---- fill-in-the-middle ----
 
   test("fimTransform round-trips: prefix ++ middle ++ suffix is the original token stream") {
