@@ -776,6 +776,20 @@ object SparkEntry {
       val meta = transcripts(s, dir).groupBy("conv_id").agg(min(col("ts")).as("ts"))
       reader(s, dir).statsBucket("spark", meta, "conv_id", "ts", "minute")
     }),
+    // terms agg ordered by a sub-metric (order: {avg_v: desc}): per
+    // first-turn tool value of matching convs, doc count + avg doc length,
+    // ranked by the average — the non-count terms order; exact here where
+    // ES documents approximation under sharding
+    "q_terms_by_metric" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val dlMeta = t
+        .select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
+        .groupBy("conv_id").agg(count(lit(1)).as("dl"))
+      val meta = t.groupBy("conv_id")
+        .agg(min_by(col("tool"), col("turn_idx")).as("sv"))
+        .join(dlMeta, "conv_id")
+      reader(s, dir).termsAggByMetric("spark", meta, "conv_id", "sv", "dl", 5)
+    }),
     // max_bucket sibling agg: the minute histogram's max hit count plus
     // the comma-joined keys attaining it (ES reports keys as a list —
     // ties are legal)
@@ -1358,6 +1372,11 @@ object SparkEntry {
     // learned merges — segmentation touches only the distinct-word vocab
     // (never the corpus), one word-keyed join fans piece counts back out;
     // the oracle replays the same merges and re-counts independently
+    // tokenizer fertility under the learned merges: pieces/word and
+    // chars/piece over the corpus — the standard tokenizer-eval report,
+    // computed from the vocab-sized table (corpus touched once)
+    "q_bpe_fertility" -> ((s, dir) =>
+      killa.text.Bpe.fertility(documents(s, dir), "text", bpeMerges12(s, dir))),
     "q_bpe_encode" -> ((s, dir) =>
       killa.text.Bpe.encodeTokenCounts(
         transcripts(s, dir).select(col("conv_id"), col("text")),
@@ -1799,7 +1818,7 @@ object SparkEntry {
     * the final round's reps become a word→piece-count vocab; per-conv
     * subword totals then re-count independently from the raw documents.
     */
-  private def bpeEncodeOracleSql(n: Int): String = {
+  private def bpeChainCtes(n: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH w AS MATERIALIZED (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)"
     sb ++= ", wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(toks) AS word FROM w) GROUP BY 1)"
@@ -1811,11 +1830,23 @@ object SparkEntry {
       sb ++= s", b$k AS MATERIALIZED (SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS freq FROM pr$k GROUP BY 1, 2 ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 1)"
       sb ++= s", s$k AS MATERIALIZED (SELECT word, cnt, replace(rep, '|' || (SELECT lhs FROM b$k) || '||' || (SELECT rhs FROM b$k) || '|', '|' || (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k) || '|') AS rep FROM s$p)"
     }
-    sb ++= s", vocab AS (SELECT word, CAST(len(list_filter(string_split(rep, '|'), x -> x <> '')) AS BIGINT) AS np FROM s$n)"
-    sb ++= ", ct AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents)"
-    sb ++= " SELECT conv_id, CAST(sum(np) AS BIGINT) AS bpe_tokens FROM ct JOIN vocab USING (word) GROUP BY 1 ORDER BY conv_id"
     sb.toString
   }
+
+  private def bpeEncodeOracleSql(n: Int): String =
+    bpeChainCtes(n) +
+      s", vocab AS (SELECT word, CAST(len(list_filter(string_split(rep, '|'), x -> x <> '')) AS BIGINT) AS np FROM s$n)" +
+      ", ct AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents)" +
+      " SELECT conv_id, CAST(sum(np) AS BIGINT) AS bpe_tokens FROM ct JOIN vocab USING (word) GROUP BY 1 ORDER BY conv_id"
+
+  private def bpeFertilityOracleSql(n: Int): String =
+    bpeChainCtes(n) +
+      s", f AS (SELECT word, cnt, CAST(len(list_filter(string_split(rep, '|'), x -> x <> '')) AS BIGINT) AS np FROM s$n)" +
+      " SELECT CAST(sum(cnt) AS BIGINT) AS n_words," +
+      " CAST(sum(cnt * np) AS BIGINT) AS n_pieces," +
+      " CAST(sum(cnt * length(word)) AS BIGINT) AS n_chars," +
+      " round(sum(cnt * np) / CAST(sum(cnt) AS DOUBLE), 4) AS fertility," +
+      " round(sum(cnt * length(word)) / CAST(sum(cnt * np) AS DOUBLE), 4) AS chars_per_token FROM f"
 
   private val EmbCte =
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
@@ -2216,6 +2247,16 @@ object SparkEntry {
     "q_bucket_selector" -> bucketSelectorOracleSql("spark", 5L, 5),
     "q_stats_bucket" -> statsBucketOracleSql("spark"),
     "q_max_bucket" -> maxBucketOracleSql("spark"),
+    "q_terms_by_metric" -> ("WITH t2 AS (SELECT printf('c%05d', doc_id // 5) AS conv_id, doc_id, source, text FROM documents)" +
+      ", toks AS (SELECT conv_id, unnest(string_split(text, ' ')) AS term FROM t2)" +
+      ", tok2 AS (SELECT conv_id, term FROM toks WHERE term <> '')" +
+      ", hits AS (SELECT DISTINCT conv_id FROM tok2 WHERE term = 'spark')" +
+      ", dl AS (SELECT conv_id, count(*) AS dl FROM tok2 GROUP BY 1)" +
+      ", sv AS (SELECT conv_id, arg_min(source, doc_id) AS sv FROM t2 GROUP BY 1)" +
+      " SELECT sv.sv AS key, CAST(count(*) AS BIGINT) AS n_docs," +
+      " round(avg(dl.dl), 4) AS avg_v" +
+      " FROM hits h JOIN sv ON h.conv_id = sv.conv_id JOIN dl ON h.conv_id = dl.conv_id" +
+      " GROUP BY 1 ORDER BY avg_v DESC, key ASC LIMIT 5"),
     "q_value_count" -> valueCountOracleSql("spark"),
     "q_date_range_agg" -> dateRangeOracleSql("spark",
       Seq("2024-01-01 00:02:00", "2024-01-01 00:07:00")),
@@ -2691,6 +2732,7 @@ object SparkEntry {
       " ORDER BY freq DESC, lhs ASC, rhs ASC LIMIT 20"),
     "q_bpe_merges" -> bpeMergesOracleSql(12),
     "q_bpe_encode" -> bpeEncodeOracleSql(12),
+    "q_bpe_fertility" -> bpeFertilityOracleSql(12),
     "q_dedup_minhash" -> (DocToksCte + ShinglesCte + JaccardSql),
     // query-time near-dup search: exact query×corpus Jaccard — the banding
     // is the same family q_dedup_minhash proved lossless on this corpus, and

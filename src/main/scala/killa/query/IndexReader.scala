@@ -1341,6 +1341,32 @@ final class IndexReader(
         round(avg(col("__v")), 4).as("global_avg_v")))
   }
 
+  /** Terms aggregation ordered by a sub-aggregation metric (the
+    * Elasticsearch `terms` agg with `order: { "avg_v": "desc" }` instead
+    * of the default doc-count order): buckets of a doc-values key over the
+    * MATCHING conversations, each carrying its doc count and the average
+    * of a second doc value, ranked by that average — "which tool's
+    * conversations run longest", the agg shape the count-ordered
+    * [[multiTermsAgg]] family cannot express. ES warns this order is
+    * approximate under sharded execution; our fold is exact (one global
+    * combinable groupBy — the shuffle is by key cardinality, not corpus).
+    * Ties break on the key so the order is total.
+    *
+    * @return (key, n_docs, avg_v) rows, avg_v desc then key asc, ≤ size,
+    *         avg 4dp.
+    */
+  def termsAggByMetric(term: String, meta: DataFrame, convCol: String,
+      keyCol: String, valCol: String, size: Int): DataFrame = {
+    require(size >= 1, "size must be >= 1")
+    membership(term)
+      .join(meta.select(col(convCol).as("conv_id"), col(keyCol).as("__k"),
+        col(valCol).cast("double").as("__v")), "conv_id")
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("__v")), 4).as("avg_v"))
+      .orderBy(col("avg_v").desc, col("key").asc)
+      .limit(size)
+  }
+
   /** Bucket-correlation pipeline agg (the Elasticsearch `bucket_correlation`
     * shape, `count_correlation` function): Pearson correlation between two
     * sibling date histograms' per-bucket hit counts over the UNION of their

@@ -134,4 +134,29 @@ object Bpe {
     words.join(vocab, "word")
       .groupBy(idCol).agg(sum(col("__np")).as("bpe_tokens"))
   }
+
+  /** Tokenizer fertility report under a learned merge list — the standard
+    * tokenizer-evaluation metrics: fertility = subword pieces per
+    * whitespace word (1.0 = every word is one piece; high fertility means
+    * the vocab fragments this corpus) and chars per piece (the compression
+    * the vocab actually achieves). One vocab-sized segmentation + one
+    * corpus-weighted fold: occurrence counts come from the (word, cnt)
+    * table, so the corpus is touched exactly once (the wordCounts pass) —
+    * no per-document work at all.
+    *
+    * @return a single (n_words, n_pieces, n_chars, fertility,
+    *         chars_per_token) row, ratios 4dp.
+    */
+  def fertility(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    segment(wordCounts(df, textCol), "word", merges)
+      .select(col("cnt"),
+        (col("cnt") * size(col("pieces"))).as("__p"),
+        (col("cnt") * length(col("word"))).as("__c"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("__p")).as("n_pieces"),
+        sum(col("__c")).as("n_chars"))
+      .select(col("n_words"), col("n_pieces"), col("n_chars"),
+        round(col("n_pieces") / col("n_words").cast("double"), 4).as("fertility"),
+        round(col("n_chars") / col("n_pieces").cast("double"), 4).as("chars_per_token"))
 }

@@ -278,6 +278,36 @@ class Round5zcSpec extends AnyFunSuite {
     }
   }
 
+  // ---- terms agg ordered by sub-metric ----
+
+  test("termsAggByMetric ranks buckets by the metric, not the count") {
+    val meta = turns.groupBy("conv_id")
+      .agg(min_by(col("role"), col("turn_idx")).as("k"))
+      .join(turns.select(col("conv_id"),
+          explode(split(col("text"), " ")).as("t")).where(col("t") =!= "")
+        .groupBy("conv_id").agg(count(lit(1)).as("v")), "conv_id")
+    val ms = matchSet("the")
+    val want = meta.where(col("conv_id").isin(ms.toSeq: _*))
+      .groupBy("k").agg(count(lit(1)).as("n"), round(avg(col("v")), 4).as("a"))
+      .as[(String, Long, Double)].collect()
+      .sortBy { case (k, _, a) => (-a, k) }.take(3).toSeq
+    val got = reader.termsAggByMetric("the", meta, "conv_id", "k", "v", 3)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  // ---- BPE fertility ----
+
+  test("fertility: hand-checked on a tiny corpus, merge shrinks pieces") {
+    val tiny = Seq("ab ab c").toDF("text")
+    val noMerge = killa.text.Bpe.fertility(tiny, "text", Nil)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(noMerge == ((3L, 5L, 5L, 1.6667, 1.0)))
+    val merged = killa.text.Bpe.fertility(tiny, "text", Seq(("a", "b")))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(merged == ((3L, 3L, 5L, 1.0, 1.6667)))
+  }
+
   // ---- multi-word synonyms ----
 
   test("membershipSynonymPhrases = term membership ∪ exact phrase matches, distinct") {
