@@ -41,8 +41,17 @@ object Pooling {
     val m = ex.groupBy("grp", "i").agg(avg(col("x")).as("m"))
     val nrm = m.groupBy("grp").agg(sqrt(sum(col("m") * col("m"))).as("nrm"))
       .where(col("nrm") > 0.0)
+    // signed-zero presentation parity (VERDICT r5 #1): Spark's round() goes
+    // through BigDecimal and yields +0.0 for a tiny NEGATIVE mean, while the
+    // DuckDB oracle's round() preserves IEEE -0.0 — one value per corpus was
+    // enough to flip the byte-level hash. Mirror DuckDB: a zero-rounded
+    // value whose exact ratio is negative presents as -0.0. Selection and
+    // arithmetic stay on exact doubles; only the presented column changes.
+    val ratio = col("m") / col("nrm")
+    val rounded = round(ratio, 4)
     m.join(nrm, "grp")
-      .select(col("grp"), col("i"), round(col("m") / col("nrm"), 4).as("v"))
+      .select(col("grp"), col("i"),
+        when(rounded === 0.0 && ratio < 0.0, lit(-0.0)).otherwise(rounded).as("v"))
       .orderBy("grp", "i")
   }
 }

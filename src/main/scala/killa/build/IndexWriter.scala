@@ -94,12 +94,16 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
             killa.store.Logs.forwardPruned(spark, m, Some(wave))
           }
           val blocks = buildBlocks(spark, fwd, conf)
-          writeBlocks(blocks, commitDir)
+          // aligned: buildBlocks' co-partitioned df join already placed the
+          // blocks by hash(bkt) — the write re-shuffled the same placement
+          writeBlocks(blocks, commitDir, aligned = true)
           val wallMs = (System.nanoTime() - t0) / 1000000L
           timing(s"wave ${wave.head}: blocks ${wallMs}ms")
           val tm0 = System.nanoTime()
-          val metrics = bucketMetrics(spark, commitDir, wave)
-          timing(s"wave ${wave.head}: metrics ${(System.nanoTime() - tm0) / 1000000L}ms")
+          // one fused read-back job for ledger metrics AND dict summaries —
+          // the commit dir was scanned twice per wave before (guide §2.4)
+          val (metrics, dicts) = bucketMetricsAndDicts(spark, commitDir)
+          timing(s"wave ${wave.head}: metrics+dicts ${(System.nanoTime() - tm0) / 1000000L}ms")
           Ledger.append(spark, root, wave.map { b =>
             val (tc, pc, bc, by) = metrics.getOrElse(b, (0L, 0L, 0L, 0L))
             LedgerRow(buildId, "segments", b, "done", tc, pc, bc, by, wallMs, desc.forwardDir)
@@ -107,7 +111,6 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
           val base = manifest.getOrElse(
             Manifest(0, conf.nBuckets, Map.empty, Seq(desc.docsDir), Seq(desc.forwardDir),
               desc.numDocs, desc.totalTokens, desc.avgdl, desc.maxDocId, 0L))
-          val dicts = bucketDictSummaries(spark, commitDir)
           manifest = Some(SegmentStore.commit(spark, root,
             base.copy(buckets = base.buckets ++ wave.map(_ -> commitDir),
               bucketDicts = base.bucketDicts -- wave ++ dicts)))
@@ -198,7 +201,11 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
     val toks = byConv.select(col("conv_id"), explode(Tokenize.termsCol(col("text"))).as("term"))
     val tf = toks.groupBy("conv_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dl persisted too (tiny: one row per conv): its consumers — the docs
+    // write's range-sampling pass, the docs write itself, and the forward
+    // join — each re-ran the 25M-row dl aggregation over the cached tf
     val dl = tf.groupBy("conv_id").agg(sum(col("tf")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (dict, cleanup) = Dict.assign(turns.select("conv_id").distinct())
 
     // docs table: every conv (even token-less ones, analog of an unreadable
@@ -218,10 +225,18 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
 
     val tFwd0 = System.nanoTime()
     val nb = conf.nBuckets
+    // persisted: the single-wave path has THREE consumers of these rows —
+    // the forward parquet write below, the wave's posting-run aggregation,
+    // and the per-term df count inside buildBlocks. Without the persist each
+    // consumer re-executed the tf⋈dl⋈dict joins from the cached tf (measured
+    // as the joins running 3× per build); with it the joins run once, into
+    // the compressed columnar cache (guide §5: reuse > recompute here — the
+    // recompute is two full joins of the posting-volume rows).
     val fwd = tf.join(dl, "conv_id").join(dict, "conv_id")
       .select(col("term"), col("docId"), col("tf"), col("dl"),
         bucketCol(col("term"), nb).as("bkt"), lit(0L).as("batchSeq"))
       .withColumn("bkt_p", col("bkt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fwd.repartition(col("bkt_p")).sortWithinPartitions("term", "docId")
       .write.partitionBy("bkt_p").mode("overwrite").parquet(forwardDir)
     timing(s"fwd write ${(System.nanoTime() - tFwd0) / 1e9}s")
@@ -243,7 +258,7 @@ final class IndexWriter(spark: SparkSession, root: String, conf: Conf = Conf.def
     // stay alive until the wave consumes fwd — unpersisting earlier lets the
     // dict lineage recompute with fresh range-sampling, which can reassign
     // docIds mid-build (caught as duplicate docIds in posting runs).
-    (desc, Some(fwd), () => { tf.unpersist(); cleanup() })
+    (desc, Some(fwd), () => { tf.unpersist(); dl.unpersist(); fwd.unpersist(); cleanup() })
   }
 }
 
@@ -344,12 +359,25 @@ object IndexWriter {
     import spark.implicits._
     val rd = conf.rangeDocs
     require(rd > 0, "rangeDocs must be positive")
+    val bs = conf.blockSize
+    val nb = conf.nBuckets
+    // max blocks a range can hold — the per-range blockId offset
+    val blocksPerRange = (rd + bs - 1) / bs
     val td = fwd.select("term", "docId", "tf", "dl", "bkt").as[TermDoc]
-    // one shuffle of the posting rows: per (term, range) sorted runs, each
-    // bounded at rangeDocs postings regardless of term hotness
-    val runs: Dataset[PostingRun] = td
+    // ONE shuffle of the posting rows: per (term, range) groups, each
+    // bounded at rangeDocs postings regardless of term hotness, and blocks
+    // are emitted DIRECTLY from the sorted group. The old pipeline encoded
+    // a per-range run here, shuffled the encoded payload TWICE more (df
+    // join co-location + a salt respread), and decoded it again before
+    // re-encoding blocks — the intermediate run codec roundtrip and one of
+    // the payload shuffles were pure overhead (guide §2.3/§2.4: the df
+    // attach only needs a skinny per-term count, so it now joins onto the
+    // finished blocks instead of dragging the payload through extra
+    // exchanges). Parallelism of a hot term's emission is unchanged — it
+    // happens inside the (term, range) groups themselves.
+    val noDf: Dataset[PostingBlock] = td
       .groupByKey(t => (t.term, (t.docId / rd).toInt))
-      .mapGroups { (key: (String, Int), it: Iterator[TermDoc]) =>
+      .flatMapGroups { (key: (String, Int), it: Iterator[TermDoc]) =>
         val (term, range) = key
         var docs = new Array[Long](64); var tfs = new Array[Long](64); var dls = new Array[Long](64)
         var n = 0
@@ -363,46 +391,42 @@ object IndexWriter {
           docs(n) = t.docId; tfs(n) = t.tf; dls(n) = t.dl; n += 1
         }
         if (n > 1) sort3(docs, tfs, dls, 0, n - 1)
-        PostingRun(term, range, n,
-          Delta.encode(java.util.Arrays.copyOf(docs, n)),
-          Varint.encode(java.util.Arrays.copyOf(tfs, n)),
-          Varint.encode(java.util.Arrays.copyOf(dls, n)))
-      }
-    // global df per term aggregated straight from the forward rows (map-side
-    // partial count, one cheap pass over fwd — which the single-wave path
-    // already holds in memory), joined back so every block carries the exact
-    // df. NOT derived from `runs`: that lineage would re-execute the whole
-    // sort+encode phase a second time for the aggregation.
-    val runsDf = runs.toDF()
-    val dfByTerm = fwd.groupBy("term").agg(count(lit(1)).as("df"))
-    val bs = conf.blockSize
-    val nb = conf.nBuckets
-    // max blocks a range can hold — the per-range blockId offset
-    val blocksPerRange = (rd + bs - 1) / bs
-    runsDf.join(dfByTerm, "term")
-      // the df join co-locates all runs of a term on one join partition;
-      // spread the (cheap, compressed) runs back out so a hot term's block
-      // emission is parallel across its ranges, not serial on one task
-      .repartition(col("term"), col("salt"))
-      .select(col("term"), col("salt"), col("n"),
-        col("docsBin"), col("tfsBin"), col("dlsBin"), col("df"))
-      .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Long)]
-      .flatMap { case (term, range, total, docsBin, tfsBin, dlsBin, df) =>
-        val docs = Delta.decode(docsBin, total)
-        val tfs = Varint.decode(tfsBin, total)
-        val dls = Varint.decode(dlsBin, total)
         val bkt = Hashing.termBucket(term, nb)
         val base = range.toLong * blocksPerRange
+        val total = n
         (0 until total by bs).iterator.map { start =>
           val end = math.min(start + bs, total)
-          val n = end - start
+          val bn = end - start
           val bd = java.util.Arrays.copyOfRange(docs, start, end)
           val bt = java.util.Arrays.copyOfRange(tfs, start, end)
           val bl = java.util.Arrays.copyOfRange(dls, start, end)
-          PostingBlock(term, base + start / bs, df, n, bd(0), bd(n - 1),
+          PostingBlock(term, base + start / bs, 0L, bn, bd(0), bd(bn - 1),
             bt.max, bl.min, Delta.encode(bd), Varint.encode(bt), Varint.encode(bl), bkt)
         }
       }
+    // global df per term aggregated straight from the forward rows (map-side
+    // partial count, one cheap pass over fwd — which the single-wave path
+    // holds in the columnar cache), joined onto the finished blocks so every
+    // block carries the exact df. NOT derived from the blocks: that lineage
+    // would re-execute the whole sort+encode phase a second time.
+    //
+    // The join is CO-PARTITIONED on the term bucket: both sides repartition
+    // by `bkt` (same expression, same partition count), which satisfies the
+    // (bkt, term) join's clustering with no further exchange, and the
+    // shuffled-hash hint keeps the payload side unsorted (the skinny df side
+    // builds the per-partition hash table). Because every term's blocks and
+    // df row share one bucket, the join is exact — and its output is already
+    // hash(bkt)-placed, which is precisely the layout the bucketed segment
+    // write needs, so the build path writes WITHOUT re-shuffling the payload
+    // (guide §2.4: two operations keyed the same way share one exchange).
+    val dfByTerm = fwd.groupBy("term").agg(count(lit(1)).as("__df"))
+      .withColumn("bkt", bucketCol(col("term"), nb).cast("int"))
+    noDf.toDF().repartition(col("bkt"))
+      .join(dfByTerm.repartition(col("bkt")).hint("shuffle_hash"), Seq("bkt", "term"))
+      .select(col("term"), col("blockId"), col("__df").as("df"), col("n"),
+        col("firstDoc"), col("lastDoc"), col("maxTf"), col("minDl"),
+        col("docsBin"), col("tfsBin"), col("dlsBin"), col("bkt"))
+      .as[PostingBlock]
   }
 
   /** Segment layout: one dir per commit, hive-partitioned by bkt_p for
@@ -411,12 +435,64 @@ object IndexWriter {
     * each bucket ⇒ parquet row-group min/max stats prune term lookups — the
     * columnar stand-in for the reference's O(1) hash lookup
     * (StringIndex.cs:19-24).
+    *
+    * @param aligned the input is already hash(bkt)-partitioned (the build
+    *                path: [[buildBlocks]]' co-partitioned df join leaves it
+    *                so) — skip the repartition; hive partitionBy only needs
+    *                the column, not a partitioning, and every bucket's rows
+    *                already share one task, so the file layout and per-file
+    *                (term, blockId) order are unchanged. Callers whose
+    *                lineage lost that placement pass false and pay the
+    *                shuffle.
     */
-  def writeBlocks(blocks: Dataset[PostingBlock], commitDir: String): Unit =
-    blocks.toDF().withColumn("bkt_p", col("bkt"))
-      .repartition(col("bkt_p"))
+  def writeBlocks(blocks: Dataset[PostingBlock], commitDir: String,
+      aligned: Boolean = false): Unit = {
+    val base = blocks.toDF().withColumn("bkt_p", col("bkt"))
+    (if (aligned) base else base.repartition(col("bkt_p")))
       .sortWithinPartitions("term", "blockId")
       .write.partitionBy("bkt_p").mode("overwrite").parquet(commitDir)
+  }
+
+  /** Fused per-bucket ledger metrics + dictionary summaries in ONE scan of
+    * the freshly-written commit dir (guide §2.4: two commit-time jobs read
+    * the same files with the same grouping — share the pass). Byte sizes
+    * come from FS file lengths (free); the single aggregation computes the
+    * metric counts and the dict prefix/length summaries together, so a wave
+    * commit pays one read-back job instead of two.
+    */
+  def bucketMetricsAndDicts(spark: SparkSession, commitDir: String)
+      : (Map[Int, (Long, Long, Long, Long)], Map[Int, killa.store.BucketDict]) = {
+    val p = new Path(commitDir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(p)) return (Map.empty, Map.empty)
+    val bucketDirs = fsys.listStatus(p).filter(_.getPath.getName.startsWith("bkt_p="))
+    if (bucketDirs.isEmpty) return (Map.empty, Map.empty)
+    val bytesByBucket: Map[Int, Long] = bucketDirs.map { st =>
+      val b = st.getPath.getName.stripPrefix("bkt_p=").toInt
+      b -> fsys.listStatus(st.getPath).map(_.getLen).sum
+    }.toMap
+    val capped = killa.store.SegmentStore.DictMaxPrefixes
+    val rows = spark.read.parquet(commitDir)
+      .groupBy(col("bkt_p").cast("int").as("b"))
+      .agg(
+        countDistinct(col("term")).as("terms"),
+        sum(col("n")).as("postings"),
+        count(lit(1)).as("blocks"),
+        collect_set(substring(col("term"), 1, killa.store.SegmentStore.DictPrefixLen)).as("ps"),
+        min(length(col("term"))).as("lo"),
+        max(length(col("term"))).as("hi"))
+      .collect()
+    val metrics = rows.map(r => r.getInt(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3),
+        bytesByBucket.getOrElse(r.getInt(0), 0L)))).toMap
+    val dicts = rows.map { r =>
+      val ps = r.getSeq[String](4)
+      r.getInt(0) -> killa.store.BucketDict(
+        if (ps.size > capped) None else Some(ps.sorted),
+        r.getInt(5), r.getInt(6))
+    }.toMap
+    (metrics, dicts)
+  }
 
   /** Per-bucket term-dictionary summaries (manifest sidecar — VERDICT r2 #7)
     * from a freshly-written commit dir: the distinct leading 2-char prefixes

@@ -1,24 +1,41 @@
 package killa.codec
 
-import scala.collection.mutable.ArrayBuffer
+/** Minimal growable primitive byte sink for the encoders. The old
+  * `ArrayBuffer[Byte]` boxed every appended byte (ArrayBuffer is generic —
+  * each `+=` goes through java.lang.Byte and an Object[] backing store, and
+  * `toArray` unboxes the whole thing again); encode runs once per posting
+  * run and once per block on the build hot path, so the boxing was pure
+  * per-task overhead (guide §1.2 step 2). Same bytes out, primitive all the
+  * way.
+  */
+private[codec] final class ByteSink(initial: Int) {
+  private var buf = new Array[Byte](math.max(initial, 16))
+  private var n = 0
+  @inline def add(b: Byte): Unit = {
+    if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n << 1)
+    buf(n) = b
+    n += 1
+  }
+  def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
+}
 
 /** Unsigned LEB128 varints over non-negative Longs. Pure functions —
   * property-tested for roundtrip (CodecSpec).
   */
 object Varint {
-  def put(buf: ArrayBuffer[Byte], v0: Long): Unit = {
+  private[codec] def put(buf: ByteSink, v0: Long): Unit = {
     require(v0 >= 0L, s"varint requires non-negative value, got $v0")
     var v = v0
     while ((v & ~0x7fL) != 0L) {
-      buf += ((v & 0x7f) | 0x80).toByte
+      buf.add(((v & 0x7f) | 0x80).toByte)
       v >>>= 7
     }
-    buf += v.toByte
+    buf.add(v.toByte)
   }
 
   /** Plain varint sequence (for tfs / dls). */
   def encode(vals: Array[Long]): Array[Byte] = {
-    val buf = new ArrayBuffer[Byte](vals.length * 2)
+    val buf = new ByteSink(vals.length * 2)
     var i = 0
     while (i < vals.length) { put(buf, vals(i)); i += 1 }
     buf.toArray
@@ -52,7 +69,7 @@ object Varint {
   */
 object Delta {
   def encode(sortedAsc: Array[Long]): Array[Byte] = {
-    val buf = new ArrayBuffer[Byte](sortedAsc.length * 2)
+    val buf = new ByteSink(sortedAsc.length * 2)
     var prev = 0L
     var i = 0
     while (i < sortedAsc.length) {

@@ -248,15 +248,18 @@ final class IndexMaintainer(spark: SparkSession, root: String, conf: Conf = Conf
         val rebuiltFwd = retained.unionByName(upserts)
         val commitDir = s"$root/data/$batchId-s$seq"
         val t0 = System.nanoTime()
-        IndexWriter.writeBlocks(IndexWriter.buildBlocks(spark, rebuiltFwd, conf), commitDir)
+        IndexWriter.writeBlocks(IndexWriter.buildBlocks(spark, rebuiltFwd, conf),
+          commitDir, aligned = true)
         val wallMs = (System.nanoTime() - t0) / 1000000L
-        val metrics = IndexWriter.bucketMetrics(spark, commitDir, affectedBuckets.toSeq)
+        // one fused read-back job for ledger metrics AND dict summaries
+        // (the same single-scan fusion the full build's wave commit uses)
+        val (metrics, dicts) = IndexWriter.bucketMetricsAndDicts(spark, commitDir)
         Ledger.append(spark, root, affectedBuckets.toSeq.map { b =>
           val (tc, pc, bc, by) = metrics.getOrElse(b, (0L, 0L, 0L, 0L))
           LedgerRow(batchId, "delta", b, "done", tc, pc, bc, by, wallMs, s"seq=$seq")
         })
         newBuckets = affectedBuckets.map(_ -> commitDir).toMap
-        newDicts = IndexWriter.bucketDictSummaries(spark, commitDir)
+        newDicts = dicts
       }
 
       // ---- 5b. positional-index maintenance (phrase queries stay correct

@@ -24,8 +24,17 @@ import killa.model.PostingBlock
 object Daat {
 
   /** Cursor over one term's blocks restricted to docId ∈ (lo, hi].
-    * Decode is lazy: candidate selection needs `doc`, which decodes the
-    * current block, but blocks skipped via seek() are never decoded.
+    * Decode is TRULY lazy: liveness (`exhausted`), block bounds
+    * (`blockMaxImpact`, `blockEndExclusive`) and block-skip seeks all run on
+    * block METADATA alone for blocks fully inside (lo, hi]; only `doc`/score
+    * access decodes. Before this, every whole-block WAND skip still decoded
+    * its landing block (seek → ensureDecoded, advanceBlock → ensureDecoded),
+    * so a hot term's full posting list was delta+varint-decoded on every
+    * query even when the threshold pruned all of it — measured as the
+    * dominant term in hot single-term latency. The only blocks that must
+    * decode for exact liveness are the ≤ 2 straddling a range boundary
+    * (their in-range slice can be empty); interior blocks are live by
+    * construction (every stored posting is a real doc).
     */
   private final class TermCursor(blocks: Array[PostingBlock], lo: Long, hi: Long) {
     private var bi = 0
@@ -42,8 +51,12 @@ object Daat {
       if (bi >= blocks.length || blocks(bi).firstDoc > hi) dead = true
     }
 
+    /** Decode the current block and position at the first in-range doc;
+      * blocks whose in-range slice is empty (boundary straddles only) are
+      * passed over without decoding their successors' payloads.
+      */
     private def ensureDecoded(): Unit = {
-      if (!decoded) {
+      while (!dead && !decoded) {
         val b = blocks(bi)
         docs = Delta.decode(b.docsBin, b.n)
         tfs = Varint.decode(b.tfsBin, b.n)
@@ -51,48 +64,101 @@ object Daat {
         i = 0
         while (i < b.n && docs(i) <= lo) i += 1
         decoded = true
-        if (i >= docs.length) advanceBlock()
-        else if (docs(i) > hi) dead = true
+        if (i >= b.n) { // whole block ≤ lo (lo-straddle): step to the next
+          bi += 1
+          decoded = false
+          if (bi >= blocks.length || blocks(bi).firstDoc > hi) dead = true
+        } else if (docs(i) > hi) dead = true
       }
     }
 
+    /** Leave the current block; decode of the next block is DEFERRED — the
+      * caller may skip it wholesale before ever touching a payload byte.
+      */
     private def advanceBlock(): Unit = {
       bi += 1
       decoded = false
       if (bi >= blocks.length || blocks(bi).firstDoc > hi) dead = true
-      else ensureDecoded()
     }
 
-    def exhausted: Boolean = { if (!dead && !decoded) ensureDecoded(); dead }
-    def doc: Long = { ensureDecoded(); docs(i) }
-    def tf: Long = tfs(i)
-    def dl: Long = dls(i)
+    /** Exact liveness, metadata-only for interior blocks: a block with
+      * firstDoc > lo and lastDoc ≤ hi contains ≥ 1 in-range doc by
+      * construction (all its stored postings are real docs in (lo, hi]).
+      * Only boundary-straddling blocks decode to decide.
+      */
+    def exhausted: Boolean = {
+      if (dead) return true
+      if (decoded) return false
+      val b = blocks(bi)
+      if (b.firstDoc > lo && b.lastDoc <= hi) false
+      else { ensureDecoded(); dead }
+    }
+
+    /** Current docId — metadata-exact without decoding in the deferred
+      * states: an undecoded cursor is always positioned at its block's
+      * start (advanceBlock and deferred seeks land there), and every seek
+      * target / block boundary is > lo, so the first in-range doc IS
+      * firstDoc. The only exception is the initial lo-straddling block
+      * (firstDoc ≤ lo), which decodes once.
+      */
+    def doc: Long = {
+      if (decoded) return docs(i)
+      val b = blocks(bi)
+      if (b.firstDoc > lo) b.firstDoc
+      else { ensureDecoded(); docs(i) }
+    }
+    def tf: Long = { ensureDecoded(); tfs(i) }
+    def dl: Long = { ensureDecoded(); dls(i) }
 
     def next(): Unit = {
+      ensureDecoded() // stepping INTO a block needs its payload
+      if (dead) return
       i += 1
       if (i >= docs.length) advanceBlock()
       else if (docs(i) > hi) dead = true
     }
 
-    /** Seek to the first posting with docId ≥ target; whole blocks with
-      * lastDoc < target are skipped WITHOUT decoding.
+    /** Seek to the first posting with docId ≥ target. Whole blocks with
+      * lastDoc < target are skipped via metadata, and a landing block whose
+      * firstDoc ≥ target stays UNDECODED (every doc in it already satisfies
+      * the seek — decode happens only if scoring later touches it).
       */
     def seek(target: Long): Unit = {
       if (dead) return
+      if (decoded) {
+        if (docs(i) >= target) return
+        if (blocks(bi).lastDoc >= target) {
+          // target lives in the current decoded block (lastDoc is a real
+          // doc ≥ target, so this in-block scan always terminates here)
+          while (!dead && docs(i) < target) next()
+          return
+        }
+      }
       if (blocks(bi).lastDoc < target) {
         decoded = false
         while (bi < blocks.length && blocks(bi).lastDoc < target) bi += 1
         if (bi >= blocks.length || blocks(bi).firstDoc > hi) { dead = true; return }
       }
+      if (blocks(bi).firstDoc >= target) return // block start ≥ target: defer decode
       ensureDecoded()
       if (dead) return
       while (!dead && docs(i) < target) next()
     }
 
+    // memoized per block: the disjunctive loop re-reads the bound every
+    // candidate (sigma + per-candidate bound), which recomputed the same
+    // division thousands of times per block before this cache
+    private var impactBi = -1
+    private var impactVal = 0.0
+
     /** Admissible impact bound of the CURRENT block (no decode needed). */
     def blockMaxImpact(k1: Double, b: Double, avgdl: Double): Double = {
-      val blk = blocks(bi)
-      Bm25.impact(blk.maxTf, blk.minDl, k1, b, avgdl)
+      if (impactBi != bi) {
+        val blk = blocks(bi)
+        impactVal = Bm25.impact(blk.maxTf, blk.minDl, k1, b, avgdl)
+        impactBi = bi
+      }
+      impactVal
     }
 
     /** First docId after the current block (block-skip jump target). */
@@ -241,8 +307,22 @@ object Daat {
     }
     val heap = new TopK(k, floor)
 
+    // closure-free liveness probes: these run once per candidate in the
+    // hottest serving loop — `forall`/`count` allocated a lambda per call
+    @inline def allLive(): Boolean = {
+      var t = 0
+      while (t < nT) { if (cursors(t).exhausted) return false; t += 1 }
+      true
+    }
+    @inline def liveCount(): Int = {
+      var n = 0
+      var t = 0
+      while (t < nT) { if (!cursors(t).exhausted) n += 1; t += 1 }
+      n
+    }
+
     if (conjunctive) {
-      while (cursors.forall(!_.exhausted)) {
+      while (allLive()) {
         var target = Long.MinValue
         var t = 0
         while (t < nT) { if (cursors(t).doc > target) target = cursors(t).doc; t += 1 }
@@ -270,7 +350,7 @@ object Daat {
       }
     } else {
       val mm = math.max(1, minMatch)
-      var live = cursors.count(!_.exhausted)
+      var live = liveCount()
       // fewer than minMatch live cursors ⇒ no future doc can carry m distinct
       // query terms — terminate (an early-out plain WAND doesn't have)
       while (live >= mm) {
@@ -327,7 +407,7 @@ object Daat {
             t += 1
           }
         }
-        live = cursors.count(!_.exhausted)
+        live = liveCount()
       }
     }
     heap.drain()
