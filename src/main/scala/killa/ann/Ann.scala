@@ -15,14 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Σ aᵢ·bᵢ as an ordered left fold (deterministic double summation). */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as an ordered left fold (deterministic double summation).
+    * Native codegen kernel — bit-identical twin of the former
+    * `aggregate(zip_with(...))` HOF form, which was CodegenFallback
+    * (interpreted, boxing per element) on every pair-join hot stage; the
+    * equality incl. null/length edge cases is property-pinned in Round6Spec.
+    */
+  def dotCol(a: Column, b: Column): Column = killa.expr.VecExprs.dotCol(a, b)
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
-  def cosineCol(a: Column, b: Column): Column = dotCol(a, b) / (normCol(a) * normCol(b))
+  /** One-pass native cosine — same ordered folds and final IEEE divide as
+    * dot/(‖a‖·‖b‖) composed from three traversals (Round6Spec-pinned).
+    */
+  def cosineCol(a: Column, b: Column): Column = killa.expr.VecExprs.cosineCol(a, b)
 
   /** Exact cosine top-k neighbors for each query vector.
     * `queries` (q_id, embedding) is broadcast — at corpus scale the plan is

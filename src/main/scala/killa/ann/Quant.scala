@@ -93,9 +93,11 @@ object Quant {
       int8CodesCol(col(qVecCol)).as("__qc"))
     val joined = corpus.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("__dot", aggregate(
-        zip_with(col("__c"), col("__qc"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + coalesce(x, lit(0L))))
+      // native codegen fold — bit-identical to the HOF form
+      // aggregate(zip_with(__c, __qc, _*_), 0L, acc + coalesce(x, 0L))
+      // (Round6Spec-pinned); the interpreted fold was the per-pair cost of
+      // the whole phase-1 ranking stage
+      .withColumn("__dot", killa.expr.VecExprs.dotCodesCol(col("__c"), col("__qc")))
     val wc = Window.partitionBy("q_id").orderBy(col("__dot").desc, col("vec_id").asc)
     val admitted = joined.withColumn("__crank", row_number().over(wc))
       .where(col("__crank") <= k * oversample)
@@ -121,10 +123,10 @@ object Quant {
     val qs = queries.select(col(qIdCol).as("q_id"), laneCodes(col(qVecCol)).as("__qc"))
     val joined = corpus.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("hamming", aggregate(
-        zip_with(col("__c"), col("__qc"),
-          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-        lit(0L), (acc, c) => acc + coalesce(c, lit(0L))))
+      // native codegen fold — bit-identical to the HOF form
+      // aggregate(zip_with(__c, __qc, bit_count(xor).cast(long)), 0L,
+      // acc + coalesce) (Round6Spec-pinned)
+      .withColumn("hamming", killa.expr.VecExprs.hammingLanesCol(col("__c"), col("__qc")))
     val w = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("vec_id").asc)
     joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

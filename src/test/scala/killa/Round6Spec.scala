@@ -184,4 +184,87 @@ class Round6Spec extends AnyFunSuite {
     assert(java.lang.Double.doubleToRawLongBits(w0) ==
       java.lang.Double.doubleToRawLongBits(0.0))
   }
+
+  test("native vector kernels are bit-identical to the HOF folds they replace") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic fixture: random float vectors incl. empty, zero, tiny,
+    // mismatched lengths and null elements — the HOF edge-case surface
+    val rs = rng(0xbeefL).take(4000).toSeq
+    def f(h: Long): Float = ((h >>> 16).toInt.toFloat / Int.MaxValue.toFloat)
+    val rows: Seq[(Array[java.lang.Float], Array[java.lang.Float])] =
+      (0 until 200).map { i =>
+        val la = i % 7 match { case 0 => 0; case 1 => 1; case _ => 8 + (i % 5) }
+        val lb = if (i % 11 == 3) la + 1 else la // occasional length mismatch
+        val a = Array.tabulate[java.lang.Float](la) { j =>
+          if (i % 13 == 5 && j == la / 2) null
+          else java.lang.Float.valueOf(
+            if (i % 17 == 7) 0f else f(rs((i * 19 + j) % rs.length)))
+        }
+        val b = Array.tabulate[java.lang.Float](lb) { j =>
+          java.lang.Float.valueOf(f(rs((i * 23 + j + 1) % rs.length)))
+        }
+        (a, b)
+      }
+    val df = rows.toDF("a", "b")
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val hofCos = hofDot(col("a"), col("b")) /
+      (sqrt(hofDot(col("a"), col("a"))) * sqrt(hofDot(col("b"), col("b"))))
+    val cmp = df.select(
+      hofDot(col("a"), col("b")).as("hd"),
+      killa.expr.VecExprs.dotCol(col("a"), col("b")).as("nd")).collect()
+    cmp.foreach { r =>
+      def bits(i: Int): Any =
+        if (r.isNullAt(i)) null else java.lang.Double.doubleToRawLongBits(r.getDouble(i))
+      assert(bits(0) == bits(1), s"dot mismatch: ${r.mkString("|")}")
+    }
+    // cosine: the HOF divide THROWS under ANSI when a norm is exactly 0
+    // (empty or all-zero vector) — an input no registered fixture contains
+    // (every ANN query passes today). Equality is pinned on the non-throwing
+    // domain; on zero norms the native kernel's IEEE NaN is asserted as the
+    // documented (strictly more robust) behavior.
+    def zeroNorm(a: Array[java.lang.Float]): Boolean =
+      a.forall(_ != null) && a.forall(x => x.floatValue() == 0f)
+    val safe = rows.filterNot { case (a, b) => zeroNorm(a) || zeroNorm(b) }
+    val ccmp = safe.toDF("a", "b").select(
+      hofCos.as("hc"),
+      killa.expr.VecExprs.cosineCol(col("a"), col("b")).as("nc")).collect()
+    ccmp.foreach { r =>
+      def bits(i: Int): Any =
+        if (r.isNullAt(i)) null else java.lang.Double.doubleToRawLongBits(r.getDouble(i))
+      assert(bits(0) == bits(1), s"cosine mismatch: ${r.mkString("|")}")
+    }
+    val zn = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+      .select(killa.expr.VecExprs.cosineCol(col("a"), col("b"))).collect()(0)
+    assert(zn.getDouble(0).isNaN, "zero-norm cosine must be IEEE NaN")
+    // integer kernels: int8-code dot and packed-lane hamming vs the HOF forms
+    val lrows: Seq[(Array[java.lang.Long], Array[java.lang.Long])] =
+      (0 until 200).map { i =>
+        val la = i % 6 match { case 0 => 0; case _ => 3 + (i % 4) }
+        val lb = if (i % 9 == 2) la + 2 else la
+        val a = Array.tabulate[java.lang.Long](la) { j =>
+          if (i % 15 == 4 && j == 0) null
+          else java.lang.Long.valueOf(math.floorMod(rs((i * 29 + j) % rs.length), 255L) - 127L)
+        }
+        val b = Array.tabulate[java.lang.Long](lb) { j =>
+          java.lang.Long.valueOf(math.floorMod(rs((i * 31 + j + 5) % rs.length), 255L) - 127L)
+        }
+        (a, b)
+      }
+    val ldf = lrows.toDF("a", "b")
+    val lcmp = ldf.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + coalesce(x, lit(0L))).as("hd"),
+      killa.expr.VecExprs.dotCodesCol(col("a"), col("b")).as("nd"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, c) => acc + coalesce(c, lit(0L))).as("hh"),
+      killa.expr.VecExprs.hammingLanesCol(col("a"), col("b")).as("nh")).collect()
+    lcmp.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"codes dot mismatch: ${r.mkString("|")}")
+      assert(r.getLong(2) == r.getLong(3), s"hamming mismatch: ${r.mkString("|")}")
+    }
+  }
 }
