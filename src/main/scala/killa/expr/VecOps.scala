@@ -242,3 +242,51 @@ object VecExprs {
   def hammingLanesCol(a: Column, b: Column): Column =
     Shim.toColumn(HammingLanes(Shim.toExpression(a), Shim.toExpression(b)))
 }
+
+/** Native whitespace tokenizer: array of the non-empty runs between single
+  * spaces (0x20) of a string column — the codegen twin of
+  * `filter(split(text, " ", -1), t => length(t) > 0)`. The HOF `filter` is
+  * CodegenFallback (interpreted per element, boxed lambda variables), and
+  * tokenization is the per-row hot loop of every index build and every
+  * tokenize-derived query. Byte-level scan is UTF-8-safe (0x20 never occurs
+  * inside a multi-byte sequence); tokens are zero-copy slices of the row's
+  * byte array. Null text → null (split's contract); "" → empty array.
+  * Semantics pinned by TokenizerSpec's column ≡ scala property.
+  */
+case class WsTokens(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ws_tokens"
+
+  protected override def nullSafeEval(input: Any): Any =
+    WsTokens.tokens(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"killa.expr.WsTokens.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokens =
+    copy(child = newChild)
+}
+
+object WsTokens {
+  def tokens(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](8)
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == 0x20) i += 1
+      val start = i
+      while (i < n && bytes(i) != 0x20) i += 1
+      if (i > start)
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, start, i - start))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def tokensCol(c: Column): Column = {
+    import org.apache.spark.sql.killashim.Shim
+    Shim.toColumn(WsTokens(Shim.toExpression(c)))
+  }
+}

@@ -420,7 +420,9 @@ object TextOps {
     */
   def spanCorrupt(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        filter(split(col(textCol), " "), x => x =!= lit("")).as("__toks"))
+        // native tokenizer (same non-empty-runs result as the former
+        // filter(split(...)) HOF — TokenizerSpec-pinned semantics)
+        Tokenize.termsCol(col(textCol)).as("__toks"))
       .withColumn("__tm", expr(
         "transform(__toks, (x, i) -> named_struct('tok', x, 'm'," +
           " substring(md5(concat(CAST(doc_id AS STRING), ':'," +
@@ -471,7 +473,9 @@ object TextOps {
     */
   def fimTransform(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        filter(split(col(textCol), " "), x => x =!= lit("")).as("__toks"))
+        // native tokenizer (same non-empty-runs result as the former
+        // filter(split(...)) HOF — TokenizerSpec-pinned semantics)
+        Tokenize.termsCol(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .withColumn("__h1", expr("CAST(conv(substring(md5(concat(" +
         "CAST(doc_id AS STRING), ':fim1')), 1, 8), 16, 10) AS BIGINT)"))

@@ -23,15 +23,17 @@ object WhitespaceTokenizer extends Tokenizer {
     else s.split(" ").filter(_.nonEmpty)
 }
 
-/** Column-level (whole-stage-codegen'd) equivalent of WhitespaceTokenizer for
-  * the hot index-build path: split + higher-order filter stay inside codegen,
-  * no UDF. Semantics proven equal to WhitespaceTokenizer.tokenize by a
-  * ScalaCheck property (TokenizerSpec).
+/** Column-level equivalent of WhitespaceTokenizer for the hot index-build
+  * path — a native codegen expression ([[killa.expr.WsTokens]]): the former
+  * `filter(split(text, " ", -1), length > 0)` form went through the `filter`
+  * higher-order function, which is CodegenFallback (interpreted per token,
+  * boxed lambda variables) on the per-row hot loop of every build wave.
+  * Semantics proven equal to WhitespaceTokenizer.tokenize by a ScalaCheck
+  * property (TokenizerSpec), unicode cases included.
   */
 object Tokenize {
   /** array<string> of non-empty space-separated tokens; null text → null
     * (explode then yields no rows, matching "null line contributes nothing").
     */
-  def termsCol(text: Column): Column =
-    filter(split(text, " ", -1), t => length(t) > 0)
+  def termsCol(text: Column): Column = killa.expr.WsTokens.tokensCol(text)
 }

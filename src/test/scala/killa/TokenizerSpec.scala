@@ -36,7 +36,9 @@ class TokenizerSpec extends AnyFunSuite {
       .map(_.mkString)
     val samples = (0 until 200)
       .flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i))) ++
-      Seq("", " ", "a . b", "aaa.")
+      Seq("", " ", "a . b", "aaa.",
+        // unicode: multi-byte sequences must survive the byte-level scan
+        "héllo wörld", "日本語 テスト", " ü ", "emoji 👍 mix", "日 本", "👍👍 👍")
     val got = samples.toDF("text")
       .select(Tokenize.termsCol(org.apache.spark.sql.functions.col("text")).as("terms"))
       .collect().map(_.getSeq[String](0).toArray)
